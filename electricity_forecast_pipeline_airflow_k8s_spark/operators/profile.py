@@ -1,0 +1,215 @@
+"""Per-group data-quality profile -- the engine's flagship query.
+
+Re-expresses the entire quality pass of the reference validator
+(`core/data_validation.py:110-226`) as ONE declarative Spark plan instead of
+O(regions) Python loops that each re-scan the whole frame
+(`core/data_validation.py:116-133,177-185,192-218` -- the anti-pattern table
+in SURVEY §4.2).
+
+Per group key (reference: `respondent` region; driver analog: events
+`event_type`) it computes in a single pass + two tiny self-joins:
+
+  * row/null counts and null rate        (A1/A2,  `core/data_validation.py:139-147,158-159`)
+  * min/max timestamp                    (A5,     `core/data_validation.py:163-164`)
+  * mean/stddev/median                   (A6/A7,  `core/data_validation.py:167-171`)
+  * exact Q1/Q3 -> IQR x3 outlier bounds (A8/A10, `core/data_validation.py:192-200`)
+  * outlier count + pct                  (A11,    `core/data_validation.py:202-218`)
+  * duplicate-timestamp count            (A13,    `core/data_validation.py:149-154`)
+  * gap count + max gap via lag          (W1,     `core/data_validation.py:110-133`)
+
+Scale notes (100 TB): the heavy input is scanned twice (once for the
+grouped stats incl. exact percentiles, once for the outlier comparison); the
+grouped stats output is tiny (one row per group key) so the join back to the
+raw rows is an explicit broadcast -- no second shuffle of the big side. Gap
+detection shuffles once on (group, ts) for the window sort; with few group
+keys AQE skew handling applies (session default). ``exact_quantiles=False``
+switches to percentile_approx for the scale path where a DuckDB-matched
+oracle is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 1.5x the expected hourly cadence, as in the reference
+# (`core/data_validation.py:124-126`: Timedelta(hours=1) * 1.5).
+DEFAULT_GAP_TOLERANCE_SECONDS = 5400
+
+
+def quality_profile(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    gap_tolerance_seconds: int = DEFAULT_GAP_TOLERANCE_SECONDS,
+    iqr_k: float = 3.0,
+    exact_quantiles: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """One row per group with the full quality profile. Deterministic
+    (all stats are exact aggregates; doubles rounded to ``round_to``)."""
+    g, t, v = F.col(group_col), F.col(ts_col), F.col(value_col)
+
+    if exact_quantiles:
+        qs = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    else:
+        qs = F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+
+    # Single hash-agg pass: counts, nulls, range, moments, quantiles, and
+    # the duplicate count as n_rows - distinct timestamps (equivalent to
+    # the reference's per-group duplicated().sum(), `core/data_validation.py:150`).
+    stats = df.groupBy(g.alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.min(t).alias("min_ts"),
+        F.max(t).alias("max_ts"),
+        F.avg(v).alias("_mean"),
+        F.stddev_samp(v).alias("_std"),
+        qs.alias("_qs"),
+        (F.count(F.lit(1)) - F.count_distinct(t)).alias("n_dups"),
+    )
+    bounds = stats.select(
+        group_col,
+        "n_rows",
+        "n_nulls",
+        "min_ts",
+        "max_ts",
+        "_mean",
+        "_std",
+        F.element_at("_qs", 2).alias("_median"),
+        F.element_at("_qs", 1).alias("_q1"),
+        F.element_at("_qs", 3).alias("_q3"),
+        "n_dups",
+    ).withColumns(
+        {
+            "_lower": F.col("_q1") - iqr_k * (F.col("_q3") - F.col("_q1")),
+            "_upper": F.col("_q3") + iqr_k * (F.col("_q3") - F.col("_q1")),
+        }
+    )
+
+    # Outliers: broadcast the per-group bounds back onto the raw rows --
+    # replaces the reference's per-region Python loop
+    # (`core/data_validation.py:195-202`) with one shuffle-free pass.
+    joined = df.join(F.broadcast(bounds.select(group_col, "_lower", "_upper")), group_col)
+    outliers = joined.groupBy(group_col).agg(
+        F.sum(F.when((v < F.col("_lower")) | (v > F.col("_upper")), 1).otherwise(0)).alias(
+            "n_outliers"
+        )
+    )
+
+    # Gaps: one window sort on (group, ts); integer microsecond arithmetic
+    # so the oracle comparison is exact.
+    w = Window.partitionBy(g).orderBy(t)
+    gap_us = F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))
+    gaps = (
+        df.select(g.alias(group_col), gap_us.alias("_gap_us"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(F.col("_gap_us") > gap_tolerance_seconds * 1_000_000, 1).otherwise(0)
+            ).alias("n_gaps"),
+            (F.max("_gap_us") / 1_000_000.0).alias("_max_gap_s"),
+        )
+    )
+
+    r = lambda c: F.round(c, round_to)  # noqa: E731
+    out = (
+        bounds.join(outliers, group_col, "left")
+        .join(gaps, group_col, "left")
+        .select(
+            group_col,
+            "n_rows",
+            "n_nulls",
+            r(F.col("n_nulls") * 100.0 / F.col("n_rows")).alias("null_pct"),
+            "min_ts",
+            "max_ts",
+            r("_mean").alias("mean_value"),
+            r("_std").alias("std_value"),
+            r("_median").alias("median_value"),
+            r("_q1").alias("q1"),
+            r("_q3").alias("q3"),
+            r("_lower").alias("lower_bound"),
+            r("_upper").alias("upper_bound"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            r(F.coalesce("n_outliers", F.lit(0)) * 100.0 / F.col("n_rows")).alias("outlier_pct"),
+            "n_dups",
+            F.coalesce("n_gaps", F.lit(0)).alias("n_gaps"),
+            r("_max_gap_s").alias("max_gap_seconds"),
+        )
+        .orderBy(group_col)
+    )
+    return out
+
+
+def profile_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_tolerance_seconds: int = DEFAULT_GAP_TOLERANCE_SECONDS,
+    iqr_k: float = 3.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB ANSI-SQL equivalent of :func:`quality_profile` (same column
+    names/rounding so the driver's value-hash matches)."""
+    tol_us = gap_tolerance_seconds * 1_000_000
+    return f"""
+WITH stats AS (
+  SELECT {group_col},
+         count(*) AS n_rows,
+         sum(CASE WHEN {value_col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         min({ts_col}) AS min_ts,
+         max({ts_col}) AS max_ts,
+         avg({value_col}) AS _mean,
+         stddev_samp({value_col}) AS _std,
+         quantile_cont({value_col}, 0.5) AS _median,
+         quantile_cont({value_col}, 0.25) AS _q1,
+         quantile_cont({value_col}, 0.75) AS _q3,
+         count(*) - count(DISTINCT {ts_col}) AS n_dups
+  FROM {table} GROUP BY {group_col}
+), bounds AS (
+  SELECT *,
+         _q1 - {iqr_k} * (_q3 - _q1) AS _lower,
+         _q3 + {iqr_k} * (_q3 - _q1) AS _upper
+  FROM stats
+), outliers AS (
+  SELECT t.{group_col},
+         sum(CASE WHEN t.{value_col} < b._lower OR t.{value_col} > b._upper
+             THEN 1 ELSE 0 END) AS n_outliers
+  FROM {table} t JOIN bounds b USING ({group_col})
+  GROUP BY t.{group_col}
+), gaps AS (
+  SELECT {group_col},
+         sum(CASE WHEN _gap_us > {tol_us} THEN 1 ELSE 0 END) AS n_gaps,
+         max(_gap_us) / 1000000.0 AS _max_gap_s
+  FROM (
+    SELECT {group_col},
+           epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER
+             (PARTITION BY {group_col} ORDER BY {ts_col})) AS _gap_us
+    FROM {table}
+  ) GROUP BY {group_col}
+)
+SELECT b.{group_col},
+       b.n_rows,
+       b.n_nulls,
+       round(b.n_nulls * 100.0 / b.n_rows, {round_to}) AS null_pct,
+       b.min_ts,
+       b.max_ts,
+       round(b._mean, {round_to}) AS mean_value,
+       round(b._std, {round_to}) AS std_value,
+       round(b._median, {round_to}) AS median_value,
+       round(b._q1, {round_to}) AS q1,
+       round(b._q3, {round_to}) AS q3,
+       round(b._lower, {round_to}) AS lower_bound,
+       round(b._upper, {round_to}) AS upper_bound,
+       coalesce(o.n_outliers, 0) AS n_outliers,
+       round(coalesce(o.n_outliers, 0) * 100.0 / b.n_rows, {round_to}) AS outlier_pct,
+       b.n_dups,
+       coalesce(g.n_gaps, 0) AS n_gaps,
+       round(g._max_gap_s, {round_to}) AS max_gap_seconds
+FROM bounds b
+LEFT JOIN outliers o USING ({group_col})
+LEFT JOIN gaps g USING ({group_col})
+ORDER BY b.{group_col}
+"""

@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver testdata layout (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings -- one parquet per table under an sf directory.
+
+Columnar Parquet replaces the reference's CSV snapshots
+(`core/airflow_dag.py:203` writes CSV; every downstream stage re-parses
+timestamps, e.g. `core/kubeflow_pipeline.py:94`): with Parquet the schema is
+typed once, scans are vectorized, and Catalyst pushes filters/projections
+into the row groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one testdata table. Plain parquet scan -- predicate pushdown,
+    column pruning, and split-based parallelism all come from Catalyst.
+
+    `events.ts` is stored as TIMESTAMP(NANOS) which Spark's parquet reader
+    does not model natively; we read it as long nanos (legacy conf) and
+    truncate to microsecond timestamps with integer arithmetic -- the same
+    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP, so oracle
+    comparisons stay exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view so jobs can use spark.sql(...)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
