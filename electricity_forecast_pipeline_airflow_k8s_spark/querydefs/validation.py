@@ -4,7 +4,7 @@ value~value). Each maps one or more SURVEY §2 inventory rows."""
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
@@ -23,3 +23,289 @@ EVENTS_SRC = "(SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
 def q_quality_profile(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
     return quality_profile(ev, group_col="event_type", ts_col="ts", value_col="value")
+
+
+# -- A1/A2/P6: null counts + rate in one agg pass ---------------------------
+@register(
+    "val_null_counts",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_group,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+         AS null_value_pct
+FROM {EVENTS_SRC}
+""",
+)
+def q_val_null_counts(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias("null_group"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_value"),
+        F.round(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)) * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("null_value_pct"),
+    )
+
+
+# -- P5/P7: domain + non-negativity predicates (`core/data_validation.py:50,57`)
+@register(
+    "val_domain_violations",
+    oracle="""
+SELECT sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                THEN 1 ELSE 0 END) AS bad_domain,
+       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_values
+FROM events
+""",
+)
+def q_val_domain(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    domain = ("click", "view", "purchase", "signup", "error")
+    return ev.agg(
+        F.sum(F.when(~F.col("event_type").isin(*domain), 1).otherwise(0)).alias(
+            "bad_domain"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
+    )
+
+
+# -- P8/J2: dynamic q99*3 extreme gate (`core/data_validation.py:61-62`) ----
+# Two-pass plan: exact q99 as a 1-row aggregate, broadcast back as a scalar.
+@register(
+    "val_extreme_gate",
+    oracle="""
+WITH thr AS (SELECT quantile_cont(value, 0.99) AS q99 FROM events)
+SELECT round(max(thr.q99), 4) AS q99,
+       sum(CASE WHEN e.value >= 3.0 * thr.q99 THEN 1 ELSE 0 END) AS extreme_values
+FROM events e CROSS JOIN thr
+""",
+)
+def q_val_extreme(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    thr = ev.agg(F.percentile("value", F.lit(0.99)).alias("q99"))
+    return ev.crossJoin(F.broadcast(thr)).agg(
+        F.round(F.max("q99"), 4).alias("q99"),
+        F.sum(F.when(F.col("value") >= 3.0 * F.col("q99"), 1).otherwise(0)).alias(
+            "extreme_values"
+        ),
+    )
+
+
+# -- A13: duplicate (group, ts) count (`core/data_validation.py:149-154`) ---
+@register(
+    "val_dup_count",
+    oracle=f"""
+SELECT count(*) - count(DISTINCT (event_type, ts)) AS duplicate_timestamps
+FROM {EVENTS_SRC}
+""",
+)
+def q_val_dup_count(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ev.agg(
+        (F.count(F.lit(1)) - F.count_distinct("event_type", "ts")).alias(
+            "duplicate_timestamps"
+        )
+    )
+
+
+# -- A6/A7: global moment stats + exact median ------------------------------
+@register(
+    "val_value_stats",
+    oracle="""
+SELECT round(avg(value), 4) AS mean_value,
+       round(stddev_samp(value), 4) AS std_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events
+""",
+)
+def q_val_value_stats(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ev.agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+    )
+
+
+# -- A15: describe/summary (count/mean/std/min/quartiles/max) ---------------
+@register(
+    "val_summary",
+    oracle="""
+SELECT count(value) AS n,
+       round(avg(value), 4) AS mean,
+       round(stddev_samp(value), 4) AS std,
+       round(min(value), 4) AS min,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.5), 4) AS median,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       round(max(value), 4) AS max
+FROM events
+""",
+)
+def q_val_summary(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    v = F.col("value")
+    return ev.agg(
+        F.count(v).alias("n"),
+        F.round(F.avg(v), 4).alias("mean"),
+        F.round(F.stddev_samp(v), 4).alias("std"),
+        F.round(F.min(v), 4).alias("min"),
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        F.round(F.max(v), 4).alias("max"),
+    )
+
+
+# -- A9: per-group stats -- one hash-agg, no per-region loops ---------------
+@register(
+    "val_grouped_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS records,
+       round(avg(value), 4) AS mean,
+       round(min(value), 4) AS min,
+       round(max(value), 4) AS max
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_val_grouped_stats(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(F.min("value"), 4).alias("min"),
+            F.round(F.max("value"), 4).alias("max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- A12/O-TOPK1: argmax group by count (`core/kubeflow_pipeline.py:97-99`) -
+@register(
+    "val_top_group",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type LIMIT 1
+""",
+)
+def q_val_top_group(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(1)
+    )
+
+
+# -- A3/A4: distinct groups, sorted (`core/data_validation.py:160-161`) -----
+@register(
+    "val_distinct_groups",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def q_val_distinct_groups(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+# -- W1: per-group gap stats via lag window ---------------------------------
+@register(
+    "val_gap_stats",
+    oracle=f"""
+SELECT event_type,
+       sum(CASE WHEN gap_us > 5400000000 THEN 1 ELSE 0 END) AS n_gaps,
+       round(max(gap_us) / 1000000.0, 4) AS max_gap_seconds,
+       round(avg(gap_us) / 1000000.0, 4) AS avg_gap_seconds
+FROM (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts))
+           AS gap_us
+  FROM {EVENTS_SRC}
+)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_val_gap_stats(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("event_type", gap_us.alias("gap_us"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("gap_us") > 5_400_000_000, 1).otherwise(0)).alias("n_gaps"),
+            F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_seconds"),
+            F.round(F.avg("gap_us") / 1_000_000.0, 4).alias("avg_gap_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- P4/J1/A10: flagged outlier rows (bounds broadcast-joined back) ---------
+@register(
+    "val_outlier_rows",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) - 3.0 * (quantile_cont(value, 0.75)
+           - quantile_cont(value, 0.25)) AS lower,
+         quantile_cont(value, 0.75) + 3.0 * (quantile_cont(value, 0.75)
+           - quantile_cont(value, 0.25)) AS upper
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value < b.lower OR e.value > b.upper
+ORDER BY e.event_id
+""",
+)
+def q_val_outlier_rows(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    v = F.col("value")
+    q1 = F.percentile(v, F.lit(0.25))
+    q3 = F.percentile(v, F.lit(0.75))
+    bounds = ev.groupBy("event_type").agg(
+        (q1 - 3.0 * (q3 - q1)).alias("lower"), (q3 + 3.0 * (q3 - q1)).alias("upper")
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter((v < F.col("lower")) | (v > F.col("upper")))
+        .select("event_id", "event_type", F.round(v, 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+# -- W2: duplicate-flag rows via window count -------------------------------
+@register(
+    "val_dup_rows",
+    oracle=f"""
+SELECT event_id, event_type, ts
+FROM (
+  SELECT event_id, event_type, ts,
+         count(*) OVER (PARTITION BY event_type, ts) AS c
+  FROM {EVENTS_SRC}
+) WHERE c > 1 ORDER BY event_id
+""",
+)
+def q_val_dup_rows(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type", "ts")
+    return (
+        ev.withColumn("c", F.count(F.lit(1)).over(w))
+        .filter(F.col("c") > 1)
+        .select("event_id", "event_type", "ts")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,99 @@
+"""Validation suite detects exactly the injected corruption (FIXTURES.md
+negative variants; semantics from `core/data_validation.py`)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.validation import validate
+
+
+@pytest.fixture(scope="module")
+def clean_readings(spark):
+    """Hourly series for 3 regions x 10 days, reference-shaped."""
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for region, level in [("CAL", 20000.0), ("TEX", 30000.0), ("NY", 15000.0)]:
+        for h in range(240):
+            rows.append((base + dt.timedelta(hours=h), region, "D", level + (h % 24) * 100.0))
+    return spark.createDataFrame(
+        rows, "period timestamp, respondent string, type string, value double"
+    )
+
+
+def test_clean_data_is_valid(clean_readings):
+    rep = validate(clean_readings)
+    assert rep.is_valid, rep.errors
+    assert rep.stats["total_records"] == 720
+    assert rep.stats["unique_regions"] == 3
+    assert rep.stats["regions"] == ["CAL", "NY", "TEX"]
+    assert rep.stats["outliers"]["total_count"] == 0
+    assert not rep.warnings
+
+
+def test_nulls_detected(clean_readings, spark):
+    # 10 null values < 5% -> warning; > 5% -> error
+    corrupted = clean_readings.withColumn(
+        "value", F.when(F.col("period") < F.lit("2024-01-01 10:00:00"), None).otherwise(F.col("value"))
+    )
+    rep = validate(corrupted)
+    assert rep.stats["missing_values"] == 30  # 10 hours x 3 regions = 30 of 720 = 4.2%
+    assert rep.is_valid and any("missing" in w for w in rep.warnings)
+
+    worse = clean_readings.withColumn(
+        "value", F.when(F.col("period") < F.lit("2024-01-02 00:00:00"), None).otherwise(F.col("value"))
+    )
+    rep2 = validate(worse)  # 72/720 = 10% > 5%
+    assert not rep2.is_valid and any("missing" in e for e in rep2.errors)
+
+
+def test_duplicates_detected(clean_readings):
+    dup = clean_readings.unionAll(clean_readings.limit(7))
+    rep = validate(dup)
+    assert not rep.is_valid
+    assert any("duplicate" in e for e in rep.errors)
+
+
+def test_bad_domain_and_negative(clean_readings, spark):
+    bad = clean_readings.withColumn(
+        "type", F.when(F.col("respondent") == "CAL", "XX").otherwise(F.col("type"))
+    ).withColumn(
+        "value", F.when(F.col("respondent") == "NY", -1.0).otherwise(F.col("value"))
+    )
+    rep = validate(bad)
+    assert any("type" in e for e in rep.errors)
+    assert any("negative" in e for e in rep.errors)
+
+
+def test_gaps_detected(clean_readings):
+    # remove 3 interior hours from CAL -> one 4h gap (> 1.5h tolerance)
+    gapped = clean_readings.filter(
+        ~(
+            (F.col("respondent") == "CAL")
+            & F.col("period").between("2024-01-05 01:00:00", "2024-01-05 03:00:00")
+        )
+    )
+    rep = validate(gapped)
+    assert any("CAL" in w and "gaps" in w for w in rep.warnings)
+
+
+def test_outliers_detected(clean_readings):
+    spiked = clean_readings.withColumn(
+        "value",
+        F.when(
+            (F.col("respondent") == "TEX") & (F.hour("period") == 12) & (F.dayofmonth("period") <= 8),
+            F.col("value") * 50,
+        ).otherwise(F.col("value")),
+    )
+    rep = validate(spiked)
+    # 8 spikes of 240 TEX rows = 3.3% > 2% warn threshold
+    assert rep.stats["outliers"]["per_region"]["TEX"]["count"] == 8
+    assert any("TEX" in w and "outliers" in w for w in rep.warnings)
+
+
+def test_checks_dataframe_surface(clean_readings):
+    rep = validate(clean_readings)
+    rows = {(r["check"], r["scope"]): r for r in rep.checks.collect()}
+    assert rows[("missing_pct", "__all__")]["passed"]
+    assert all(r["passed"] for r in rows.values())
