@@ -1,4 +1,7 @@
 """Query definitions, grouped by SURVEY.md §2 category. Importing this
 package registers every query into the registry."""
 
-from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import validation  # noqa: F401
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa: F401
+    relational,
+    validation,
+)
