@@ -1,0 +1,189 @@
+"""Time-series preparation operators (SURVEY §2.5, build-plan phase 4).
+
+Everything is expressed per group key over ``Window.partitionBy(group)`` so
+100 TB scale = more partitions, never driver loops. The reference versions
+materialize NumPy arrays in one process (`core/model.py:19-41`,
+`core/kubeflow_pipeline.py:112-132`); here windows/splits/resamples stay
+lazy DataFrame plans until an ML edge consumes them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chronological_split(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    ratios: tuple[float, float] = (0.7, 0.15),
+    tiebreak_cols: Sequence[str] = (),
+    split_col: str = "split",
+) -> DataFrame:
+    """Positional train/val/test split per group, exact floor semantics of
+    the reference (`core/kubeflow_pipeline.py:127-132`: train = first
+    int(0.7*n) rows, val = next int(0.15*n), test = rest; ratios from
+    `config.yaml:39-42`). One window pass; no shuffle beyond the (group, ts)
+    sort."""
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wall = Window.partitionBy(group_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    train_n = F.floor(n * ratios[0])
+    val_n = F.floor(n * ratios[1])
+    return df.withColumn(
+        split_col,
+        F.when(rn <= train_n, "train")
+        .when(rn <= train_n + val_n, "val")
+        .otherwise("test"),
+    )
+
+
+def sequence_windows(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    lookback: int = 168,
+    horizon: int = 24,
+    tiebreak_cols: Sequence[str] = (),
+    extra_partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stride-1 supervised windows: x = rows [i, i+L), y = rows [i+L, i+L+H)
+    (`core/model.py:19-41`). Exactly n-L-H+1 windows per partition
+    (`core/model.py:32-33` -- the invariant the tests assert).
+
+    Declarative form: two frame-spec ``collect_list`` windows + a size
+    filter. The arrays are built per partition inside the sort already
+    needed for ordering -- no 192x driver-side materialization (SURVEY
+    §4.2). Windows never cross ``extra_partition_cols`` boundaries (pass the
+    split column so train windows can't peek into val -- the reference's
+    per-split window construction, `core/kubeflow_pipeline.py:134-136`).
+    """
+    parts = [group_col, *extra_partition_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    base = Window.partitionBy(*parts).orderBy(*order)
+    wx = base.rowsBetween(0, lookback - 1)
+    wy = base.rowsBetween(lookback, lookback + horizon - 1)
+    out = df.select(
+        *[F.col(c) for c in parts],
+        F.col(ts_col).alias("window_start"),
+        F.collect_list(value_col).over(wx).alias("x"),
+        F.collect_list(value_col).over(wy).alias("y"),
+    )
+    return out.filter((F.size("x") == lookback) & (F.size("y") == horizon))
+
+
+def tail_window(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    n: int = 168,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Last ``n`` rows per group, ascending order restored -- the inference
+    input slice (`tests/test_model_training.py:118`). Rank-from-end, not a
+    global sort: TakeOrdered per group."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn_from_end", F.row_number().over(w))
+        .filter(F.col("_rn_from_end") <= n)
+        .drop("_rn_from_end")
+    )
+
+
+def resample(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    interval: str = "hour",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Tumbling-window batch resample via date_trunc (§2.9 batch analog of
+    the streaming `window()` agg)."""
+    if aggs is None:
+        aggs = {
+            "n": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 4),
+        }
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    return (
+        df.groupBy(F.col(group_col), bucket)
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .orderBy(group_col, "bucket")
+    )
+
+
+def fill_gaps_hourly(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+) -> DataFrame:
+    """Densify an hourly series: per group, generate the full hourly grid
+    between min and max timestamp (sequence + explode -- no driver loop)
+    and left-join the observations; missing hours appear as NULL value
+    rows. The distributed fix for the gaps the validator flags (W1)."""
+    spans = df.groupBy(group_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_t0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_t1"),
+    )
+    grid = spans.select(
+        group_col,
+        F.explode(
+            F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias(ts_col),
+    )
+    return grid.join(df, [group_col, ts_col], "left")
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    n_buckets: int = 10,
+    bucket_width: float = 20.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index drift between a reference window
+    (< split_ts) and a current window (>= split_ts).
+
+    The reference only *configures* drift windows (`config.yaml:44-47`,
+    threshold 0.1 per `README.md:737`) and never implements them; this is
+    the aggregation-only implementation: fixed-width value buckets ->
+    per-window distributions -> PSI = sum((p-q) * ln(p/q)). Two grouped
+    aggs over one scan; no UDFs."""
+    v = F.col(value_col)
+    bucket = F.least(F.floor(v / bucket_width), F.lit(n_buckets - 1)).alias("bucket")
+    win = F.when(F.col(ts_col) < split_ts, "ref").otherwise("cur").alias("win")
+    counts = (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col), win, bucket)
+        .groupBy(group_col, "win", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy(group_col, "win")
+    frac = counts.withColumn("p", F.col("n") / F.sum("n").over(totals))
+    ref = frac.filter(F.col("win") == "ref").select(
+        group_col, "bucket", F.col("p").alias("p_ref")
+    )
+    cur = frac.filter(F.col("win") == "cur").select(
+        group_col, "bucket", F.col("p").alias("p_cur")
+    )
+    joined = ref.join(cur, [group_col, "bucket"], "full").fillna(
+        0.0, subset=["p_ref", "p_cur"]
+    )
+    pr = F.col("p_ref") + eps
+    pc = F.col("p_cur") + eps
+    return (
+        joined.groupBy(group_col)
+        .agg(F.round(F.sum((pr - pc) * F.log(pr / pc)), 4).alias("psi"))
+        .orderBy(group_col)
+    )

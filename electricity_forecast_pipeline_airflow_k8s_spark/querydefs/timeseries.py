@@ -1,0 +1,298 @@
+"""Time-series prep queries (SURVEY §2.5 W3-W5, §2.10 U3) on the events
+table. Split/window/scaler semantics replicate the reference exactly
+(floor splits, n-L-H+1 window counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.scaling import (
+    apply_minmax,
+    fit_minmax,
+    fit_standard,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+    chronological_split,
+    psi_drift,
+    resample,
+    sequence_windows,
+    tail_window,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
+
+LOOKBACK, HORIZON = 48, 12
+
+
+# -- W4: chronological 70/15/15 split, exact floor semantics ----------------
+@register(
+    "ts_split_counts",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM {EVENTS_SRC}
+)
+SELECT event_type,
+       CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+            WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_rows
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_split_counts(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    split = chronological_split(
+        ev, group_col="event_type", ts_col="ts", tiebreak_cols=("event_id",)
+    )
+    return (
+        split.groupBy("event_type", "split")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type", "split")
+    )
+
+
+# -- W3: sequence-window count invariant: n - L - H + 1 per group -----------
+# (`core/model.py:32-33`; the oracle IS the invariant)
+@register(
+    "ts_window_counts",
+    oracle=f"""
+SELECT event_type,
+       greatest(count(*) - {LOOKBACK} - {HORIZON} + 1, 0) AS n_windows
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_window_counts(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    wins = sequence_windows(
+        ev,
+        group_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        lookback=LOOKBACK,
+        horizon=HORIZON,
+        tiebreak_cols=("event_id",),
+    )
+    counts = wins.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_windows"))
+    # groups too small for any window must still appear with 0
+    allg = ev.select("event_type").distinct()
+    return (
+        allg.join(counts, "event_type", "left")
+        .select("event_type", F.coalesce("n_windows", F.lit(0)).alias("n_windows"))
+        .orderBy("event_type")
+    )
+
+
+# -- W3: the windows themselves (x[L], y[H] arrays), early slice ------------
+@register(
+    "ts_sequence_windows",
+    oracle=f"""
+SELECT event_type, window_start, x, y FROM (
+  SELECT event_type, ts AS window_start,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND {LOOKBACK - 1} FOLLOWING) AS x,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN {LOOKBACK} FOLLOWING AND {LOOKBACK + HORIZON - 1} FOLLOWING) AS y
+  FROM {EVENTS_SRC}
+)
+WHERE len(x) = {LOOKBACK} AND len(y) = {HORIZON}
+  AND window_start < TIMESTAMP '2024-01-03'
+ORDER BY event_type, window_start
+""",
+)
+def q_sequence_windows(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    wins = sequence_windows(
+        ev,
+        group_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        lookback=LOOKBACK,
+        horizon=HORIZON,
+        tiebreak_cols=("event_id",),
+    )
+    return wins.filter(F.col("window_start") < "2024-01-03").orderBy(
+        "event_type", "window_start"
+    )
+
+
+# -- W5: tail window (last N per group, ascending restored) -----------------
+@register(
+    "ts_tail_window",
+    oracle=f"""
+SELECT event_id, event_type, ts FROM (
+  SELECT event_id, event_type, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM {EVENTS_SRC}
+) WHERE rn <= 50 ORDER BY event_type, ts, event_id
+""",
+)
+def q_tail_window(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    tail = tail_window(
+        ev, group_col="event_type", ts_col="ts", n=50, tiebreak_cols=("event_id",)
+    )
+    return tail.select("event_id", "event_type", "ts").orderBy(
+        "event_type", "ts", "event_id"
+    )
+
+
+# -- U3/J3: scaler params as data (minmax + standard in one row per group) --
+@register(
+    "ts_scaler_params",
+    oracle="""
+SELECT event_type,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max,
+       round(avg(value), 4) AS v_mean,
+       round(stddev_pop(value), 4) AS v_std
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_scaler_params(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    mm = fit_minmax(ev, group_col="event_type")
+    st = fit_standard(ev, group_col="event_type")
+    return (
+        mm.join(st, "event_type")
+        .select(
+            "event_type",
+            F.round("v_min", 4).alias("v_min"),
+            F.round("v_max", 4).alias("v_max"),
+            F.round("v_mean", 4).alias("v_mean"),
+            F.round("v_std", 4).alias("v_std"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- J3: scaled values via broadcast param join (leak-faithful full fit) ----
+@register(
+    "ts_scaled_values",
+    oracle="""
+WITH params AS (
+  SELECT event_type, min(value) AS v_min, max(value) AS v_max
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - p.v_min) / (p.v_max - p.v_min), 4) AS value_scaled
+FROM events e JOIN params p USING (event_type)
+WHERE e.event_id % 20 = 0
+ORDER BY e.event_id
+""",
+)
+def q_scaled_values(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    params = fit_minmax(ev, group_col="event_type")
+    scaled = apply_minmax(ev, params, group_col="event_type")
+    return (
+        scaled.filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id", "event_type", F.round("value_scaled", 4).alias("value_scaled")
+        )
+        .orderBy("event_id")
+    )
+
+
+# -- §2.9: tumbling-window resample (batch analog of streaming window()) ----
+@register(
+    "ts_resample_hourly",
+    oracle=f"""
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM {EVENTS_SRC}
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_resample_hourly(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return resample(ev, group_col="event_type", ts_col="ts", interval="hour")
+
+
+# -- drift: PSI between reference and current windows (config.yaml:44-47) ---
+@register(
+    "ts_psi_drift",
+    oracle="""
+WITH bucketed AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'ref' ELSE 'cur' END AS win,
+         least(floor(value / 20.0), 9) AS bucket
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT event_type, win, bucket, count(*) AS n FROM bucketed GROUP BY 1, 2, 3
+), frac AS (
+  SELECT event_type, win, bucket,
+         n * 1.0 / sum(n) OVER (PARTITION BY event_type, win) AS p
+  FROM counts
+), pivoted AS (
+  SELECT coalesce(r.event_type, c.event_type) AS event_type,
+         coalesce(r.p, 0.0) AS p_ref, coalesce(c.p, 0.0) AS p_cur
+  FROM (SELECT * FROM frac WHERE win = 'ref') r
+  FULL JOIN (SELECT * FROM frac WHERE win = 'cur') c
+    ON r.event_type = c.event_type AND r.bucket = c.bucket
+)
+SELECT event_type,
+       round(sum((p_ref + 1e-6 - p_cur - 1e-6) * ln((p_ref + 1e-6) / (p_cur + 1e-6))), 4)
+         AS psi
+FROM pivoted GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return psi_drift(
+        ev,
+        split_ts=F.lit("2024-01-20").cast("timestamp"),
+        group_col="event_type",
+        ts_col="ts",
+        value_col="value",
+    )
+
+
+# -- hourly coverage: hours in span with no events (gap-fill analog) --------
+@register(
+    "ts_hour_coverage",
+    oracle=f"""
+WITH ev AS (SELECT event_type, ts::TIMESTAMP AS ts FROM events),
+spans AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM ev GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM spans
+), obs AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour_ts FROM ev
+)
+SELECT g.event_type,
+       count(*) AS n_hours,
+       sum(CASE WHEN o.hour_ts IS NULL THEN 1 ELSE 0 END) AS n_empty_hours
+FROM grid g LEFT JOIN obs o
+  ON g.event_type = o.event_type AND g.hour_ts = o.hour_ts
+GROUP BY g.event_type ORDER BY g.event_type
+""",
+)
+def q_hour_coverage(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+    )
+    obs = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).distinct()
+    return (
+        grid.join(obs.withColumn("seen", F.lit(1)), ["event_type", "hour_ts"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_empty_hours"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,97 @@
+"""Invariants for time-series prep ops (reference semantics:
+`core/model.py:19-41`, `core/kubeflow_pipeline.py:127-136`)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.scaling import (
+    apply_minmax,
+    fit_minmax,
+    inverse_minmax,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+    chronological_split,
+    fill_gaps_hourly,
+    sequence_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def hourly(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), region, float(1000 + h))
+        for region in ("CAL", "TEX")
+        for h in range(400)
+    ]
+    return spark.createDataFrame(rows, "period timestamp, respondent string, value double")
+
+
+def test_split_floor_semantics(hourly):
+    out = chronological_split(hourly)
+    counts = {
+        (r["respondent"], r["split"]): r["n"]
+        for r in out.groupBy("respondent", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # n=400: train=floor(280)=280, val=floor(60)=60, test=rest=60
+    for region in ("CAL", "TEX"):
+        assert counts[(region, "train")] == 280
+        assert counts[(region, "val")] == 60
+        assert counts[(region, "test")] == 60
+
+
+def test_window_count_invariant_per_split(hourly):
+    split = chronological_split(hourly)
+    wins = sequence_windows(
+        split, lookback=168, horizon=24, extra_partition_cols=("split",)
+    )
+    counts = {
+        (r["respondent"], r["split"]): r["n"]
+        for r in wins.groupBy("respondent", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # per segment: n - 168 - 24 + 1 (train 280 -> 89); segments shorter than
+    # L+H yield no windows (val/test 60 < 192)
+    for region in ("CAL", "TEX"):
+        assert counts[(region, "train")] == 280 - 168 - 24 + 1
+        assert (region, "val") not in counts
+        assert (region, "test") not in counts
+
+
+def test_windows_do_not_cross_split_boundary(hourly):
+    split = chronological_split(hourly)
+    wins = sequence_windows(
+        split, lookback=10, horizon=2, extra_partition_cols=("split",)
+    )
+    row = (
+        wins.filter((F.col("respondent") == "CAL") & (F.col("split") == "val"))
+        .orderBy("window_start")
+        .first()
+    )
+    # first val window starts at hour 280 (val segment start), x strictly
+    # inside val values 1280..1289
+    assert row["x"] == [float(1000 + 280 + i) for i in range(10)]
+
+
+def test_minmax_roundtrip(hourly):
+    params = fit_minmax(hourly)
+    scaled = apply_minmax(hourly, params)
+    mm = scaled.agg(F.min("value_scaled"), F.max("value_scaled")).collect()[0]
+    assert mm[0] == 0.0 and mm[1] == 1.0
+    back = inverse_minmax(
+        scaled.select("respondent", "period", "value_scaled"), params, out_col="value2"
+    )
+    joined = back.join(hourly, ["respondent", "period"])
+    bad = joined.filter(F.abs(F.col("value2") - F.col("value")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_fill_gaps_hourly(hourly):
+    gapped = hourly.filter(
+        ~((F.col("respondent") == "CAL") & F.col("period").between(
+            "2024-01-03 05:00:00", "2024-01-03 09:00:00"))
+    )
+    filled = fill_gaps_hourly(gapped)
+    assert filled.count() == 800  # full grid restored
+    assert filled.filter(F.col("value").isNull()).count() == 5
