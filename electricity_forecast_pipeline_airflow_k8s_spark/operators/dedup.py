@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, token-set, MinHash+LSH, SimHash,
+n-gram Jaccard (BASELINE.json north-star extension).
+
+Scale design: every variant is shuffle-bounded --
+  * exact / token-set: one hash-aggregate on a fingerprint key.
+  * MinHash+LSH: explode shingles -> one agg for the k-min signature ->
+    explode b bands -> equi-join on (band, hash). Candidate pairs only;
+    never O(n^2). This is the standard web-scale near-dedup layout.
+  * SimHash: per-token hash bits summed per doc (one agg), hamming-bucket
+    join on the short code.
+All hashing is md5-based (deterministic, identical in any engine) so oracle
+parity holds; swap in xxhash64 for raw speed where parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column."""
+    t = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first (min id) doc per normalized-text fingerprint.
+    One shuffle on the md5 key; at 100 TB the key is 16 bytes/doc."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    keyed = df.withColumn("_fp", F.md5(normalized))
+    keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+def tokenset_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of docs with identical token SETS (order/multiplicity
+    insensitive) -- catches shuffled copies exact dedup misses."""
+    key = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
+    return (
+        df.select(F.col(id_col), key.alias("key"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-min-hash signature per doc: sig_i = min over shingles of
+    md5(i | shingle). One explode + one agg with k mins (single pass,
+    map-side combinable)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (k/bands rows per band), hash each band, and
+    equi-join docs sharing any band hash. Returns distinct (id_a < id_b)
+    candidate pairs."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("h")).alias(
+                f"b{b}"
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (the cheap second
+    stage of MinHash LSH)."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signature -> banded candidates -> exact
+    Jaccard verify. No stage is quadratic in corpus size."""
+    sigs = minhash_signature(df, text_col, id_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    return jaccard_verify(cands, df, text_col, id_col, shingle_n, threshold)
+
+
+def simhash_codes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16
+) -> DataFrame:
+    """SimHash over distinct tokens: bit j of md5(token) votes +/-1 on code
+    position j; sign of each positional sum forms the code.
+
+    Layout mirrors minhash: one explode + one agg (map-side combinable) --
+    per-token bit math stays in codegen via conv(hex-nibble) -> div/mod."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    votes = []
+    for j in range(n_bits):
+        nibble = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nibble / (2 ** (j % 4))).cast("int") % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    summed = tok.groupBy(id_col).agg(*votes)
+    code = F.lit(0)
+    for j in range(n_bits):
+        code = code + F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return summed.select(F.col(id_col), code.cast("int").alias("simhash"))

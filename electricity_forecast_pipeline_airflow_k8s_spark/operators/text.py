@@ -1,0 +1,104 @@
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+north-star extension; build-plan phase 7).
+
+All pure Column expressions (JVM-side, whole-stage codegen) -- no Python
+UDFs in any hot path. Designed for the `documents(doc_id, text, lang,
+source, n_chars)` table but column names are parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Real pipelines plug in larger lexicons; the operator shape
+# (score per language -> argmax) is what matters.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"),
+    "es": ("el", "la", "de", "y", "es", "en", "un", "una", "que", "por"),
+    "fr": ("le", "la", "de", "et", "est", "en", "un", "une", "que", "pour"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (BPE-ish regex split: runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token/char statistics (token counting + doc length)."""
+    t = tokens(text_col)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.round(
+            (F.length(text_col) - F.size(t) + 1) / F.size(t), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def stopword_hits(text_col: str, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are in ``words`` -- a filter over the token
+    array, evaluated JVM-side."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text_col), lambda x: F.array_contains(lit_words, x)))
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic quality heuristics: length, lexical diversity,
+    stopword density, digit/punct noise. Composite in [0,1]-ish; the exact
+    formula is less important than each component being a pushdown-friendly
+    native expression."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    uniq_ratio = F.size(F.array_distinct(t)) / n_tok
+    stop_ratio = stopword_hits(text_col, STOPWORDS["en"]) / n_tok
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")) /
+        F.greatest(F.length(text_col), F.lit(1))
+    )
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = 0.4 * len_score + 0.4 * uniq_ratio + 0.2 * F.least(
+        stop_ratio * 5, F.lit(1.0)
+    ) - 0.5 * digit_ratio
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language heuristic: per-language hit counts -> argmax
+    (ties -> lexicographically first; 'und' = undetermined when no hits)."""
+    hit_cols = [
+        stopword_hits(text_col, words).alias(f"hits_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(id_col, *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), lang
+        ).otherwise(pred)
+    return scored.select(id_col, *[f"hits_{lang}" for lang in langs], pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (content-defined identity for exact dedup across formatting noise)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(id_col, F.md5(normalized).alias("fp"))

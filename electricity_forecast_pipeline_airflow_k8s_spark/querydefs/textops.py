@@ -1,0 +1,327 @@
+"""Dedup / text-analysis / similarity queries over documents + embeddings
+(BASELINE.json north-star extension operators, SURVEY §7.2 phase 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import similarity as SIM
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+
+# shared DuckDB fragments ----------------------------------------------------
+_SHINGLES = (
+    "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"
+)
+_TOKS = "string_split(text, ' ')"
+
+MINHASH_K, MINHASH_BANDS = 12, 4
+
+
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({parts}) AS h FROM sigs".format(
+            b=b,
+            parts=" || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs WHERE len(t) >= 3),
+sigs AS (SELECT doc_id, sh, {sig_cols} FROM shingled),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand c
+JOIN shingled sa ON sa.doc_id = c.doc_a
+JOIN shingled sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for j in range(16):
+        pos, b = j // 4 + 1, j % 4
+        nib = f"(strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
+        votes.append(
+            f"sum((CAST(floor({nib} / {2 ** b}) AS INT) % 2) * 2 - 1) AS v{j}"
+        )
+    vote_sql = ",\n         ".join(votes)
+    code = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+  FROM documents WHERE doc_id < 50
+),
+votes AS (
+  SELECT doc_id,
+         {vote_sql}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({code} AS INT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+_COSINE_PAIR = """
+  SELECT query_id, neighbor_id,
+         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+           AS cosine
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           unnest(list_transform(q.embedding, x -> CAST(x AS DOUBLE))) AS qv,
+           unnest(list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS cv
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN embeddings c
+    WHERE c.vec_id != q.vec_id
+  ) GROUP BY query_id, neighbor_id
+"""
+
+
+# -- token / quality / language / fingerprint -------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_uniq_tokens,
+       round((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}), 4)
+         AS avg_token_len
+FROM documents ORDER BY doc_id
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.token_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+         len({_TOKS}) AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','for','on'], x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(len(list_distinct(t)) * 1.0 / n_tok, 4) AS uniq_ratio,
+       round(stop_hits * 1.0 / n_tok, 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS digit_ratio,
+       round(0.4 * least(n_tok / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(t)) * 1.0 / n_tok)
+             + 0.2 * least(stop_hits * 5.0 / n_tok, 1.0)
+             - 0.5 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                      / greatest(length(text), 1)), 4) AS quality_score
+FROM d ORDER BY doc_id
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.quality_score(docs).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter({_TOKS}, x -> list_contains(
+           ['der','die','das','und','ist','von','mit','ein','zu','auf'], x))) AS hits_de,
+         len(list_filter({_TOKS}, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','for','on'], x))) AS hits_en,
+         len(list_filter({_TOKS}, x -> list_contains(
+           ['el','la','de','y','es','en','un','una','que','por'], x))) AS hits_es,
+         len(list_filter({_TOKS}, x -> list_contains(
+           ['le','la','de','et','est','en','un','une','que','pour'], x))) AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.lang_id(docs).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return TX.fingerprint(docs).orderBy("doc_id")
+
+
+# -- dedup family -----------------------------------------------------------
+@register(
+    "dedup_exact_stats",
+    oracle=r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+         AS n_kept
+FROM documents
+""",
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    kept = DD.exact_dedup(docs)
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "dedup_tokenset_groups",
+    oracle=f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS key,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY keep_id
+""",
+)
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return DD.tokenset_dup_groups(docs).orderBy("keep_id")
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(0.5))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return DD.minhash_lsh_dedup_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs WHERE len(t) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    """Brute-force verification surface for the LSH path (correctness-scale
+    only; the LSH query is the 100 TB path)."""
+    docs = table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", DD.shingles("text").alias("s"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
+    j = F.round(
+        F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 4
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash_codes", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    return DD.simhash_codes(docs).orderBy("doc_id")
+
+
+# -- similarity search ------------------------------------------------------
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH scored AS (
+{_COSINE_PAIR}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+@register("sim_topk_lsh")  # rows-only: recall asserted in tests vs brute force
+def q_sim_lsh(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+@register("sim_topk_ivf")  # rows-only: recall asserted in tests vs brute force
+def q_sim_ivf(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, k=5, n_probe=3)
+
+
+@register(
+    "emb_neardup_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a_id AS id_a, b_id AS id_b,
+         round(sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))), 6)
+           AS cosine
+  FROM (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           unnest(a.v) AS av, unnest(b.v) AS bv
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  ) GROUP BY a_id, b_id
+) WHERE cosine >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def q_emb_neardup(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.4)

@@ -1,0 +1,74 @@
+"""ANN paths (sign-LSH, IVF) must achieve reasonable recall vs the exact
+brute-force top-k baseline, and dedup ops must find the planted near-dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import similarity as SIM
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+# NOTE: the synthetic embeddings are near-random (max pairwise cosine ~0.5),
+# so ANN recall ~= fraction of corpus scanned. The assertions pin that the
+# mechanisms work (recall tracks the scanned fraction), not sota recall.
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(SIM.lsh_topk(emb, queries, k=5, n_planes=2))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(SIM.ivf_topk(emb, queries, k=5, n_probe=5))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.45, f"IVF recall {hits}/{total}"
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    # ground truth: brute-force shingle jaccard >= 0.5
+    sh = docs.select("doc_id", DD.shingles("text").alias("s"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
+    j = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.crossJoin(b)
+        .filter((F.col("doc_a") < F.col("doc_b")) & (j >= 0.5))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert found <= truth  # verify stage guarantees no false positives
+    if truth:
+        assert len(found & truth) / len(truth) >= 0.8, (len(found), len(truth))
+
+
+def test_exact_dedup_keeps_one_per_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello   world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = DD.exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
