@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is fully materialized through the noop sink (format("noop"))
+so column pruning can't skip work the way .count() can.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries as all_queries
+from electricity_forecast_pipeline_airflow_k8s_spark.session import get_spark
+
+HEADLINE = [
+    "quality_profile",
+    "val_grouped_stats",
+    "val_outlier_rows",
+    "val_gap_stats",
+    "rel_pricing_summary",
+    "rel_star_revenue",
+    "rel_shipping_priority",
+    "rel_nation_revenue",
+    "rel_topk_per_group",
+    "rel_rollup",
+    "ts_split_counts",
+    "ts_sequence_windows",
+    "ts_resample_hourly",
+    "ts_psi_drift",
+    "text_quality_score",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "emb_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="efp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
