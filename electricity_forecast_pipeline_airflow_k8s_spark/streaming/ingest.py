@@ -1,0 +1,100 @@
+"""Structured Streaming surface (SURVEY §2.9; reference roadmap item
+`README.md:917` -- "real-time streaming predictions", unimplemented there).
+
+The reference's batch semantics carry over:
+  * duplicate (respondent, period) rows are errors
+    (`core/data_validation.py:149-154`)      -> watermark + dropDuplicates
+  * quality checks per batch                  -> same Column expressions as
+    operators/validation (they are plan-agnostic: batch or streaming)
+  * tumbling/sliding extraction windows       -> window() aggregations
+
+Each function takes a *streaming* DataFrame (spark.readStream...) and
+returns a transformed streaming DataFrame; callers pick the sink/trigger
+(tests use availableNow + memory sink). The same functions accept batch
+DataFrames too -- one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_late_data(
+    stream: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Drop duplicate (group, ts) arrivals within the watermark horizon --
+    the streaming form of the reference's duplicate-timestamp error. State
+    is bounded by the watermark (late beyond it is dropped by Spark)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [group_col, ts_col]
+    )
+
+
+def windowed_stats(
+    stream: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) per-group window aggregates: the streaming
+    analog of the batch resample (operators/timeseries.resample)."""
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(group_col), win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.round(F.min(value_col), 4).alias("min_value"),
+            F.round(F.max(value_col), 4).alias("max_value"),
+        )
+        .select(
+            group_col,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def stream_quality_counts(
+    stream: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    watermark: str = "3 hours",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Per-window violation counters (nulls, negatives) -- the incremental
+    form of the batch validation suite's global checks."""
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(group_col), F.window(ts_col, window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.sum(F.when(v < 0, 1).otherwise(0)).alias("n_negative"),
+        )
+        .select(
+            group_col,
+            F.col("win.start").alias("window_start"),
+            "n_rows",
+            "n_nulls",
+            "n_negative",
+        )
+    )

@@ -1,0 +1,101 @@
+"""Grouped ML edge: per-group fit/predict, metrics, and the reference's
+save/load round-trip invariant (`tests/test_model_training.py:146-150`)."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.ml.forecast import (
+    fit_per_group,
+    forecast_rows,
+    predict_per_group,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.ml.metrics import forecast_metrics
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+    chronological_split,
+    sequence_windows,
+    tail_window,
+)
+
+L, H = 24, 6
+
+
+@pytest.fixture(scope="module")
+def windows(spark):
+    """Two regions with deterministic sinusoid+trend hourly series."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for region, amp in [("CAL", 100.0), ("TEX", 200.0)]:
+        for h in range(600):
+            v = 1000.0 + amp * math.sin(2 * math.pi * (h % 24) / 24) + 0.1 * h
+            rows.append((base + dt.timedelta(hours=h), region, v))
+    df = spark.createDataFrame(rows, "period timestamp, respondent string, value double")
+    split = chronological_split(df)
+    return sequence_windows(
+        split, lookback=L, horizon=H, extra_partition_cols=("split",)
+    ).cache()
+
+
+def test_fit_predict_beats_naive(windows):
+    params = fit_per_group(windows, lookback=L, horizon=H)
+    assert params.count() == 2
+    test_wins = windows.filter(F.col("split") == "test")
+    preds = predict_per_group(test_wins.select("respondent", "x", "y"), params)
+    pairs = preds.select(
+        "respondent",
+        F.explode(F.arrays_zip("y", "forecast")).alias("z"),
+    ).select(
+        "respondent",
+        F.col("z.y").alias("actual"),
+        F.col("z.forecast").alias("predicted"),
+    )
+    m = {r["respondent"]: r for r in forecast_metrics(pairs, group_cols=("respondent",)).collect()}
+    # periodic + linear signal: ridge AR must be far better than the naive
+    # stddev-size error (~70 for CAL sinusoid amp 100)
+    assert m["CAL"]["rmse"] < 10.0, m["CAL"]["rmse"]
+    assert m["TEX"]["rmse"] < 20.0, m["TEX"]["rmse"]
+    assert m["CAL"]["mape"] < 1.0
+
+
+def test_save_load_roundtrip(windows, tmp_path):
+    params = fit_per_group(windows, lookback=L, horizon=H)
+    path = str(tmp_path / "params.parquet")
+    params.write.mode("overwrite").parquet(path)
+    reloaded = windows.sparkSession.read.parquet(path)
+
+    test_wins = windows.filter(F.col("split") == "test").select("respondent", "x")
+    p1 = {
+        (r["respondent"], tuple(r["x"])): r["forecast"]
+        for r in predict_per_group(test_wins, params).collect()
+    }
+    p2 = {
+        (r["respondent"], tuple(r["x"])): r["forecast"]
+        for r in predict_per_group(test_wins, reloaded).collect()
+    }
+    assert p1.keys() == p2.keys()
+    for k in p1:
+        assert np.allclose(p1[k], p2[k])
+
+
+def test_forecast_rows_shape(windows):
+    params = fit_per_group(windows, lookback=L, horizon=H)
+    latest = tail_window(
+        windows.sparkSession.createDataFrame(
+            [  # one synthetic inference window per region
+                ("CAL", [1000.0 + i for i in range(L)]),
+                ("TEX", [2000.0 + i for i in range(L)]),
+            ],
+            "respondent string, x array<double>",
+        ),
+        group_col="respondent",
+        ts_col="respondent",
+        n=1,
+    )
+    out = forecast_rows(predict_per_group(latest, params))
+    rows = out.collect()
+    assert len(rows) == 2 * H
+    assert {r["hour"] for r in rows} == set(range(1, H + 1))
+    assert all(math.isfinite(r["predicted_load"]) for r in rows)

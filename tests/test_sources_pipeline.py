@@ -1,0 +1,138 @@
+"""REST paginated source, snapshot layout/retention, multimodal plumbing,
+and the end-to-end preparation/training pipeline assembly."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
+    decode_and_featurize,
+    sample_frames,
+    sniff_metadata,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.pipeline import (
+    run_preparation,
+    run_training,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.rest import fetch_paginated
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.snapshots import (
+    apply_retention,
+    latest_snapshot,
+    list_snapshots,
+    write_snapshot,
+)
+
+READ_SCHEMA = T.StructType(
+    [
+        T.StructField("period", T.StringType()),
+        T.StructField("respondent", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def test_paginated_rest_source(spark):
+    def fake_fetcher(offset: int, length: int) -> list[dict]:
+        end = min(offset + length, 23)
+        return [
+            {"period": f"2024-01-01T{i % 24:02d}", "respondent": "CAL", "value": str(i)}
+            for i in range(offset, end)
+        ]
+
+    df = fetch_paginated(spark, fake_fetcher, total=23, schema=READ_SCHEMA, page_size=10)
+    rows = df.collect()
+    assert len(rows) == 23
+    assert {r["value"] for r in rows} == {str(i) for i in range(23)}
+
+
+def test_snapshot_layout_and_retention(spark, tmp_path):
+    root = f"file://{tmp_path}/lake"
+    df = spark.range(5).withColumnRenamed("id", "v")
+    for i in range(4):
+        write_snapshot(df.withColumn("run", F.lit(i)), root, "raw", f"2024010{i + 1}_000000")
+    assert list_snapshots(spark, root, "raw") == [
+        f"2024010{i + 1}_000000" for i in range(4)
+    ]
+    latest = latest_snapshot(spark, root, "raw")
+    assert latest.select(F.max("run")).collect()[0][0] == 3
+    deleted = apply_retention(spark, root, "raw", keep=2)
+    assert deleted == ["20240101_000000", "20240102_000000"]
+    assert len(list_snapshots(spark, root, "raw")) == 2
+
+
+def test_multimodal_plumbing(spark):
+    payloads = [
+        (0, "image", b"\x89PNG\r\n" + b"x" * 500, "image/png"),
+        (1, "image", b"\xff\xd8\xff\xe0" + b"y" * 300, "image/jpeg"),
+        (2, "audio", b"RIFFxxxx" + b"z" * 2100, "audio/wav"),
+    ]
+    df = spark.createDataFrame(
+        payloads, "media_id long, kind string, content binary, mime string"
+    )
+    sniffed = {r["media_id"]: r for r in sniff_metadata(df).collect()}
+    assert sniffed[0]["sniffed_mime"] == "image/png"
+    assert sniffed[1]["sniffed_mime"] == "image/jpeg"
+    assert sniffed[2]["sniffed_mime"] == "audio/wav"
+
+    decoded = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    assert decoded[0]["n_bytes"] == 506
+    assert len(decoded[0]["features"]) == 8
+    assert 16 <= decoded[0]["width"] < 80
+    # determinism: same bytes -> same features
+    again = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    assert again[0]["features"] == decoded[0]["features"]
+
+    frames = sample_frames(df, every_n_bytes=1024, max_frames=8)
+    by_id = {}
+    for r in frames.collect():
+        by_id.setdefault(r["media_id"], []).append(r["byte_offset"])
+    assert by_id[0] == [0]  # 506 bytes -> one sample
+    assert by_id[2] == [0, 1024, 2048]
+
+    with pytest.raises(NotImplementedError):
+        decode_and_featurize(df, strict=True)
+
+
+@pytest.fixture(scope="module")
+def readings(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for region, level in [("CAL", 20000.0), ("TEX", 30000.0)]:
+        for h in range(400):
+            rows.append(
+                (base + dt.timedelta(hours=h), region, "D", level + (h % 24) * 50.0)
+            )
+    return spark.createDataFrame(
+        rows, "period timestamp, respondent string, type string, value double"
+    )
+
+
+def test_run_preparation(spark, readings, tmp_path):
+    root = f"file://{tmp_path}/lake"
+    res = run_preparation(spark, readings, root, run_ts="20240101_000000")
+    assert res.record_count == 800
+    assert res.report.is_valid
+    assert res.validated_path is not None
+    assert latest_snapshot(spark, root, "processed").count() == 800
+
+
+def test_run_preparation_fails_on_bad_data(spark, readings, tmp_path):
+    root = f"file://{tmp_path}/lake2"
+    bad = readings.withColumn(
+        "value", F.when(F.col("respondent") == "CAL", -5.0).otherwise(F.col("value"))
+    )
+    with pytest.raises(ValueError, match="validation failed"):
+        run_preparation(spark, bad, root, run_ts="20240101_000000")
+
+
+def test_run_training_end_to_end(spark, readings):
+    res = run_training(spark, readings, lookback=24, horizon=6, top_region_only=True)
+    # top region by count: tie (400/400) -> lexicographic CAL
+    fc = res.forecasts.collect()
+    assert len(fc) == 6
+    assert all(r["respondent"] == "CAL" for r in fc)
+    # periodic signal, ridge AR: near-perfect fit, inverse-scaled to MW range
+    assert res.metrics["rmse"] < 0.05
+    assert all(19000 < r["predicted_load"] < 22000 for r in fc)
