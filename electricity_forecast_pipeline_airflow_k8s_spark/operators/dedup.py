@@ -69,8 +69,17 @@ def minhash_signature(
 ) -> DataFrame:
     """k-min-hash signature per doc: sig_i = min over shingles of
     md5(i | shingle). One explode + one agg with k mins (single pass,
-    map-side combinable)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    map-side combinable).
+
+    The doc table is repartitioned by id before the explode: the k*shingles
+    md5 work is the dominant cost and must not be bound to the input file's
+    split count (tiny corpora arrive as one split; the hash work is still
+    embarrassingly parallel)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
         for i in range(k)
@@ -93,9 +102,13 @@ def lsh_candidate_pairs(
                 f"b{b}"
             )
         )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # persist: the self-join below consumes this subtree twice, and without
+    # a materialization Spark recomputes the full signature pipeline per side
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bh"))
+        .select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .persist()
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -123,7 +136,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the cheap second
     stage of MinHash LSH)."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
@@ -149,10 +165,41 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> banded candidates -> exact
-    Jaccard verify. No stage is quadratic in corpus size."""
-    sigs = minhash_signature(df, text_col, id_col, k, shingle_n)
+    Jaccard verify. No stage is quadratic in corpus size.
+
+    The shingle array per doc is computed ONCE and persisted: it feeds both
+    the signature explode and the verify join; the banded table is likewise
+    persisted because the candidate self-join consumes it twice. Without
+    these, Spark recomputes the md5 pipeline once per join side (measured
+    ~2x on the bench)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+        .persist()
+    )
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands)
-    return jaccard_verify(cands, df, text_col, id_col, shingle_n, threshold)
+    j = (
+        cands.join(
+            sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"
+        )
+        .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_codes(
@@ -163,7 +210,8 @@ def simhash_codes(
 
     Layout mirrors minhash: one explode + one agg (map-side combinable) --
     per-token bit math stays in codegen via conv(hex-nibble) -> div/mod."""
-    tok = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     h = F.md5(F.col("tok"))

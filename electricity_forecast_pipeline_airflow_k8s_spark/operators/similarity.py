@@ -43,10 +43,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every corpus row,
     rank per query. Returns (query_id, neighbor_id, cosine, rank)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # corpus scan parallelism must not be bound to the file's split count --
+    # the per-pair array math dominates, so spread it across all cores
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -108,7 +111,7 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    bc = corpus.select(
+    bc = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
@@ -204,10 +207,17 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    broadcast_right: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, blocked by a coarse key
-    (cluster/label) so the pair space is |block|^2, not |corpus|^2."""
-    a = corpus.select(
+    (cluster/label) so the pair space is |block|^2, not |corpus|^2.
+
+    ``broadcast_right=True`` (corpus fits in a broadcast, e.g. a per-shard
+    slice): left side repartitioned for full task parallelism, right side
+    broadcast -- a plain blk equi-join would cap parallelism at the block
+    count. At corpus sizes past broadcast limits, set False to fall back to
+    a shuffle join on blk (then choose finer blocks to keep skew down)."""
+    a = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         as_double(F.col(vec_col)).alias("va"),
@@ -217,8 +227,9 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"),
         as_double(F.col(vec_col)).alias("vb"),
     )
+    right = F.broadcast(b) if broadcast_right else b
     return (
-        a.join(b, "blk")
+        a.join(right, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
