@@ -1,0 +1,34 @@
+"""Key-salting for skewed aggregations/joins (SURVEY §7.3 risk 5: few
+group keys x many rows per key is exactly the electricity-series shape).
+
+AQE's skew-join splitting (on by default in session.py) handles joins;
+salting is for skewed *aggregations*: two-level agg via a salt column --
+partial agg on (key, salt), final agg on key. Use for algebraic aggregates
+(sum/count/min/max); not valid for holistic ones (exact percentile)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_keys(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Add a deterministic-per-row salt in [0, n_salts) (hash of all
+    columns, not rand(), so retries/replays stay consistent)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def unsalt(df: DataFrame, salt_col: str = "_salt") -> DataFrame:
+    return df.drop(salt_col)
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Example two-level pattern: count per key without a single hot
+    reducer. partial: (key, salt) -> count; final: key -> sum."""
+    salted = salt_keys(df.select(*key_cols), n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(*key_cols).agg(F.sum("_c").alias("n"))

@@ -1,0 +1,66 @@
+"""Pin Catalyst behavior: pushdown, pruning, broadcast, shuffle shape.
+These are the optimizations the reference hand-codes into its REST request
+(`core/data_extraction.py:62-74`); here they must come out of the optimizer,
+and regressions should fail loudly."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from electricity_forecast_pipeline_airflow_k8s_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.plans.skew import salted_count
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.filter(F.col("l_orderkey") <= 40).select("l_orderkey", "l_quantity")
+    pushed = pushed_filters(q)
+    assert any("l_orderkey" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    q = registry()["rel_star_revenue"].build(spark, sf_dir)
+    assert has_broadcast_join(q)
+
+
+def test_quality_profile_has_no_cartesian_or_sortmerge_blowup(spark, sf_dir):
+    q = registry()["quality_profile"].build(spark, sf_dir)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    # bounds join-back must be broadcast, not a shuffle of the event rows
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_then_groupby_reuses_partitioning(spark, sf_dir):
+    """gap stats: window on (event_type) then groupBy(event_type) must not
+    add a second hash exchange on the same key."""
+    q = registry()["val_gap_stats"].build(spark, sf_dir)
+    plan = explain_str(q)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning(event_type")
+    assert n_hash_exchanges <= 1, plan[:2000]
+
+
+def test_salted_count_matches_plain_count(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["event_type"]: r["n"]
+        for r in salted_count(ev, ["event_type"], n_salts=8).collect()
+    }
+    assert plain == salted
