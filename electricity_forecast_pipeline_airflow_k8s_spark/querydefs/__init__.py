@@ -4,6 +4,7 @@ package registers every query into the registry."""
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa: F401
     mlops,
     relational,
+    relational2,
     textops,
     timeseries,
     validation,

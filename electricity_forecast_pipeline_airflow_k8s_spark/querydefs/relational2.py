@@ -1,0 +1,201 @@
+"""Second relational batch: SQL-API queries (temp views + spark.sql),
+correlated subqueries, outer joins, pivot, grouping sets, regex, approx
+variants -- rounding out the capability bar of SURVEY §2.3/2.4/2.8."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+
+
+def _views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]):
+    for n in names:
+        table(spark, n, sf_dir).createOrReplaceTempView(n)
+
+
+# -- TPC-H Q4-style: correlated EXISTS subquery via the SQL surface ---------
+@register(
+    "rel_sql_exists_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_sql_exists(spark: SparkSession, sf_dir: str):
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# -- scalar correlated subquery: customers above their nation's avg balance
+@register(
+    "rel_sql_above_nation_avg",
+    oracle="""
+SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+""",
+)
+def q_sql_above_avg(spark: SparkSession, sf_dir: str):
+    _views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# -- outer joins with null semantics ----------------------------------------
+@register(
+    "rel_outer_join_counts",
+    oracle="""
+SELECT n.n_name AS nation,
+       count(c.c_custkey) AS n_customers,
+       count(s.s_suppkey) AS n_suppliers
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str):
+    n = table(spark, "nation", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("nation")
+    )
+
+
+# -- pivot (CASE-based oracle; fixed value list keeps columns deterministic)
+@register(
+    "rel_pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- grouping sets with grouping() marker -----------------------------------
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str):
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# -- regex extraction / matching --------------------------------------------
+@register(
+    "rel_regex_extract",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '[0-9]+', 0) AS cust_num,
+       regexp_matches(c_name, '^Customer') AS is_customer
+FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
+""",
+)
+def q_regex(spark: SparkSession, sf_dir: str):
+    c = table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 30)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_num"),
+        F.col("c_name").rlike("^Customer").alias("is_customer"),
+    ).orderBy("c_custkey")
+
+
+# -- union-all page concatenation (§2.7: the reference's page accumulation,
+# -- `core/data_extraction.py:97`, as a distributed unionByName)
+@register(
+    "rel_union_pages",
+    oracle="""
+SELECT count(*) AS n, count(DISTINCT event_id) AS n_distinct
+FROM (
+  SELECT event_id FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id FROM events WHERE event_id % 2 = 1
+)
+""",
+)
+def q_union_pages(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_id")
+    return a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("n_distinct"),
+    )
+
+
+# -- approx variants (scale path; deterministic in Spark but approx values
+# -- differ from DuckDB's sketches -> rows-only, exactness not claimed)
+@register("approx_distinct_and_quantiles")
+def q_approx(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99))).alias(
+            "approx_p50_p99"
+        ),
+    ).orderBy("event_type")

@@ -43,11 +43,12 @@ def normalize(df: DataFrame, schema: T.StructType) -> DataFrame:
     for field in schema.fields:
         if field.name in df.columns:
             col = F.col(field.name)
+            # try_* variants = pandas errors='coerce': NULL on junk. Plain
+            # cast/to_timestamp would THROW under Spark 4's default ANSI mode.
             if isinstance(field.dataType, T.TimestampType):
-                # to_timestamp == pd.to_datetime: NULL on unparseable input
-                col = F.to_timestamp(col)
+                col = F.try_to_timestamp(col)
             else:
-                col = col.cast(field.dataType)
+                col = col.try_cast(field.dataType)
             out.append(col.alias(field.name))
         else:
             out.append(F.lit(None).cast(field.dataType).alias(field.name))
