@@ -5,6 +5,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     mlops,
     relational,
     relational2,
+    sessions,
     textops,
     timeseries,
     validation,

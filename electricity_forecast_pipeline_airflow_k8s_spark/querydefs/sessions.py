@@ -1,0 +1,204 @@
+"""Sessionization, part-dimension queries, analytic window breadth, and a
+streaming-parity query (Structured Streaming result == batch SQL oracle)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
+from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import windowed_stats
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+# -- gap-based sessionization: cumulative-sum-of-boundaries window pattern --
+@register(
+    "sess_user_sessions",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessioned GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("new_sess").over(cum))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# -- Q14-style: conditional aggregation over a dim join ---------------------
+@register(
+    "rel_promo_share",
+    oracle="""
+SELECT round(
+  CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+  4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            * 100.0
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+# -- part stats by brand: avg size, price quantiles, like-filter ------------
+@register(
+    "rel_part_brand_stats",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(avg(p_size), 4) AS avg_size,
+       round(quantile_cont(p_retailprice, 0.5), 4) AS median_price
+FROM part WHERE p_type NOT LIKE '%COPPER%'
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def q_part_brand(spark: SparkSession, sf_dir: str):
+    p = table(spark, "part", sf_dir).filter(~F.col("p_type").like("%COPPER%"))
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -- analytic window breadth: percent_rank / cume_dist / first / last -------
+@register(
+    "rel_window_analytic",
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       first_value(c_custkey) OVER w AS richest,
+       round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4)
+         AS bal_vs_nation
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, c_custkey
+""",
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str):
+    c = table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("c_custkey").over(w).alias("richest"),
+        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 4).alias(
+            "bal_vs_nation"
+        ),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+# -- streaming parity: availableNow tumbling windows == batch SQL -----------
+@register(
+    "stream_windowed_stats",
+    oracle=f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM {EVENTS_SRC}
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_stream_windowed(spark: SparkSession, sf_dir: str):
+    """Runs REAL Structured Streaming (file source, availableNow trigger,
+    complete mode into a memory sink) over the events parquet and returns
+    the final result -- proving streaming and batch agree on tumbling
+    windows. The oracle is plain batch SQL."""
+    ev = table(spark, "events", sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.select("event_type", "ts", "value").write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        ).parquet(src)
+        out = windowed_stats(
+            stream,
+            group_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            window_duration="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_parity_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table("stream_parity_out")
+        .select("event_type", "window_start", "n", "avg_value", "min_value", "max_value")
+        .orderBy("event_type", "window_start")
+    )
