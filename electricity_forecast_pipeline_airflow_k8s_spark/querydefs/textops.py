@@ -289,18 +289,132 @@ def q_sim_bruteforce(spark: SparkSession, sf_dir: str):
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
-@register("sim_topk_lsh")  # rows-only: recall asserted in tests vs brute force
+def _lsh_bucket_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression replicating operators.similarity.lsh_bucket: plane
+    j's weight for dim i is +1 iff md5('j|i') starts with hex digit <= '7';
+    bit j = (sum_i w_i * v_i) > 0; bucket = sum_j 2^j * bit_j."""
+    bits = []
+    for j in range(n_planes):
+        terms = (
+            f"[CASE WHEN substr(md5('{j}|' || CAST(i - 1 AS VARCHAR)), 1, 1) <= '7' "
+            f"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END "
+            f"for i in range(1, {dim + 1})]"
+        )
+        bits.append(f"(CASE WHEN list_sum({terms}) > 0 THEN {2 ** j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_LSH_PLANES = 4
+
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql(_LSH_PLANES)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+           AS cosine
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           unnest(list_transform(q.embedding, x -> CAST(x AS DOUBLE))) AS qv,
+           unnest(list_transform(c.embedding, x -> CAST(x AS DOUBLE))) AS cv
+    FROM (SELECT * FROM b WHERE vec_id < 10) q
+    JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  ) GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("sim_topk_lsh", oracle=_LSH_ORACLE)
 def q_sim_lsh(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.lsh_topk(emb, queries, k=5, n_planes=4)
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=_LSH_PLANES)
 
 
-@register("sim_topk_ivf")  # rows-only: recall asserted in tests vs brute force
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+expl AS (
+  SELECT label, unnest(v) AS val, unnest(range(1, 65)) AS pos FROM e
+),
+centroids AS (
+  SELECT label AS cluster, list(cval ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(val) AS cval FROM expl GROUP BY label, pos)
+  GROUP BY label
+),
+probe_scores AS (
+  SELECT query_id, cluster,
+         sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))) AS sim
+  FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           unnest(q.v) AS qv, unnest(c.centroid) AS cv
+    FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN centroids c
+  ) GROUP BY query_id, cluster
+),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cluster) AS prank
+    FROM probe_scores
+  ) WHERE prank <= 3
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+           AS cosine
+  FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           unnest(q.v) AS qv, unnest(c.v) AS cv
+    FROM probes p
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.label = p.cluster AND c.vec_id != p.query_id
+  ) GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("sim_topk_ivf", oracle=_IVF_ORACLE)
 def q_sim_ivf(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(emb, queries, k=5, n_probe=3)
+
+
+# -- multimodal plumbing over binary columns (decode step is a
+# -- deterministic stub in this container; see operators/multimodal.py) -----
+@register("mm_decode_features")  # rows-only: mapInPandas decode stage
+def q_mm_decode(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
+        decode_and_featurize,
+        sniff_metadata,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    sniffed = sniff_metadata(media).select("media_id", "n_bytes", "sniffed_mime")
+    decoded = decode_and_featurize(media).select(
+        "media_id", "sha1", "width", "height", "channels", "features"
+    )
+    return sniffed.join(decoded, "media_id").orderBy("media_id")
 
 
 @register(
