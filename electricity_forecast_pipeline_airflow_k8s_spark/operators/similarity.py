@@ -149,7 +149,6 @@ def ivf_topk(
     probes its n_probe nearest centroids and scores only those clusters.
     At scale the corpus is bucketed/partitioned by cluster id so a probe
     reads only matching partitions (partition pruning)."""
-    dim_idx = F.sequence(F.lit(1), F.size(vec_col))
     expl = corpus.select(
         F.col(cluster_col).alias("cluster"),
         F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),

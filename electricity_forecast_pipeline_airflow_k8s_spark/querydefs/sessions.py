@@ -155,6 +155,49 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
     ).orderBy("c_nationkey", "c_custkey")
 
 
+# -- time-range frame window: trailing 1h moving average per group ----------
+# (range frame over integer microseconds -- exact, engine-portable)
+@register(
+    "ts_moving_avg_1h",
+    oracle=f"""
+SELECT event_id, event_type, ts,
+       n_1h, round(avg_1h, 4) AS avg_1h
+FROM (
+  SELECT event_id, event_type, ts,
+         count(*) OVER w AS n_1h,
+         avg(value) OVER w AS avg_1h
+  FROM (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
+               epoch_us(ts::TIMESTAMP) AS ts_us
+        FROM events)
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+WHERE event_id % 25 = 0
+ORDER BY event_id
+""",
+)
+def q_moving_avg_1h(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        )
+        .filter(F.col("event_id") % 25 == 0)
+        .orderBy("event_id")
+    )
+
+
 # -- streaming parity: availableNow tumbling windows == batch SQL -----------
 @register(
     "stream_windowed_stats",

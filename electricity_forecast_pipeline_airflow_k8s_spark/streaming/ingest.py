@@ -71,6 +71,29 @@ def windowed_stats(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    gap: str = "30 minutes",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Native session windows: a session closes after ``gap`` inactivity --
+    the streaming counterpart of the batch boundary-flag-cumsum
+    sessionization (querydefs/sessions.py)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(group_col), F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            group_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_quality_counts(
     stream: DataFrame,
     group_col: str = "respondent",

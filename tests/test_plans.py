@@ -53,6 +53,48 @@ def test_window_then_groupby_reuses_partitioning(spark, sf_dir):
     assert n_hash_exchanges <= 1, plan[:2000]
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partition layout (the snapshot/bronze layout at scale):
+    a filter on the partition column must prune directories, not scan them."""
+    ev = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "events_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-located on the join key: the join must run
+    without exchanging either side (the 100 TB answer to repeated big-big
+    joins on a stable key)."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "orders_bkt"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "lineitem_bkt"
+    )
+    joined = (
+        spark.table("lineitem_bkt")
+        .join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = explain_str(joined)
+    # no hash exchange may feed the join (broadcast of orders is also
+    # acceptable shuffle-freedom; assert no exchange on either join key)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert joined.count() > 0
+
+
 def test_salted_count_matches_plain_count(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     plain = {

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
     dedup_late_data,
+    session_windows,
     stream_quality_counts,
     windowed_stats,
 )
@@ -86,6 +87,32 @@ def test_windowed_stats_append_respects_watermark(spark, stream_dir, tmp_path):
     cal = [r for r in out.collect() if r["respondent"] == "CAL"]
     assert len(cal) == 6
     assert max(r["window_end"] for r in cal) == dt.datetime(2024, 1, 1, 6, 0)
+
+
+def test_session_windows(spark, tmp_path):
+    # two bursts separated by 2h -> exactly 2 sessions per region
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=5 * i), "CAL", 1.0) for i in range(6)
+    ] + [
+        (base + dt.timedelta(hours=3, minutes=5 * i), "CAL", 1.0) for i in range(4)
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = _run(
+        session_windows(stream, gap="30 minutes"),
+        tmp_path,
+        "sess_out",
+        output_mode="complete",
+    )
+    sessions = sorted(
+        (r["session_start"], r["n_events"]) for r in out.collect()
+    )
+    assert sessions == [
+        (base, 6),
+        (base + dt.timedelta(hours=3), 4),
+    ]
 
 
 def test_quality_counts(spark, stream_dir, tmp_path):
