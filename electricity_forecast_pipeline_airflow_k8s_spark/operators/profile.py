@@ -17,14 +17,14 @@ Per group key (reference: `respondent` region; driver analog: events
   * duplicate-timestamp count            (A13,    `core/data_validation.py:149-154`)
   * gap count + max gap via lag          (W1,     `core/data_validation.py:110-133`)
 
-Scale notes (100 TB): the heavy input is scanned twice (once for the
-grouped stats incl. exact percentiles, once for the outlier comparison); the
-grouped stats output is tiny (one row per group key) so the join back to the
-raw rows is an explicit broadcast -- no second shuffle of the big side. Gap
-detection shuffles once on (group, ts) for the window sort; with few group
-keys AQE skew handling applies (session default). ``exact_quantiles=False``
-switches to percentile_approx for the scale path where a DuckDB-matched
-oracle is not required.
+Scale notes (100 TB): the heavy input is scanned exactly twice -- pass 1
+shuffles once on (group, ts) for the lag window and computes ALL grouped
+stats (incl. exact percentiles and gap counters) from that same shuffle;
+pass 2 re-scans to compare rows against the IQR bounds, which are tiny
+(one row per group) and broadcast -- the big side never shuffles for the
+join. With few group keys AQE skew handling applies (session default).
+``exact_quantiles=False`` switches to percentile_approx for the scale path
+where a DuckDB-matched oracle is not required.
 """
 
 from __future__ import annotations
@@ -56,10 +56,20 @@ def quality_profile(
     else:
         qs = F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
 
-    # Single hash-agg pass: counts, nulls, range, moments, quantiles, and
-    # the duplicate count as n_rows - distinct timestamps (equivalent to
-    # the reference's per-group duplicated().sum(), `core/data_validation.py:150`).
-    stats = df.groupBy(g.alias(group_col)).agg(
+    # ONE pass over the (group, ts)-sorted shuffle computes everything that
+    # needs the rows: the lag window for gaps, then a grouped agg for
+    # counts/nulls/range/moments/quantiles/dups/gap stats. The groupBy
+    # reuses the window's hash partitioning (no second exchange -- pinned
+    # by tests/test_plans.py), so total cost is one scan + one full
+    # shuffle; the reference's layout needed one pandas pass per check
+    # family. Dups = n_rows - distinct timestamps (equivalent to the
+    # per-group duplicated().sum(), `core/data_validation.py:150`).
+    w = Window.partitionBy(g).orderBy(t)
+    gap_us = F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))
+    with_gaps = df.select(g.alias(group_col), t.alias(ts_col), v.alias(value_col)).withColumn(
+        "_gap_us", gap_us
+    )
+    stats = with_gaps.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
         F.min(t).alias("min_ts"),
@@ -68,6 +78,10 @@ def quality_profile(
         F.stddev_samp(v).alias("_std"),
         qs.alias("_qs"),
         (F.count(F.lit(1)) - F.count_distinct(t)).alias("n_dups"),
+        F.sum(
+            F.when(F.col("_gap_us") > gap_tolerance_seconds * 1_000_000, 1).otherwise(0)
+        ).alias("n_gaps"),
+        (F.max("_gap_us") / 1_000_000.0).alias("_max_gap_s"),
     )
     bounds = stats.select(
         group_col,
@@ -81,6 +95,8 @@ def quality_profile(
         F.element_at("_qs", 1).alias("_q1"),
         F.element_at("_qs", 3).alias("_q3"),
         "n_dups",
+        "n_gaps",
+        "_max_gap_s",
     ).withColumns(
         {
             "_lower": F.col("_q1") - iqr_k * (F.col("_q3") - F.col("_q1")),
@@ -98,25 +114,9 @@ def quality_profile(
         )
     )
 
-    # Gaps: one window sort on (group, ts); integer microsecond arithmetic
-    # so the oracle comparison is exact.
-    w = Window.partitionBy(g).orderBy(t)
-    gap_us = F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))
-    gaps = (
-        df.select(g.alias(group_col), gap_us.alias("_gap_us"))
-        .groupBy(group_col)
-        .agg(
-            F.sum(
-                F.when(F.col("_gap_us") > gap_tolerance_seconds * 1_000_000, 1).otherwise(0)
-            ).alias("n_gaps"),
-            (F.max("_gap_us") / 1_000_000.0).alias("_max_gap_s"),
-        )
-    )
-
     r = lambda c: F.round(c, round_to)  # noqa: E731
     out = (
         bounds.join(outliers, group_col, "left")
-        .join(gaps, group_col, "left")
         .select(
             group_col,
             "n_rows",

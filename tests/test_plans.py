@@ -70,18 +70,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     without exchanging either side (the 100 TB answer to repeated big-big
     joins on a stable key)."""
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # unique names: the warehouse dir outlives the in-memory catalog, so a
+    # fixed table name collides on its old location across sessions
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    o_tbl, li_tbl = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
-        "orders_bkt"
-    )
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
-        "lineitem_bkt"
-    )
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_tbl)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_tbl)
     joined = (
-        spark.table("lineitem_bkt")
+        spark.table(li_tbl)
         .join(
-            spark.table("orders_bkt"),
+            spark.table(o_tbl),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderstatus")
@@ -93,6 +95,8 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert joined.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
 
 
 def test_salted_count_matches_plain_count(spark, sf_dir):
