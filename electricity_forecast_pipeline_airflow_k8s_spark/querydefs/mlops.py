@@ -64,6 +64,21 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str):
     )
 
 
+@register("ml_hpo_best_trials")  # rows-only: Katib-analog trial fan-out
+def q_ml_hpo(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml.hpo import (
+        best_trials,
+        run_trials,
+    )
+
+    wins = _windows(spark, sf_dir)
+    grid = {"hidden": [8, 16], "epochs": [5], "seed": [42]}
+    metrics = run_trials(wins, grid)
+    return best_trials(metrics).select(
+        "respondent", "trial_id", "params", F.round("val_loss", 6).alias("val_loss")
+    ).orderBy("respondent")
+
+
 @register("ml_forecast_next")  # rows-only: latest-window forecast per group
 def q_ml_forecast_next(spark: SparkSession, sf_dir: str):
     wins = _windows(spark, sf_dir)
