@@ -142,6 +142,56 @@ def fill_gaps_hourly(
     return grid.join(df, [group_col, ts_col], "left")
 
 
+def ks_drift(
+    df: DataFrame,
+    split_ts,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """Kolmogorov-Smirnov drift statistic per group: max |ECDF_ref(v) -
+    ECDF_cur(v)| between the window before ``split_ts`` (reference) and
+    after (current).
+
+    Pure window-function ECDFs: one sort per group over the combined
+    sample, cumulative per-window counts with a RANGE frame (ties land
+    together), then a max of absolute differences -- no driver-side
+    statistics. Complements :func:`psi_drift` (binned) with the exact
+    distribution distance (`config.yaml:44-47` drift windows)."""
+    v = F.col(value_col)
+    win = F.when(F.col(ts_col) < split_ts, "ref").otherwise("cur")
+    tagged = df.filter(v.isNotNull()).select(
+        F.col(group_col), v.alias("v"), win.alias("win")
+    )
+    totals = tagged.groupBy(group_col).agg(
+        F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = (
+        tagged.withColumn(
+            "cum_ref", F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).over(w)
+        )
+        .withColumn(
+            "cum_cur", F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).over(w)
+        )
+        .join(F.broadcast(totals), group_col)
+    )
+    diff = F.abs(
+        F.col("cum_ref") / F.col("n_ref") - F.col("cum_cur") / F.col("n_cur")
+    )
+    return (
+        ecdf.groupBy(group_col)
+        .agg(F.round(F.max(diff), round_to).alias("ks_stat"))
+        .orderBy(group_col)
+    )
+
+
 def psi_drift(
     df: DataFrame,
     split_ts,

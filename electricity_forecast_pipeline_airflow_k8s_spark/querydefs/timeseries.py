@@ -14,6 +14,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.scaling import (
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
     chronological_split,
+    ks_drift,
     psi_drift,
     resample,
     sequence_windows,
@@ -244,6 +245,47 @@ FROM pivoted GROUP BY event_type ORDER BY event_type
 def q_psi_drift(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
     return psi_drift(
+        ev,
+        split_ts=F.lit("2024-01-20").cast("timestamp"),
+        group_col="event_type",
+        ts_col="ts",
+        value_col="value",
+    )
+
+
+# -- drift: exact KS statistic via window-function ECDFs --------------------
+@register(
+    "ts_ks_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT event_type AS g, value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'ref' ELSE 'cur' END AS win
+  FROM events WHERE value IS NOT NULL
+),
+totals AS (
+  SELECT g,
+         sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS n_cur
+  FROM tagged GROUP BY g
+),
+ecdf AS (
+  SELECT g, v,
+         sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) OVER w AS cum_ref,
+         sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) OVER w AS cum_cur
+  FROM tagged
+  WINDOW w AS (PARTITION BY g ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT e.g AS event_type,
+       round(max(abs(e.cum_ref * 1.0 / t.n_ref - e.cum_cur * 1.0 / t.n_cur)), 4)
+         AS ks_stat
+FROM ecdf e JOIN totals t USING (g)
+GROUP BY e.g ORDER BY e.g
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return ks_drift(
         ev,
         split_ts=F.lit("2024-01-20").cast("timestamp"),
         group_col="event_type",
