@@ -7,6 +7,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     relational2,
     sessions,
     textops,
+    tpch_sql,
     timeseries,
     validation,
 )

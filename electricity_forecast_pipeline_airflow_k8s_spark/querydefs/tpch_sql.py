@@ -1,0 +1,119 @@
+"""TPC-H-flavored SQL breadth: queries written once in ANSI SQL that both
+Spark (over temp views) and the DuckDB oracle execute verbatim -- nested /
+correlated subqueries, HAVING over scalar subqueries, IN-subqueries with
+grouped HAVING, CTE chains. Decimal-sum conventions as elsewhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _sql_query(name: str, sql: str, tables: tuple[str, ...] = _TABLES):
+    @register(name, oracle=sql)
+    def run(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables):
+        for t in _tables:
+            table(spark, t, sf_dir).createOrReplaceTempView(t)
+        return spark.sql(_sql)
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+# Q2-style: suppliers with the minimum account balance in their nation
+_sql_query(
+    "tpch_min_balance_supplier",
+    """
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       round(s.s_acctbal, 4) AS s_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY s.s_suppkey
+""",
+)
+
+# Q11-style: parts whose stocked value exceeds a fraction of the total
+_sql_query(
+    "tpch_significant_parts",
+    f"""
+WITH part_value AS (
+  SELECT l_partkey, CAST(sum({REV}) AS DOUBLE) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 4) AS value
+FROM part_value
+WHERE value > (SELECT sum(value) * 0.001 FROM part_value)
+ORDER BY value DESC, l_partkey
+""",
+)
+
+# Q15-style: top-revenue supplier(s) via CTE + scalar subquery
+_sql_query(
+    "tpch_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(sum({REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+
+# Q18-style: customers with any large order (IN-subquery + grouped HAVING)
+_sql_query(
+    "tpch_large_orders",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       round(o.o_totalprice, 4) AS o_totalprice, sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 120
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+""",
+)
+
+# Q16-style: distinct supplier count per part attribute bucket
+_sql_query(
+    "tpch_part_supplier_counts",
+    """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 20
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+""",
+)
+
+# Q22-style: customers with above-average balance and no orders
+_sql_query(
+    "tpch_idle_rich_customers",
+    """
+SELECT c.c_nationkey, count(*) AS numcust,
+       round(CAST(sum(c.c_acctbal) AS DOUBLE), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)

@@ -47,6 +47,34 @@ def test_paginated_rest_source(spark):
     assert {r["value"] for r in rows} == {str(i) for i in range(23)}
 
 
+def test_python_datasource_paged_rest(spark):
+    """Spark 4 Python DataSource: one partition per page, executed on
+    executors, feeding the normal normalization path."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.datasource import (
+        PagedRestDataSource,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.normalize import (
+        normalize_readings,
+    )
+
+    spark.dataSource.register(PagedRestDataSource)
+    raw = (
+        spark.read.format("paged_rest")
+        .option(
+            "fetcher",
+            "electricity_forecast_pipeline_airflow_k8s_spark.sources.datasource:synthetic_fetcher",
+        )
+        .option("total", "2160")
+        .option("page_size", "500")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 5  # ceil(2160/500) pages
+    df = normalize_readings(raw)
+    assert df.count() == 2160
+    assert df.filter(F.col("period").isNull()).count() == 0
+    assert df.select("respondent").distinct().count() == 10
+
+
 def test_snapshot_layout_and_retention(spark, tmp_path):
     root = f"file://{tmp_path}/lake"
     df = spark.range(5).withColumnRenamed("id", "v")
