@@ -71,6 +71,41 @@ def windowed_stats(
     )
 
 
+def incremental_ingest(
+    stream: DataFrame,
+    root: str,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    watermark: str = "3 hours",
+    checkpoint: str | None = None,
+):
+    """Streaming ingestion into the snapshot lake: watermark-deduped rows
+    appended per micro-batch via foreachBatch, each batch validated with
+    the SAME batch validation suite (operators/validation) before landing.
+    Batches with errors land in a quarantine prefix instead of processed/
+    -- the streaming form of the DAG's fail-the-run behavior
+    (`core/airflow_dag.py:217-218`), without dropping data on the floor.
+
+    Returns the StreamingQuery (caller controls trigger/termination)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.validation import (
+        validate,
+    )
+
+    deduped = dedup_late_data(stream, group_col, ts_col, watermark)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = validate(batch_df, group_col=group_col, ts_col=ts_col)
+        prefix = "processed" if report.is_valid else "quarantine"
+        batch_df.write.mode("append").parquet(f"{root}/{prefix}/batch_id={batch_id}")
+
+    writer = deduped.writeStream.foreachBatch(land).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def session_windows(
     stream: DataFrame,
     group_col: str = "respondent",

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
     dedup_late_data,
+    incremental_ingest,
     session_windows,
     stream_quality_counts,
     windowed_stats,
@@ -113,6 +114,33 @@ def test_session_windows(spark, tmp_path):
         (base, 6),
         (base + dt.timedelta(hours=3), 4),
     ]
+
+
+def test_incremental_ingest_foreachbatch(spark, tmp_path):
+    # clean batch -> processed/; batch with negatives -> quarantine/
+    base = dt.datetime(2024, 1, 1)
+    clean = [(base + dt.timedelta(hours=i), "CAL", 10.0 + i) for i in range(24)]
+    src = str(tmp_path / "ing_src")
+    spark.createDataFrame(clean, SCHEMA).coalesce(1).write.parquet(src)
+    root = f"file://{tmp_path}/lake"
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = incremental_ingest(
+        stream, root, checkpoint=str(tmp_path / "ing_ckpt")
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(f"{root}/processed")
+    assert landed.count() == 24
+
+    bad = [(base + dt.timedelta(hours=i), "TEX", -5.0) for i in range(6)]
+    src2 = str(tmp_path / "ing_src2")
+    spark.createDataFrame(bad, SCHEMA).coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src2)
+    q2 = incremental_ingest(
+        stream2, root, checkpoint=str(tmp_path / "ing_ckpt2")
+    )
+    q2.awaitTermination(120)
+    quarantined = spark.read.parquet(f"{root}/quarantine")
+    assert quarantined.count() == 6
 
 
 def test_quality_counts(spark, stream_dir, tmp_path):
