@@ -202,6 +202,70 @@ def minhash_lsh_dedup_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component = min node id reachable through the pair graph.
+
+    Min-label propagation over an edges DataFrame: each iteration joins
+    labels across edges and keeps the min; stops at fixpoint. Iterations
+    are O(diameter) -- near-dup graphs are shallow (dup clusters are
+    near-cliques), so a handful of joins suffice at any corpus size; each
+    iteration is one shuffle join, no driver-side graph.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min component among neighbors
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every doc whose near-dup component has a smaller id (keep-first
+    across TRANSITIVE duplicate clusters -- pairwise keep-first would keep
+    B from A~B, B~C even though C also duplicates A)."""
+    comp = connected_components(pairs)
+    doomed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
 def simhash_codes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16
 ) -> DataFrame:

@@ -394,6 +394,61 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str):
     return SIM.ivf_topk(emb, queries, k=5, n_probe=3)
 
 
+# -- transitive near-dup clusters: LSH pairs -> connected components --------
+def _clusters_oracle(threshold: float = 0.5) -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({parts}) AS h FROM sigs".format(
+            b=b, parts=" || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs WHERE len(t) >= 3),
+sigs AS (SELECT doc_id, sh, {sig_cols} FROM shingled),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle(0.5))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    pairs = DD.minhash_lsh_dedup_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.5
+    )
+    return DD.connected_components(pairs).orderBy("node")
+
+
 # -- multimodal plumbing over binary columns (decode step is a
 # -- deterministic stub in this container; see operators/multimodal.py) -----
 @register("mm_decode_features")  # rows-only: mapInPandas decode stage

@@ -65,6 +65,24 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
         assert len(found & truth) / len(truth) >= 0.8, (len(found), len(truth))
 
 
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 plus isolated pair 10-11: components {1,2,3} and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical_transitive(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in DD.dedup_keep_canonical(df, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
 def test_exact_dedup_keeps_one_per_duplicate(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "Hello   world"), (3, "different doc")],
