@@ -21,14 +21,19 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import token
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column."""
+    """Distinct word n-gram shingles as an array column. Documents with
+    fewer than n tokens yield an EMPTY array (an unguarded sequence(1, 0)
+    would build a descending [1, 0] range and crash slice with index 0)."""
     t = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        )
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(
@@ -36,8 +41,11 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the first (min id) doc per normalized-text fingerprint.
     One shuffle on the md5 key; at 100 TB the key is 16 bytes/doc."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    keyed = df.withColumn("_fp", F.md5(normalized))
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        fingerprint_expr,
+    )
+
+    keyed = df.withColumn("_fp", fingerprint_expr(text_col))
     keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -171,7 +179,11 @@ def minhash_lsh_dedup_pairs(
     the signature explode and the verify join; the banded table is likewise
     persisted because the candidate self-join consumes it twice. Without
     these, Spark recomputes the md5 pipeline once per join side (measured
-    ~2x on the bench)."""
+    ~2x on the bench). Trade-off: the cached blocks stay resident until LRU
+    eviction (MEMORY_AND_DISK) -- Spark has no scoped cache, and caller-side
+    unpersist would fire before the lazy consumers run; long-lived sessions
+    invoking this repeatedly rely on eviction, which is safe but can churn
+    other cached data."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par, id_col)
@@ -217,15 +229,21 @@ def connected_components(
     near-cliques), so a handful of joins suffice at any corpus size; each
     iteration is one shuffle join, no driver-side graph.
     """
+    # materialize the (possibly expensive) pair source once, and cut the
+    # growing iteration lineage with localCheckpoint -- otherwise every
+    # per-iteration count() action replays ALL prior joins plus the full
+    # upstream pipeline (e.g. the whole minhash/LSH subtree)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # neighbor labels: for each node, the min component among neighbors
@@ -237,6 +255,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -278,10 +297,14 @@ def simhash_codes(
     tok = df.repartition(par, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
+        hex_nibble,
+    )
+
     h = F.md5(F.col("tok"))
     votes = []
     for j in range(n_bits):
-        nibble = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        nibble = hex_nibble(h, j // 4 + 1)
         bit = F.floor(nibble / (2 ** (j % 4))).cast("int") % 2
         votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
     summed = tok.groupBy(id_col).agg(*votes)

@@ -77,7 +77,7 @@ def quality_profile(
         F.avg(v).alias("_mean"),
         F.stddev_samp(v).alias("_std"),
         qs.alias("_qs"),
-        (F.count(F.lit(1)) - F.count_distinct(t)).alias("n_dups"),
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(t))).alias("n_dups"),
         F.sum(
             F.when(F.col("_gap_us") > gap_tolerance_seconds * 1_000_000, 1).otherwise(0)
         ).alias("n_gaps"),
@@ -166,7 +166,7 @@ WITH stats AS (
          quantile_cont({value_col}, 0.5) AS _median,
          quantile_cont({value_col}, 0.25) AS _q1,
          quantile_cont({value_col}, 0.75) AS _q3,
-         count(*) - count(DISTINCT {ts_col}) AS n_dups
+         count(*) - count(DISTINCT ROW({ts_col})) AS n_dups
   FROM {table} GROUP BY {group_col}
 ), bounds AS (
   SELECT *,

@@ -14,23 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def as_double(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def dot(a, b) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def norm(a) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import (  # noqa: F401
+    as_double,
+    cosine,
+    dot,
+    norm,
+)
 
 
 def brute_force_topk(

@@ -97,8 +97,13 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, *[f"hits_{lang}" for lang in langs], pred.alias("lang_pred"))
 
 
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """md5 over whitespace-normalized lowercase text -- the shared
+    content-identity used by both fingerprint() and dedup.exact_dedup."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (content-defined identity for exact dedup across formatting noise)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.select(id_col, F.md5(normalized).alias("fp"))
+    return df.select(id_col, fingerprint_expr(text_col).alias("fp"))

@@ -69,11 +69,17 @@ def sequence_windows(
     base = Window.partitionBy(*parts).orderBy(*order)
     wx = base.rowsBetween(0, lookback - 1)
     wy = base.rowsBetween(lookback, lookback + horizon - 1)
+    # collect_list SKIPS null elements, which would silently shorten
+    # windows containing null values and break the n-L-H+1 invariant;
+    # wrapping in a struct keeps null slots (struct itself is non-null),
+    # then project back out.
+    v = F.struct(F.col(value_col).alias("v"))
+    unwrap = lambda c: F.transform(c, lambda s: s.getField("v"))  # noqa: E731
     out = df.select(
         *[F.col(c) for c in parts],
         F.col(ts_col).alias("window_start"),
-        F.collect_list(value_col).over(wx).alias("x"),
-        F.collect_list(value_col).over(wy).alias("y"),
+        unwrap(F.collect_list(v).over(wx)).alias("x"),
+        unwrap(F.collect_list(v).over(wy)).alias("y"),
     )
     return out.filter((F.size("x") == lookback) & (F.size("y") == horizon))
 

@@ -87,7 +87,11 @@ def _global_checks(
         F.max(v).alias("value_max"),
         F.percentile(v, F.lit(0.5)).alias("value_median"),
         F.percentile(v, F.lit(0.99)).alias("value_q99"),
-        (F.count(F.lit(1)) - F.count_distinct(g, t)).alias("duplicate_timestamps"),
+        # struct-wrapped so rows with a NULL key/ts still count as distinct
+        # tuples (bare count_distinct(g, t) drops them -> phantom dups)
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(g, t))).alias(
+            "duplicate_timestamps"
+        ),
     ]
     if type_col and type_col in df.columns:
         aggs.append(

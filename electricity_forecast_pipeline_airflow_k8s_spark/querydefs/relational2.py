@@ -108,12 +108,17 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 )
 def q_pivot(spark: SparkSession, sf_dir: str):
     o = table(spark, "orders", sf_dir)
-    return (
+    pivoted = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
-        .orderBy("o_orderpriority")
     )
+    # pivot leaves NULL for empty cells; the SQL count(CASE..) oracle
+    # yields 0 -- align (latent mismatch on any sf missing a combo)
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
 
 
 # -- grouping sets with grouping() marker -----------------------------------

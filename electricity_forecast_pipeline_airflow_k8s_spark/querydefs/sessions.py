@@ -239,7 +239,10 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str):
             .option("checkpointLocation", f"{tmp}/ckpt")
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming parity query did not finish in 300s")
     return (
         spark.table("stream_parity_out")
         .select("event_type", "window_start", "n", "avg_value", "min_value", "max_value")

@@ -12,10 +12,15 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 
 # shared DuckDB fragments ----------------------------------------------------
+# Tokenizer must match operators.text.tokens (trim + split on \s+ runs):
+# plain string_split(text, ' ') would emit empty tokens on doubled spaces
+# and silently diverge from the Spark side.
 _SHINGLES = (
-    "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) "
+    "ELSE [] END"
 )
-_TOKS = "string_split(text, ' ')"
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 MINHASH_K, MINHASH_BANDS = 12, 4
 

@@ -107,9 +107,9 @@ FROM {EVENTS_SRC}
 def q_val_dup_count(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
     return ev.agg(
-        (F.count(F.lit(1)) - F.count_distinct("event_type", "ts")).alias(
-            "duplicate_timestamps"
-        )
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.struct("event_type", "ts"))
+        ).alias("duplicate_timestamps")
     )
 
 

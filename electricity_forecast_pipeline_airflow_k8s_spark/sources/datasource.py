@@ -34,9 +34,11 @@ def synthetic_fetcher(offset: int, length: int) -> list[dict]:
     end = min(offset + length, total)
     out = []
     for i in range(offset, end):
+        # 10 respondents per hour slot, 24 hours per 240-row day ->
+        # (period, respondent) pairs are unique across the whole feed
         out.append(
             {
-                "period": f"2024-01-{i // 240 + 1:02d}T{i % 24:02d}:00:00",
+                "period": f"2024-01-{i // 240 + 1:02d}T{(i % 240) // 10:02d}:00:00",
                 "respondent": f"R{i % 10}",
                 "type": "D",
                 "value": float(1000 + (i % 240)),

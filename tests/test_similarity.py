@@ -83,6 +83,22 @@ def test_dedup_keep_canonical_transitive(spark):
     assert kept == [1, 10, 99]
 
 
+def test_shingles_short_docs_no_crash(spark):
+    """Regression: docs with < n tokens must yield empty shingle arrays,
+    not a slice() crash, and the full LSH pipeline must survive them."""
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a"), (3, "the quick brown fox jumps"),
+         (4, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", DD.shingles("text").alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert len(rows[3]) == 3
+    pairs = DD.minhash_lsh_dedup_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+
+
 def test_exact_dedup_keeps_one_per_duplicate(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "Hello   world"), (3, "different doc")],

@@ -73,6 +73,10 @@ def test_python_datasource_paged_rest(spark):
     assert df.count() == 2160
     assert df.filter(F.col("period").isNull()).count() == 0
     assert df.select("respondent").distinct().count() == 10
+    # (period, respondent) unique across the whole feed -- the synthetic
+    # source must be a valid hourly series (regression: day/hour formula
+    # previously emitted every pair twice)
+    assert df.select("period", "respondent").distinct().count() == 2160
 
 
 def test_snapshot_layout_and_retention(spark, tmp_path):

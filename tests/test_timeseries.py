@@ -74,6 +74,23 @@ def test_windows_do_not_cross_split_boundary(hourly):
     assert row["x"] == [float(1000 + 280 + i) for i in range(10)]
 
 
+def test_windows_preserve_null_values(spark):
+    """Regression: collect_list skips nulls, which silently shortened
+    windows over series with missing values; the struct wrap keeps them."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), "CAL",
+         None if h == 5 else float(h))
+        for h in range(12)
+    ]
+    df = spark.createDataFrame(rows, "period timestamp, respondent string, value double")
+    wins = sequence_windows(df, lookback=3, horizon=2)
+    assert wins.count() == 12 - 3 - 2 + 1  # invariant holds despite the null
+    first = wins.orderBy("window_start").collect()[3]  # x = hours 3,4,5
+    assert first["x"] == [3.0, 4.0, None]
+
+
 def test_minmax_roundtrip(hourly):
     params = fit_minmax(hourly)
     scaled = apply_minmax(hourly, params)

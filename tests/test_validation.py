@@ -92,6 +92,21 @@ def test_outliers_detected(clean_readings):
     assert any("TEX" in w and "outliers" in w for w in rep.warnings)
 
 
+def test_null_period_does_not_phantom_duplicate(clean_readings, spark):
+    """Regression: count_distinct(group, ts) drops NULL-key rows, which
+    made one null period look like one duplicate."""
+    one_null = clean_readings.withColumn(
+        "period",
+        F.when(
+            (F.col("respondent") == "CAL") & (F.col("period") == "2024-01-01 00:00:00"),
+            None,
+        ).otherwise(F.col("period")),
+    )
+    rep = validate(one_null)
+    assert any("null period" in e for e in rep.errors)
+    assert not any("duplicate" in e for e in rep.errors), rep.errors
+
+
 def test_checks_dataframe_surface(clean_readings):
     rep = validate(clean_readings)
     rows = {(r["check"], r["scope"]): r for r in rep.checks.collect()}
