@@ -97,6 +97,43 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, *[f"hits_{lang}" for lang in langs], pred.alias("lang_pred"))
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with frequencies: explode tokens -> hash agg
+    (the word-count shape; map-side combined, scales with distinct terms).
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    out = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return out.filter(F.col("freq") >= min_count)
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf = count(term in doc) / len(doc);
+    idf = ln(N / df_t). Three hash aggregations and one broadcast join of
+    the document-frequency table -- no UDFs, no vocabulary collection to
+    the driver."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    term_counts = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tc"))
+    doc_lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    doc_freq = term_counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    return (
+        term_counts.join(doc_lens, id_col)
+        .join(F.broadcast(doc_freq), "token")
+        .select(
+            id_col,
+            "token",
+            F.round(
+                (F.col("tc") / F.col("dl")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """md5 over whitespace-normalized lowercase text -- the shared
     content-identity used by both fingerprint() and dedup.exact_dedup."""

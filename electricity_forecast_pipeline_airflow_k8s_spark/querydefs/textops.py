@@ -189,6 +189,54 @@ def q_fingerprint(spark: SparkSession, sf_dir: str):
     return TX.fingerprint(docs).orderBy("doc_id")
 
 
+# -- corpus vocabulary (word count) + TF-IDF --------------------------------
+@register(
+    "text_top_tokens",
+    oracle=f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 30
+""",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.vocabulary(docs).orderBy(F.desc("freq"), "token").limit(30)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS tc FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+df AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.token,
+         round((tc.tc * 1.0 / dl.dl) * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rk
+  FROM scored WHERE doc_id < 20
+) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, token
+""",
+)
+def q_tfidf_top(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    scored = TX.tf_idf(docs).filter(F.col("doc_id") < 20)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )
+
+
 # -- dedup family -----------------------------------------------------------
 @register(
     "dedup_exact_stats",
