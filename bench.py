@@ -54,11 +54,13 @@ def main() -> None:
 
     # JIT/codegen warmup: run every headline query once at the smallest sf
     # (untimed) so the timed run measures steady-state plans, not first-run
-    # whole-stage-codegen compilation
+    # whole-stage-codegen compilation; fall back to the bench dir itself if
+    # no sf0.001 sibling exists (custom SPARK_GRAFT_SF_DIR roots)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # two timed iterations, report the min (steady-state; OS cache and JIT
     # noise dominates single runs at this data size)

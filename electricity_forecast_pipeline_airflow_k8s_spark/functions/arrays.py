@@ -26,4 +26,6 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a DIVIDE_BY_ZERO crash -- session runs ANSI mode) when
+    either vector is all-zero; callers' threshold/rank filters drop it."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

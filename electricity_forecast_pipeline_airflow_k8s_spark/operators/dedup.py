@@ -45,7 +45,12 @@ def exact_dedup(
         fingerprint_expr,
     )
 
-    keyed = df.withColumn("_fp", fingerprint_expr(text_col))
+    # coalesce: NULL-text docs share one sentinel key and keep one
+    # representative (NULL keys never equi-join, which would silently DROP
+    # every null-text row instead of deduping them)
+    keyed = df.withColumn(
+        "_fp", F.coalesce(fingerprint_expr(text_col), F.lit("__null_text__"))
+    )
     keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -154,8 +159,10 @@ def jaccard_verify(
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
+                ),
                 4,
             ),
         )
@@ -204,9 +211,13 @@ def minhash_lsh_dedup_pairs(
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
+            # try_divide: two sub-n-token docs have empty shingle sets ->
+            # 0/0 -> NULL -> filtered (ANSI mode would throw otherwise)
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
+                ),
                 4,
             ),
         )

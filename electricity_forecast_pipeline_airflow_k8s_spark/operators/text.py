@@ -23,9 +23,11 @@ STOPWORDS = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (BPE-ish regex split: runs of whitespace)."""
+    """Whitespace tokenization (BPE-ish regex split: runs of whitespace).
+    Empty tokens are filtered: split of empty/whitespace-only text yields
+    [''] which would otherwise count as a phantom token in every stat."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -112,9 +114,11 @@ def tf_idf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6
 ) -> DataFrame:
     """Per-(doc, term) TF-IDF: tf = count(term in doc) / len(doc);
-    idf = ln(N / df_t). Three hash aggregations and one broadcast join of
-    the document-frequency table -- no UDFs, no vocabulary collection to
-    the driver."""
+    idf = ln(N / df_t). Three hash aggregations and a shuffle join on the
+    token key -- no UDFs, and no forced broadcast: the document-frequency
+    table is vocabulary-sized (unbounded at corpus scale), so Catalyst's
+    size-based broadcast decision applies instead of a hint that would
+    pin gigabytes to the driver."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     term_counts = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tc"))
     doc_lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
@@ -122,7 +126,7 @@ def tf_idf(
     n_docs = df.select(id_col).distinct().count()
     return (
         term_counts.join(doc_lens, id_col)
-        .join(F.broadcast(doc_freq), "token")
+        .join(doc_freq, "token")
         .select(
             id_col,
             "token",

@@ -133,8 +133,10 @@ def fill_gaps_hourly(
 ) -> DataFrame:
     """Densify an hourly series: per group, generate the full hourly grid
     between min and max timestamp (sequence + explode -- no driver loop)
-    and left-join the observations; missing hours appear as NULL value
-    rows. The distributed fix for the gaps the validator flags (W1)."""
+    and FULL-outer-join the observations; missing hours appear as NULL
+    value rows, and observations not exactly on the hour are preserved
+    (a left join from the grid would silently drop them). The distributed
+    fix for the gaps the validator flags (W1)."""
     spans = df.groupBy(group_col).agg(
         F.date_trunc("hour", F.min(ts_col)).alias("_t0"),
         F.date_trunc("hour", F.max(ts_col)).alias("_t1"),
@@ -145,7 +147,7 @@ def fill_gaps_hourly(
             F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
         ).alias(ts_col),
     )
-    return grid.join(df, [group_col, ts_col], "left")
+    return grid.join(df, [group_col, ts_col], "full")
 
 
 def ks_drift(
@@ -188,11 +190,16 @@ def ks_drift(
         )
         .join(F.broadcast(totals), group_col)
     )
+    # KS is undefined for a group with an empty ref or cur sample (a series
+    # that stopped or newly appeared) -- exclude rather than divide by zero
+    # (ANSI mode throws); callers detect those groups via the psi/coverage
+    # checks instead.
     diff = F.abs(
         F.col("cum_ref") / F.col("n_ref") - F.col("cum_cur") / F.col("n_cur")
     )
     return (
-        ecdf.groupBy(group_col)
+        ecdf.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy(group_col)
         .agg(F.round(F.max(diff), round_to).alias("ks_stat"))
         .orderBy(group_col)
     )

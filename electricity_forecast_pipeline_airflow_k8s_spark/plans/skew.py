@@ -28,7 +28,13 @@ def salted_count(
     df: DataFrame, key_cols: list[str], n_salts: int = 16
 ) -> DataFrame:
     """Example two-level pattern: count per key without a single hot
-    reducer. partial: (key, salt) -> count; final: key -> sum."""
-    salted = salt_keys(df.select(*key_cols), n_salts)
+    reducer. partial: (key, salt) -> count; final: key -> sum.
+
+    The salt must vary WITHIN a key, so it hashes ALL columns of the input
+    (hashing only the keys would give every row of a hot key the same salt
+    -- the same hot reducer with extra steps). Rows that are full
+    duplicates still share a salt; use monotonically_increasing_id for
+    fully-duplicated hot rows if that matters."""
+    salted = salt_keys(df, n_salts).select(*key_cols, "_salt")
     partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*key_cols).agg(F.sum("_c").alias("n"))

@@ -20,7 +20,7 @@ _SHINGLES = (
     "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) "
     "ELSE [] END"
 )
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
 
 MINHASH_K, MINHASH_BANDS = 12, 4
 
@@ -242,7 +242,8 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str):
     "dedup_exact_stats",
     oracle=r"""
 SELECT count(*) AS n_docs,
-       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+       count(DISTINCT coalesce(
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '__null_text__'))
          AS n_kept
 FROM documents
 """,
@@ -302,7 +303,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     a = sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
     j = F.round(
-        F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 4
+        F.try_divide(
+            F.size(F.array_intersect("sa", "sb")), F.size(F.array_union("sa", "sb"))
+        ),
+        4,
     )
     return (
         a.crossJoin(b)

@@ -280,6 +280,7 @@ SELECT e.g AS event_type,
        round(max(abs(e.cum_ref * 1.0 / t.n_ref - e.cum_cur * 1.0 / t.n_cur)), 4)
          AS ks_stat
 FROM ecdf e JOIN totals t USING (g)
+WHERE t.n_ref > 0 AND t.n_cur > 0
 GROUP BY e.g ORDER BY e.g
 """,
 )

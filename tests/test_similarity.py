@@ -83,6 +83,18 @@ def test_dedup_keep_canonical_transitive(spark):
     assert kept == [1, 10, 99]
 
 
+def test_zero_vector_does_not_crash_similarity(spark):
+    """Regression: ANSI mode turns cosine's /0 into a crash; zero vectors
+    (padding rows, failed encoders) must NULL out and drop instead."""
+    rows = [(0, [0.0] * 4, 0), (1, [1.0, 0.0, 0.0, 0.0], 0), (2, [0.9, 0.1, 0.0, 0.0], 0)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = SIM.brute_force_topk(emb2, emb2.filter(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got[0] == (2, 1)  # zero vector ranks last (NULL cosine), no crash
+    pairs = SIM.embedding_neardup_pairs(emb2, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
 def test_shingles_short_docs_no_crash(spark):
     """Regression: docs with < n tokens must yield empty shingle arrays,
     not a slice() crash, and the full LSH pipeline must survive them."""

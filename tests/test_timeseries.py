@@ -91,6 +91,26 @@ def test_windows_preserve_null_values(spark):
     assert first["x"] == [3.0, 4.0, None]
 
 
+def test_ks_drift_one_sided_group_excluded(spark):
+    """Regression: a group entirely before/after the split must be
+    excluded (KS undefined), not crash with DIVIDE_BY_ZERO (ANSI mode)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import ks_drift
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d), "BOTH", float(d)) for d in range(10)
+    ] + [
+        (dt.datetime(2024, 1, 1 + d), "REF_ONLY", float(d)) for d in range(4)
+    ]
+    df = spark.createDataFrame(rows, "period timestamp, respondent string, value double")
+    out = ks_drift(df, split_ts=F.lit("2024-01-06").cast("timestamp"))
+    groups = {r["respondent"] for r in out.collect()}
+    assert groups == {"BOTH"}
+
+
 def test_minmax_roundtrip(hourly):
     params = fit_minmax(hourly)
     scaled = apply_minmax(hourly, params)
