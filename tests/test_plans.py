@@ -36,12 +36,17 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert has_broadcast_join(q)
 
 
-def test_quality_profile_has_no_cartesian_or_sortmerge_blowup(spark, sf_dir):
+def test_quality_profile_single_scan_single_shuffle(spark, sf_dir):
+    """The flagship profile must be join-free: quantile bounds ride the
+    whole-partition window, outliers are flagged inline, and the one hash
+    exchange on the group key serves windows and final agg alike."""
     q = registry()["quality_profile"].build(spark, sf_dir)
     plan = explain_str(q)
-    assert "CartesianProduct" not in plan
-    # bounds join-back must be broadcast, not a shuffle of the event rows
-    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]  # operator tree (details repeat operators)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert tree.count("Scan parquet") == 1
+    # one hash exchange for windows+agg, one range exchange for the final sort
+    assert tree.count("Exchange") <= 2
 
 
 def test_window_then_groupby_reuses_partitioning(spark, sf_dir):
