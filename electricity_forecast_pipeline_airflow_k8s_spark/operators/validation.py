@@ -138,30 +138,26 @@ def _gap_stats(
 def _outlier_stats(
     df: DataFrame, group_col: str, value_col: str, iqr_k: float
 ) -> list[dict[str, Any]]:
-    """Per-group IQR-bound outliers: grouped exact quantiles -> broadcast
-    join back -> grouped count (A10/A11, J1)."""
+    """Per-group IQR-bound outliers in ONE scan: exact quantiles as a
+    whole-partition window aggregate, so each row carries its group's
+    bounds and the outlier flag aggregates inline (A10/A11; same plan
+    shape as operators/profile.quality_profile)."""
     v = F.col(value_col)
-    bounds = df.groupBy(group_col).agg(
-        F.percentile(v, F.lit(0.25)).alias("q1"),
-        F.percentile(v, F.lit(0.75)).alias("q3"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    bounds = bounds.select(
-        group_col,
-        "n_rows",
-        (F.col("q1") - iqr_k * (F.col("q3") - F.col("q1"))).alias("lower"),
-        (F.col("q3") + iqr_k * (F.col("q3") - F.col("q1"))).alias("upper"),
-    )
-    joined = df.join(F.broadcast(bounds), group_col)
+    wp = Window.partitionBy(group_col)
+    qs = F.percentile(v, F.array(F.lit(0.25), F.lit(0.75))).over(wp)
+    enriched = df.select(F.col(group_col), v.alias(value_col), qs.alias("_qs"))
+    q1, q3 = F.element_at("_qs", 1), F.element_at("_qs", 2)
+    lower = q1 - iqr_k * (q3 - q1)
+    upper = q3 + iqr_k * (q3 - q1)
     out = (
-        joined.groupBy(group_col)
+        enriched.groupBy(group_col)
         .agg(
-            F.sum(
-                F.when((v < F.col("lower")) | (v > F.col("upper")), 1).otherwise(0)
-            ).alias("n_outliers"),
-            F.first("n_rows").alias("n_rows"),
-            F.first("lower").alias("lower"),
-            F.first("upper").alias("upper"),
+            F.sum(F.when((v < lower) | (v > upper), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first(lower).alias("lower"),
+            F.first(upper).alias("upper"),
         )
         .orderBy(group_col)
     )

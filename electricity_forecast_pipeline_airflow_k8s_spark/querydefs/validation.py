@@ -273,16 +273,17 @@ ORDER BY e.event_id
 """,
 )
 def q_val_outlier_rows(spark: SparkSession, sf_dir: str):
+    # single-scan form: per-group quantiles as a whole-partition window,
+    # outlier predicate evaluated inline (no bounds join-back)
     ev = table(spark, "events", sf_dir)
     v = F.col("value")
-    q1 = F.percentile(v, F.lit(0.25))
-    q3 = F.percentile(v, F.lit(0.75))
-    bounds = ev.groupBy("event_type").agg(
-        (q1 - 3.0 * (q3 - q1)).alias("lower"), (q3 + 3.0 * (q3 - q1)).alias("upper")
-    )
+    wp = Window.partitionBy("event_type")
+    qs = F.percentile(v, F.array(F.lit(0.25), F.lit(0.75))).over(wp)
+    enriched = ev.select("event_id", "event_type", v.alias("value"), qs.alias("_qs"))
+    q1, q3 = F.element_at("_qs", 1), F.element_at("_qs", 2)
+    lower, upper = q1 - 3.0 * (q3 - q1), q3 + 3.0 * (q3 - q1)
     return (
-        ev.join(F.broadcast(bounds), "event_type")
-        .filter((v < F.col("lower")) | (v > F.col("upper")))
+        enriched.filter((v < lower) | (v > upper))
         .select("event_id", "event_type", F.round(v, 4).alias("value"))
         .orderBy("event_id")
     )
