@@ -155,6 +155,65 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
     ).orderBy("c_nationkey", "c_custkey")
 
 
+# -- cross-domain enrichment: events joined to the customer dimension -------
+# (events.user_id 0..149 maps onto customer keys 1..150)
+@register(
+    "rel_events_by_segment",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n_events,
+       round(avg(e.value), 4) AS avg_value
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_events_by_segment(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    return (
+        ev.join(F.broadcast(c), ev.user_id + 1 == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
+# -- month-over-month revenue growth: agg -> lag window over the aggregate --
+@register(
+    "rel_monthly_revenue_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, round(revenue, 4) AS revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+            THEN round((revenue - lag(revenue) OVER (ORDER BY month)) * 100.0
+                       / lag(revenue) OVER (ORDER BY month), 4)
+            END AS growth_pct
+FROM monthly ORDER BY month
+""",
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 4).alias("revenue"),
+        F.when(prev > 0, F.round((F.col("revenue") - prev) * 100.0 / prev, 4)).alias(
+            "growth_pct"
+        ),
+    ).orderBy("month")
+
+
 # -- time-range frame window: trailing 1h moving average per group ----------
 # (range frame over integer microseconds -- exact, engine-portable)
 @register(
