@@ -164,7 +164,8 @@ WITH stats AS (
   SELECT t.{group_col},
          sum(CASE WHEN t.{value_col} < b._lower OR t.{value_col} > b._upper
              THEN 1 ELSE 0 END) AS n_outliers
-  FROM {table} t JOIN bounds b USING ({group_col})
+  FROM {table} t JOIN bounds b
+    ON t.{group_col} IS NOT DISTINCT FROM b.{group_col}
   GROUP BY t.{group_col}
 ), gaps AS (
   SELECT {group_col},
@@ -196,7 +197,7 @@ SELECT b.{group_col},
        coalesce(g.n_gaps, 0) AS n_gaps,
        round(g._max_gap_s, {round_to}) AS max_gap_seconds
 FROM bounds b
-LEFT JOIN outliers o USING ({group_col})
-LEFT JOIN gaps g USING ({group_col})
+LEFT JOIN outliers o ON b.{group_col} IS NOT DISTINCT FROM o.{group_col}
+LEFT JOIN gaps g ON b.{group_col} IS NOT DISTINCT FROM g.{group_col}
 ORDER BY b.{group_col}
 """

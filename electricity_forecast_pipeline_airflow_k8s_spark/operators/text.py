@@ -38,8 +38,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.length(text_col).alias("n_chars"),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        # try_divide: empty docs have 0 tokens; ANSI mode would throw
         F.round(
-            (F.length(text_col) - F.size(t) + 1) / F.size(t), 4
+            F.try_divide(F.length(text_col) - F.size(t) + 1, F.size(t)), 4
         ).alias("avg_token_len"),
     )
 
@@ -60,8 +61,9 @@ def quality_score(
     native expression."""
     t = tokens(text_col)
     n_tok = F.size(t)
-    uniq_ratio = F.size(F.array_distinct(t)) / n_tok
-    stop_ratio = stopword_hits(text_col, STOPWORDS["en"]) / n_tok
+    # try_divide: 0-token docs yield NULL ratios (ANSI mode would throw)
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(t)), n_tok)
+    stop_ratio = F.try_divide(stopword_hits(text_col, STOPWORDS["en"]), n_tok)
     digit_ratio = (
         F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")) /
         F.greatest(F.length(text_col), F.lit(1))

@@ -465,7 +465,7 @@ SELECT c_custkey,
        length(c_name) AS name_len,
        substr(c_name, 1, 8) AS prefix,
        c_name LIKE 'Customer%' AS is_cust,
-       concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+       concat_ws(':', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
 FROM customer
 WHERE c_custkey <= 50 ORDER BY c_custkey
 """,
@@ -493,7 +493,7 @@ SELECT l_orderkey, l_linenumber,
        round(sqrt(l_quantity), 4) AS sqrt_qty,
        round(pow(l_discount, 2), 4) AS disc_sq,
        CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
-       CAST(l_quantity AS INT) % 5 AS qty_mod5,
+       CAST(floor(l_quantity) AS INT) % 5 AS qty_mod5,
        sign(l_extendedprice - 30000.0) AS price_sign
 FROM lineitem WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber
 """,
@@ -509,7 +509,9 @@ def q_math_functions(spark: SparkSession, sf_dir: str):
         F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
         F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
         F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_div7"),
-        (F.col("l_quantity").cast("int") % 5).alias("qty_mod5"),
+        # floor, not cast: DuckDB CAST(double AS INT) rounds to nearest
+        # while Spark truncates -- floor is identical in both
+        (F.floor("l_quantity").cast("int") % 5).alias("qty_mod5"),
         F.signum(F.col("l_extendedprice") - 30000.0).alias("price_sign"),
     ).orderBy("l_orderkey", "l_linenumber")
 
@@ -519,7 +521,7 @@ def q_math_functions(spark: SparkSession, sf_dir: str):
     "rel_json_extract",
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
-FROM events GROUP BY 1 ORDER BY 1 LIMIT 20
+FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST LIMIT 20
 """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str):

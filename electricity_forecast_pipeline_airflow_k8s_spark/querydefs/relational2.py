@@ -48,18 +48,25 @@ def q_sql_exists(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(c_acctbal)
+                   FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
 ORDER BY c_custkey
 """,
 )
 def q_sql_above_avg(spark: SparkSession, sf_dir: str):
+    # threshold via exact decimal sum / count: a raw double avg() is
+    # summation-order dependent and can flip strict-> membership between
+    # engines for balances at the boundary
     _views(spark, sf_dir, ("customer",))
     return spark.sql(
         """
         SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
         FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                       AS DOUBLE) / count(c_acctbal)
+                           FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey
         """

@@ -40,15 +40,20 @@ ORDER BY user_id, session_id
 )
 def q_user_sessions(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # nulls-last ts ordering (DuckDB's ascending default) and boundary
+    # only on first-row-or-big-gap -- a NULL gap from a NULL ts row is NOT
+    # a boundary, matching the oracle's NULL > gap = false semantics
+    order = [F.col("ts").asc_nulls_last(), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("new_sess"),
+        F.when(prev.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("new_sess"),
     )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    cum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessioned = flagged.withColumn("session_id", F.sum("new_sess").over(cum))
@@ -87,13 +92,15 @@ def q_promo_share(spark: SparkSession, sf_dir: str):
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
         F.round(
-            F.sum(
-                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-                    F.lit(0).cast("decimal(18,2)")
-                )
-            ).cast("double")
-            * 100.0
-            / F.sum(rev).cast("double"),
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                * 100.0,
+                F.sum(rev).cast("double"),
+            ),
             4,
         ).alias("promo_pct")
     )
@@ -191,11 +198,13 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT month, round(revenue, 4) AS revenue,
-       CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
-            THEN round((revenue - lag(revenue) OVER (ORDER BY month)) * 100.0
-                       / lag(revenue) OVER (ORDER BY month), 4)
+       CASE WHEN lag(revenue) OVER w > 0
+            THEN round((revenue - lag(revenue) OVER w) * 100.0
+                       / lag(revenue) OVER w, 4)
             END AS growth_pct
-FROM monthly ORDER BY month
+FROM monthly
+WINDOW w AS (ORDER BY month NULLS FIRST)
+ORDER BY month NULLS FIRST
 """,
 )
 def q_monthly_growth(spark: SparkSession, sf_dir: str):

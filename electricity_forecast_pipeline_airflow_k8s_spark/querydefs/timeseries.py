@@ -78,10 +78,16 @@ def q_window_counts(spark: SparkSession, sf_dir: str):
         tiebreak_cols=("event_id",),
     )
     counts = wins.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_windows"))
-    # groups too small for any window must still appear with 0
+    # groups too small for any window must still appear with 0; null-safe
+    # join so a NULL group key keeps its real count (plain equality would
+    # never match it and report 0)
     allg = ev.select("event_type").distinct()
     return (
-        allg.join(counts, "event_type", "left")
+        allg.join(
+            counts.withColumnRenamed("event_type", "_g"),
+            F.col("event_type").eqNullSafe(F.col("_g")),
+            "left",
+        )
         .select("event_type", F.coalesce("n_windows", F.lit(0)).alias("n_windows"))
         .orderBy("event_type")
     )
@@ -93,9 +99,11 @@ def q_window_counts(spark: SparkSession, sf_dir: str):
     oracle=f"""
 SELECT event_type, window_start, x, y FROM (
   SELECT event_type, ts AS window_start,
-         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         list(value) OVER (PARTITION BY event_type
+              ORDER BY ts NULLS FIRST, event_id
               ROWS BETWEEN CURRENT ROW AND {LOOKBACK - 1} FOLLOWING) AS x,
-         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         list(value) OVER (PARTITION BY event_type
+              ORDER BY ts NULLS FIRST, event_id
               ROWS BETWEEN {LOOKBACK} FOLLOWING AND {LOOKBACK + HORIZON - 1} FOLLOWING) AS y
   FROM {EVENTS_SRC}
 )
@@ -180,7 +188,9 @@ WITH params AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
-       round((e.value - p.v_min) / (p.v_max - p.v_min), 4) AS value_scaled
+       CASE WHEN p.v_max != p.v_min
+            THEN round((e.value - p.v_min) / (p.v_max - p.v_min), 4)
+            ELSE 0.0 END AS value_scaled
 FROM events e JOIN params p USING (event_type)
 WHERE e.event_id % 20 = 0
 ORDER BY e.event_id

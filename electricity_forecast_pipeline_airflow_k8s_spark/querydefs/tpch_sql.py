@@ -51,7 +51,9 @@ WITH part_value AS (
 )
 SELECT l_partkey, round(value, 4) AS value
 FROM part_value
-WHERE value > (SELECT sum(value) * 0.001 FROM part_value)
+-- threshold from the exact decimal total (summing the double part values
+-- would be association-order dependent across engines)
+WHERE value > (SELECT CAST(sum({REV}) AS DOUBLE) * 0.001 FROM lineitem)
 ORDER BY value DESC, l_partkey
 """,
 )
@@ -109,9 +111,12 @@ _sql_query(
     "tpch_idle_rich_customers",
     """
 SELECT c.c_nationkey, count(*) AS numcust,
-       round(CAST(sum(c.c_acctbal) AS DOUBLE), 4) AS totacctbal
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                            / count(c_acctbal)
+                     FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey

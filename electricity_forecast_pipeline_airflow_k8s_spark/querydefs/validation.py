@@ -267,7 +267,7 @@ WITH bounds AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, round(e.value, 4) AS value
-FROM events e JOIN bounds b USING (event_type)
+FROM events e JOIN bounds b ON e.event_type IS NOT DISTINCT FROM b.event_type
 WHERE e.value < b.lower OR e.value > b.upper
 ORDER BY e.event_id
 """,
