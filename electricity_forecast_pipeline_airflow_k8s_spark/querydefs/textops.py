@@ -189,6 +189,70 @@ def q_fingerprint(spark: SparkSession, sf_dir: str):
     return TX.fingerprint(docs).orderBy("doc_id")
 
 
+# -- quality-gate filtering: the actual training-data selection step --------
+@register(
+    "text_quality_filter_stats",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS uniq_ratio,
+         len({_TOKS}) AS n_tok
+  FROM documents WHERE len({_TOKS}) > 0
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
+         AS n_pass,
+       round(sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
+             * 100.0 / count(*), 4) AS pass_pct
+FROM scored GROUP BY lang ORDER BY lang
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    t = TX.tokens("text")
+    n_tok = F.size(t)
+    uniq = F.try_divide(F.size(F.array_distinct(t)), n_tok)
+    scored = docs.filter(n_tok > 0).select(
+        "lang", n_tok.alias("n_tok"), uniq.alias("uniq_ratio")
+    )
+    passing = F.when((F.col("n_tok") >= 20) & (F.col("uniq_ratio") >= 0.5), 1).otherwise(0)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(passing).alias("n_pass"),
+            F.round(F.sum(passing) * 100.0 / F.count(F.lit(1)), 4).alias("pass_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+# -- corpus length profile per source (quantiles over token counts) ---------
+@register(
+    "text_length_profile",
+    oracle=f"""
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(len({_TOKS}), 0.5), 4) AS p50_tokens,
+       round(quantile_cont(len({_TOKS}), 0.9), 4) AS p90_tokens,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def q_length_profile(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    n_tok = F.size(TX.tokens("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile(n_tok, F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile(n_tok, F.lit(0.9)), 4).alias("p90_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # -- corpus vocabulary (word count) + TF-IDF --------------------------------
 @register(
     "text_top_tokens",
