@@ -143,6 +143,47 @@ def test_incremental_ingest_foreachbatch(spark, tmp_path):
     assert quarantined.count() == 6
 
 
+def test_stateful_running_anomalies(spark, tmp_path):
+    """applyInPandasWithState: Welford state must persist ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file), and a
+    level-shift value must be flagged against the accumulated history."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.stateful import (
+        running_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "state_src")
+    # file 1: 30 calm points; file 2: 9 calm + one 50-sigma spike
+    calm = [(base + dt.timedelta(minutes=i), "CAL", 100.0 + (i % 5)) for i in range(30)]
+    later = [
+        (base + dt.timedelta(minutes=30 + i), "CAL", 100.0 + (i % 5)) for i in range(9)
+    ] + [(base + dt.timedelta(minutes=40), "CAL", 500.0)]
+    spark.createDataFrame(calm, SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(later, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_anomalies(stream, z_threshold=4.0, min_history=20)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM anom_out").collect()
+    assert len(rows) == 40
+    anomalies = [r for r in rows if r["is_anomaly"]]
+    assert [r["value"] for r in anomalies] == [500.0]
+    # state crossed the batch boundary: the spike's n_seen counts BOTH files
+    assert anomalies[0]["n_seen"] == 39
+
+
 def test_quality_counts(spark, stream_dir, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     out = _run(
