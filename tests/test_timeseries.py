@@ -124,6 +124,21 @@ def test_minmax_roundtrip(hourly):
     assert bad == 0
 
 
+def test_approx_quantiles_within_documented_tolerance(spark, sf_dir):
+    """scale_mode contract (SURVEY §7.3 risk 1): percentile_approx must
+    stay within ~1% relative of the exact interpolating percentile on the
+    real events distribution."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    both = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.5)).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(0.01 * abs(r["exact"]), 1e-9), r
+
+
 def test_fill_gaps_hourly(hourly):
     gapped = hourly.filter(
         ~((F.col("respondent") == "CAL") & F.col("period").between(
