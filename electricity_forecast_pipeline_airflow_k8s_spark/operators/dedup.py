@@ -262,11 +262,13 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
+        # lazy checkpoint: the convergence count below materializes it, so
+        # each iteration costs ONE job instead of two
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

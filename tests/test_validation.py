@@ -107,6 +107,29 @@ def test_null_period_does_not_phantom_duplicate(clean_readings, spark):
     assert not any("duplicate" in e for e in rep.errors), rep.errors
 
 
+def test_report_shape_matches_reference(clean_readings):
+    """The nested report must carry exactly the reference's JSON shape
+    (`core/data_validation.py:81-86,157-185,222-226`; FIXTURES.md §2)."""
+    rep = validate(clean_readings).as_dict()
+    assert set(rep) == {"is_valid", "errors", "warnings", "stats"}
+    stats = rep["stats"]
+    assert set(stats) == {
+        "total_records", "missing_values", "unique_regions", "regions",
+        "date_range", "value_stats", "per_region", "outliers",
+    }
+    assert set(stats["date_range"]) == {"start", "end"}
+    assert set(stats["value_stats"]) == {"mean", "std", "min", "max", "median"}
+    region = next(iter(stats["per_region"].values()))
+    assert set(region) == {"records", "mean", "min", "max"}
+    assert set(stats["outliers"]) == {"total_count", "overall_percentage", "per_region"}
+    oregion = next(iter(stats["outliers"]["per_region"].values()))
+    assert set(oregion) == {"count", "percentage", "bounds"}
+    assert set(oregion["bounds"]) == {"lower", "upper"}
+    import json
+
+    json.dumps(rep)  # JSON-serializable end to end
+
+
 def test_checks_dataframe_surface(clean_readings):
     rep = validate(clean_readings)
     rows = {(r["check"], r["scope"]): r for r in rep.checks.collect()}
