@@ -106,6 +106,56 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
 """,
 )
 
+# Q7-style: shipping volume between two nations by year
+_sql_query(
+    "tpch_nation_volume",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+         {REV} AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE n1.n_name < n2.n_name
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+HAVING count(*) >= 3
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+
+# Q9-style: profit by nation and year over a part-name filter
+_sql_query(
+    "tpch_product_profit",
+    """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+           - CAST(l.l_quantity AS DECIMAL(18,2))
+             * CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1))
+           AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%a%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+
 # Q22-style: customers with above-average balance and no orders
 _sql_query(
     "tpch_idle_rich_customers",

@@ -18,7 +18,12 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -75,6 +80,41 @@ class PagedRestReader(DataSourceReader):
             yield tuple(rec.get(n) for n in names)
 
 
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch ingests the next page -- the
+    incremental form of the reference's batch refetch window
+    (`core/airflow_dag.py:100`: re-pull last 90 days weekly). Offsets are
+    page offsets, so replay (readBetweenOffsets) is a deterministic
+    re-fetch of the same page range."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.fetcher_path = options.get("fetcher")
+        if not self.fetcher_path:
+            raise ValueError("paged_rest requires option fetcher='module:function'")
+        self.page_size = int(options.get("page_size", "5000"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int | None) -> list[tuple]:
+        fetcher = resolve_fetcher(self.fetcher_path)
+        names = [f.name for f in self.schema_.fields]
+        length = (end - start) if end is not None else self.page_size
+        if length <= 0:
+            return []
+        records = fetcher(start, length)
+        return [tuple(r.get(n) for n in names) for r in records]
+
+    def read(self, start: dict):
+        rows = self._rows(start["offset"], None)
+        next_offset = {"offset": start["offset"] + len(rows)}
+        return iter(rows), next_offset
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["offset"], end["offset"]))
+
+
 class PagedRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,3 +125,6 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedRestReader:
         return PagedRestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PagedRestStreamReader:
+        return PagedRestStreamReader(schema, self.options)

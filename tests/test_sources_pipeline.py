@@ -79,6 +79,50 @@ def test_python_datasource_paged_rest(spark):
     assert df.select("period", "respondent").distinct().count() == 2160
 
 
+def test_python_datasource_streaming_pages(spark, tmp_path):
+    """Streaming Python DataSource: one page per micro-batch, offsets
+    advance until the synthetic feed (2160 rows) is drained."""
+    import time
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.datasource import (
+        PagedRestDataSource,
+    )
+
+    spark.dataSource.register(PagedRestDataSource)
+    stream = (
+        spark.readStream.format("paged_rest")
+        .option(
+            "fetcher",
+            "electricity_forecast_pipeline_airflow_k8s_spark.sources.datasource:synthetic_fetcher",
+        )
+        .option("page_size", "600")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rs_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        count = 0
+        while time.time() < deadline:
+            count = spark.sql("SELECT count(*) c FROM rest_stream_out").collect()[0]["c"]
+            if count >= 2160:
+                break
+            time.sleep(2)
+        assert count == 2160, count
+        # 2160 rows at 600/page -> at least 4 distinct micro-batches ran
+        assert (
+            spark.sql("SELECT count(DISTINCT period) c FROM rest_stream_out").collect()[0]["c"]
+            == 216
+        )
+    finally:
+        q.stop()
+
+
 def test_snapshot_layout_and_retention(spark, tmp_path):
     root = f"file://{tmp_path}/lake"
     df = spark.range(5).withColumnRenamed("id", "v")
