@@ -18,3 +18,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import ( 
     stable_hash,
     hex_nibble,
 )
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (  # noqa: F401
+    exact_mean,
+    exact_mean_sql,
+)

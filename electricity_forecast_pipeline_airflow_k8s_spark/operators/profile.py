@@ -93,7 +93,11 @@ def quality_profile(
             F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
             F.min(t).alias("min_ts"),
             F.max(t).alias("max_ts"),
-            F.avg(v).alias("_mean"),
+            # exact-decimal mean: avg() of fixed-decimal data rounds
+            # differently across engines at half boundaries (functions.stats)
+            F.try_divide(
+                F.sum(v.cast("decimal(18,2)")).cast("double"), F.count(v)
+            ).alias("_mean"),
             F.stddev_samp(v).alias("_std"),
             F.first("_median").alias("_median_v"),
             F.first("_q1").alias("_q1_v"),
@@ -148,7 +152,8 @@ WITH stats AS (
          sum(CASE WHEN {value_col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
          min({ts_col}) AS min_ts,
          max({ts_col}) AS max_ts,
-         avg({value_col}) AS _mean,
+         CAST(sum(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)
+           / count({value_col}) AS _mean,
          stddev_samp({value_col}) AS _std,
          quantile_cont({value_col}, 0.5) AS _median,
          quantile_cont({value_col}, 0.25) AS _q1,

@@ -113,9 +113,13 @@ def resample(
     """Tumbling-window batch resample via date_trunc (§2.9 batch analog of
     the streaming `window()` agg)."""
     if aggs is None:
+        from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
         aggs = {
             "n": F.count(F.lit(1)),
-            "avg_value": F.round(F.avg("value"), 4),
+            # exact-decimal mean: plain avg() of 2-decimal data rounds
+            # differently across engines at half boundaries
+            "avg_value": F.round(exact_mean("value"), 4),
         }
     bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
     return (

@@ -139,7 +139,10 @@ SELECT c_nationkey, c_custkey,
        round(percent_rank() OVER w, 6) AS pr,
        round(cume_dist() OVER w, 6) AS cd,
        first_value(c_custkey) OVER w AS richest,
-       round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4)
+       round(c_acctbal
+             - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               / count(c_acctbal) OVER (PARTITION BY c_nationkey), 4)
          AS bal_vs_nation
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
@@ -156,9 +159,14 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.first("c_custkey").over(w).alias("richest"),
-        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 4).alias(
-            "bal_vs_nation"
-        ),
+        F.round(
+            F.col("c_acctbal")
+            - F.try_divide(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(wp).cast("double"),
+                F.count("c_acctbal").over(wp),
+            ),
+            4,
+        ).alias("bal_vs_nation"),
     ).orderBy("c_nationkey", "c_custkey")
 
 
@@ -169,12 +177,15 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        count(*) AS n_events,
-       round(avg(e.value), 4) AS avg_value
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(e.value), 4) AS avg_value
 FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )
 def q_events_by_segment(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     ev = table(spark, "events", sf_dir)
     c = table(spark, "customer", sf_dir)
     return (
@@ -182,7 +193,7 @@ def q_events_by_segment(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(exact_mean("value"), 4).alias("avg_value"),
         )
         .orderBy("segment", "event_type")
     )
@@ -233,7 +244,8 @@ SELECT event_id, event_type, ts,
 FROM (
   SELECT event_id, event_type, ts,
          count(*) OVER w AS n_1h,
-         avg(value) OVER w AS avg_1h
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / count(value) OVER w AS avg_1h
   FROM (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
                epoch_us(ts::TIMESTAMP) AS ts_us
         FROM events)
@@ -253,13 +265,17 @@ def q_moving_avg_1h(spark: SparkSession, sf_dir: str):
         .orderBy("ts_us")
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
+    avg_1h = F.try_divide(
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+        F.count("value").over(w),
+    )
     return (
         ev.select(
             "event_id",
             "event_type",
             "ts",
             F.count(F.lit(1)).over(w).alias("n_1h"),
-            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+            F.round(avg_1h, 4).alias("avg_1h"),
         )
         .filter(F.col("event_id") % 25 == 0)
         .orderBy("event_id")
@@ -273,7 +289,8 @@ def q_moving_avg_1h(spark: SparkSession, sf_dir: str):
 SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        count(*) AS n,
-       round(avg(value), 4) AS avg_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM {EVENTS_SRC}

@@ -364,7 +364,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     only; the LSH query is the 100 TB path)."""
     docs = table(spark, "documents", sf_dir)
     sh = docs.select("doc_id", DD.shingles("text").alias("s"))
-    a = sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
+    # repartition the left side: a 1x1-partition crossJoin runs the whole
+    # O(n^2) pair space on ONE task (observed at sf0.1)
+    par = spark.sparkContext.defaultParallelism
+    a = sh.repartition(par).withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
     j = F.round(
         F.try_divide(
@@ -372,9 +375,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
         ),
         4,
     )
+    # size-ratio prefilter: jaccard >= t implies min(|a|,|b|)/max(|a|,|b|)
+    # >= t, so pairs failing the cheap size check can never pass -- prunes
+    # most of the O(n^2) space before any array intersection
+    ratio_ok = (F.size("sa") * 2 >= F.size("sb")) & (F.size("sb") * 2 >= F.size("sa"))
     return (
         a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
         .select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")

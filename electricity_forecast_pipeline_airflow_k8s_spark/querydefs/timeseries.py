@@ -157,22 +157,29 @@ def q_tail_window(spark: SparkSession, sf_dir: str):
 SELECT event_type,
        round(min(value), 4) AS v_min,
        round(max(value), 4) AS v_max,
-       round(avg(value), 4) AS v_mean,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS v_mean,
        round(stddev_pop(value), 4) AS v_std
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
 def q_scaler_params(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     ev = table(spark, "events", sf_dir)
     mm = fit_minmax(ev, group_col="event_type")
     st = fit_standard(ev, group_col="event_type")
+    # exact-decimal mean for the comparison surface (the library scalers
+    # keep full-precision avg(); 2-decimal input makes the cast lossless)
+    means = ev.groupBy("event_type").agg(exact_mean("value").alias("v_mean_exact"))
     return (
         mm.join(st, "event_type")
+        .join(means, "event_type")
         .select(
             "event_type",
             F.round("v_min", 4).alias("v_min"),
             F.round("v_max", 4).alias("v_max"),
-            F.round("v_mean", 4).alias("v_mean"),
+            F.round("v_mean_exact", 4).alias("v_mean"),
             F.round("v_std", 4).alias("v_std"),
         )
         .orderBy("event_type")
@@ -214,7 +221,9 @@ def q_scaled_values(spark: SparkSession, sf_dir: str):
     "ts_resample_hourly",
     oracle=f"""
 SELECT event_type, date_trunc('hour', ts) AS bucket,
-       count(*) AS n, round(avg(value), 4) AS avg_value
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS avg_value
 FROM {EVENTS_SRC}
 GROUP BY 1, 2 ORDER BY 1, 2
 """,

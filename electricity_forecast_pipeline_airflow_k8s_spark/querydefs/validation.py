@@ -117,7 +117,8 @@ def q_val_dup_count(spark: SparkSession, sf_dir: str):
 @register(
     "val_value_stats",
     oracle="""
-SELECT round(avg(value), 4) AS mean_value,
+SELECT round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS mean_value,
        round(stddev_samp(value), 4) AS std_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value,
@@ -127,8 +128,10 @@ FROM events
 )
 def q_val_value_stats(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     return ev.agg(
-        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(exact_mean("value"), 4).alias("mean_value"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
@@ -141,7 +144,8 @@ def q_val_value_stats(spark: SparkSession, sf_dir: str):
     "val_summary",
     oracle="""
 SELECT count(value) AS n,
-       round(avg(value), 4) AS mean,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS mean,
        round(stddev_samp(value), 4) AS std,
        round(min(value), 4) AS min,
        round(quantile_cont(value, 0.25), 4) AS q1,
@@ -153,10 +157,12 @@ FROM events
 )
 def q_val_summary(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     v = F.col("value")
     return ev.agg(
         F.count(v).alias("n"),
-        F.round(F.avg(v), 4).alias("mean"),
+        F.round(exact_mean(v), 4).alias("mean"),
         F.round(F.stddev_samp(v), 4).alias("std"),
         F.round(F.min(v), 4).alias("min"),
         F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
@@ -172,19 +178,22 @@ def q_val_summary(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT event_type,
        count(*) AS records,
-       round(avg(value), 4) AS mean,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+         AS mean,
        round(min(value), 4) AS min,
        round(max(value), 4) AS max
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
 def q_val_grouped_stats(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     ev = table(spark, "events", sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("records"),
-            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(exact_mean("value"), 4).alias("mean"),
             F.round(F.min("value"), 4).alias("min"),
             F.round(F.max("value"), 4).alias("max"),
         )

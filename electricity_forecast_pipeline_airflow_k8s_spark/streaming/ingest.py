@@ -50,12 +50,14 @@ def windowed_stats(
         if slide
         else F.window(ts_col, window_duration)
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.col(group_col), win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.round(exact_mean(value_col), 4).alias("avg_value"),
             F.round(F.min(value_col), 4).alias("min_value"),
             F.round(F.max(value_col), 4).alias("max_value"),
         )
