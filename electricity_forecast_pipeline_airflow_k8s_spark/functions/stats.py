@@ -30,3 +30,23 @@ def exact_mean_sql(expr: str, precision: int = 18, scale: int = 2) -> str:
         f"CAST(sum(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
         f" / count({expr})"
     )
+
+
+def portable_round(col, decimals: int = 4) -> Column:
+    """Engine-portable rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Builtin round() disagrees across engines at tie-adjacent doubles even
+    on IDENTICAL inputs: DuckDB multiplies first (the multiply can land
+    exactly on .5) while Spark rounds the exact decimal expansion of the
+    double. Means of fixed-decimal data sit exactly on those ties
+    (1403.37/24 = 58.473749999...). This formula is the same two IEEE ops
+    in both engines, so identical inputs give identical outputs, always.
+    Pair with the identical SQL fragment (:func:`portable_round_sql`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10**decimals
+    return F.floor(c * p + 0.5) / p
+
+
+def portable_round_sql(expr: str, decimals: int = 4) -> str:
+    p = 10**decimals
+    return f"floor(({expr}) * {p} + 0.5) / {p}"

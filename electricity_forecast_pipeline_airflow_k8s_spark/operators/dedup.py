@@ -158,13 +158,15 @@ def jaccard_verify(
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            F.floor(
                 F.try_divide(
                     F.size(F.array_intersect("sh_a", "sh_b")),
                     F.size(F.array_union("sh_a", "sh_b")),
-                ),
-                4,
-            ),
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000,
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
@@ -213,13 +215,15 @@ def minhash_lsh_dedup_pairs(
             "jaccard",
             # try_divide: two sub-n-token docs have empty shingle sets ->
             # 0/0 -> NULL -> filtered (ANSI mode would throw otherwise)
-            F.round(
+            F.floor(
                 F.try_divide(
                     F.size(F.array_intersect("sh_a", "sh_b")),
                     F.size(F.array_union("sh_a", "sh_b")),
-                ),
-                4,
-            ),
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000,
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

@@ -84,7 +84,11 @@ def quality_profile(
     lower = F.col("_q1") - iqr_k * iqr
     upper = F.col("_q3") + iqr_k * iqr
 
-    r = lambda c: F.round(c, round_to)  # noqa: E731
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        portable_round,
+    )
+
+    r = lambda c: portable_round(c, round_to)  # noqa: E731
     tol_us = gap_tolerance_seconds * 1_000_000
     return (
         enriched.groupBy(group_col)
@@ -143,8 +147,10 @@ def profile_oracle_sql(
     round_to: int = 4,
 ) -> str:
     """DuckDB ANSI-SQL equivalent of :func:`quality_profile` (same column
-    names/rounding so the driver's value-hash matches)."""
+    names; rounding via the portable floor formula so tie-adjacent doubles
+    round identically in both engines -- see functions/stats.py)."""
     tol_us = gap_tolerance_seconds * 1_000_000
+    p = 10**round_to  # noqa: F841 -- interpolated below
     return f"""
 WITH stats AS (
   SELECT {group_col},
@@ -186,21 +192,22 @@ WITH stats AS (
 SELECT b.{group_col},
        b.n_rows,
        b.n_nulls,
-       round(b.n_nulls * 100.0 / b.n_rows, {round_to}) AS null_pct,
+       floor((b.n_nulls * 100.0 / b.n_rows) * {p} + 0.5) / {p} AS null_pct,
        b.min_ts,
        b.max_ts,
-       round(b._mean, {round_to}) AS mean_value,
-       round(b._std, {round_to}) AS std_value,
-       round(b._median, {round_to}) AS median_value,
-       round(b._q1, {round_to}) AS q1,
-       round(b._q3, {round_to}) AS q3,
-       round(b._lower, {round_to}) AS lower_bound,
-       round(b._upper, {round_to}) AS upper_bound,
+       floor(b._mean * {p} + 0.5) / {p} AS mean_value,
+       floor(b._std * {p} + 0.5) / {p} AS std_value,
+       floor(b._median * {p} + 0.5) / {p} AS median_value,
+       floor(b._q1 * {p} + 0.5) / {p} AS q1,
+       floor(b._q3 * {p} + 0.5) / {p} AS q3,
+       floor(b._lower * {p} + 0.5) / {p} AS lower_bound,
+       floor(b._upper * {p} + 0.5) / {p} AS upper_bound,
        coalesce(o.n_outliers, 0) AS n_outliers,
-       round(coalesce(o.n_outliers, 0) * 100.0 / b.n_rows, {round_to}) AS outlier_pct,
+       floor((coalesce(o.n_outliers, 0) * 100.0 / b.n_rows) * {p} + 0.5) / {p}
+         AS outlier_pct,
        b.n_dups,
        coalesce(g.n_gaps, 0) AS n_gaps,
-       round(g._max_gap_s, {round_to}) AS max_gap_seconds
+       floor(g._max_gap_s * {p} + 0.5) / {p} AS max_gap_seconds
 FROM bounds b
 LEFT JOIN outliers o ON b.{group_col} IS NOT DISTINCT FROM o.{group_col}
 LEFT JOIN gaps g ON b.{group_col} IS NOT DISTINCT FROM g.{group_col}

@@ -119,7 +119,7 @@ def resample(
             "n": F.count(F.lit(1)),
             # exact-decimal mean: plain avg() of 2-decimal data rounds
             # differently across engines at half boundaries
-            "avg_value": F.round(exact_mean("value"), 4),
+            "avg_value": F.floor(exact_mean("value") * 10000 + 0.5) / 10000,
         }
     bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
     return (
@@ -204,7 +204,11 @@ def ks_drift(
     return (
         ecdf.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
         .groupBy(group_col)
-        .agg(F.round(F.max(diff), round_to).alias("ks_stat"))
+        .agg(
+            (F.floor(F.max(diff) * (10**round_to) + 0.5) / (10**round_to)).alias(
+                "ks_stat"
+            )
+        )
         .orderBy(group_col)
     )
 
@@ -251,6 +255,10 @@ def psi_drift(
     pc = F.col("p_cur") + eps
     return (
         joined.groupBy(group_col)
-        .agg(F.round(F.sum((pr - pc) * F.log(pr / pc)), 4).alias("psi"))
+        .agg(
+            (F.floor(F.sum((pr - pc) * F.log(pr / pc)) * 10000 + 0.5) / 10000).alias(
+                "psi"
+            )
+        )
         .orderBy(group_col)
     )

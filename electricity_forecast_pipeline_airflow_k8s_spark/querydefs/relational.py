@@ -46,9 +46,9 @@ SELECT l_returnflag, l_linestatus,
             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
             * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
          AS sum_charge,
-       round(sum(l_quantity) / count(*), 4) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
-         AS avg_price,
+       floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
        CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc,
        count(*) AS count_order
 FROM lineitem
@@ -67,9 +67,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str):
             F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(disc_price * _one_plus("l_tax")).cast("double").alias("sum_charge"),
-            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(
-                F.sum(_money("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            (F.floor(F.sum("l_quantity") / F.count(F.lit(1)) * 10000 + 0.5) / 10000).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(_money("l_extendedprice")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("avg_price"),
             F.sum(F.col("l_discount").cast(D42)).cast("double").alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),

@@ -72,14 +72,14 @@ def q_user_sessions(spark: SparkSession, sf_dir: str):
 @register(
     "rel_promo_share",
     oracle="""
-SELECT round(
+SELECT floor((
   CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
-  4) AS promo_pct
+      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  ) * 10000 + 0.5) / 10000 AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """,
 )
@@ -91,7 +91,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str):
     )
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
-        F.round(
+        (F.floor(
             F.try_divide(
                 F.sum(
                     F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
@@ -100,9 +100,8 @@ def q_promo_share(spark: SparkSession, sf_dir: str):
                 ).cast("double")
                 * 100.0,
                 F.sum(rev).cast("double"),
-            ),
-            4,
-        ).alias("promo_pct")
+            ) * 10000 + 0.5
+        ) / 10000).alias("promo_pct")
     )
 
 
@@ -112,7 +111,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT p_brand,
        count(*) AS n_parts,
-       round(avg(p_size), 4) AS avg_size,
+       floor(avg(p_size) * 10000 + 0.5) / 10000 AS avg_size,
        round(quantile_cont(p_retailprice, 0.5), 4) AS median_price
 FROM part WHERE p_type NOT LIKE '%COPPER%'
 GROUP BY p_brand ORDER BY p_brand
@@ -124,7 +123,7 @@ def q_part_brand(spark: SparkSession, sf_dir: str):
         p.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            (F.floor(F.avg("p_size") * 10000 + 0.5) / 10000).alias("avg_size"),
             F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
         )
         .orderBy("p_brand")
@@ -136,14 +135,14 @@ def q_part_brand(spark: SparkSession, sf_dir: str):
     "rel_window_analytic",
     oracle="""
 SELECT c_nationkey, c_custkey,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd,
+       floor(percent_rank() OVER w * 1000000) / 1000000 AS pr,
+       floor(cume_dist() OVER w * 1000000) / 1000000 AS cd,
        first_value(c_custkey) OVER w AS richest,
-       round(c_acctbal
+       floor((c_acctbal
              - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
                     OVER (PARTITION BY c_nationkey) AS DOUBLE)
-               / count(c_acctbal) OVER (PARTITION BY c_nationkey), 4)
-         AS bal_vs_nation
+               / count(c_acctbal) OVER (PARTITION BY c_nationkey)) * 10000 + 0.5)
+         / 10000 AS bal_vs_nation
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_nationkey, c_custkey
@@ -153,19 +152,30 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
     c = table(spark, "customer", sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
     wp = Window.partitionBy("c_nationkey")
+    # floor-truncate, don't round: rank/n rationals (e.g. 41/640) sit
+    # exactly on round-half boundaries where the engines' tie handling
+    # differs; floor of one identical IEEE multiply is engine-exact
     return c.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cd"),
         F.first("c_custkey").over(w).alias("richest"),
-        F.round(
-            F.col("c_acctbal")
-            - F.try_divide(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(wp).cast("double"),
-                F.count("c_acctbal").over(wp),
-            ),
-            4,
+        (
+            F.floor(
+                (
+                    F.col("c_acctbal")
+                    - F.try_divide(
+                        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                        .over(wp)
+                        .cast("double"),
+                        F.count("c_acctbal").over(wp),
+                    )
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000
         ).alias("bal_vs_nation"),
     ).orderBy("c_nationkey", "c_custkey")
 
@@ -177,8 +187,8 @@ def q_window_analytic(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
-             / count(e.value), 4) AS avg_value
+       floor((CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+              / count(e.value)) * 10000 + 0.5) / 10000 AS avg_value
 FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
@@ -193,7 +203,7 @@ def q_events_by_segment(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(exact_mean("value"), 4).alias("avg_value"),
+            (F.floor(exact_mean("value") * 10000 + 0.5) / 10000).alias("avg_value"),
         )
         .orderBy("segment", "event_type")
     )
@@ -210,8 +220,8 @@ WITH monthly AS (
 )
 SELECT month, round(revenue, 4) AS revenue,
        CASE WHEN lag(revenue) OVER w > 0
-            THEN round((revenue - lag(revenue) OVER w) * 100.0
-                       / lag(revenue) OVER w, 4)
+            THEN floor(((revenue - lag(revenue) OVER w) * 100.0
+                        / lag(revenue) OVER w) * 10000 + 0.5) / 10000
             END AS growth_pct
 FROM monthly
 WINDOW w AS (ORDER BY month NULLS FIRST)
@@ -228,9 +238,10 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str):
     return monthly.select(
         "month",
         F.round("revenue", 4).alias("revenue"),
-        F.when(prev > 0, F.round((F.col("revenue") - prev) * 100.0 / prev, 4)).alias(
-            "growth_pct"
-        ),
+        F.when(
+            prev > 0,
+            F.floor((F.col("revenue") - prev) * 100.0 / prev * 10000 + 0.5) / 10000,
+        ).alias("growth_pct"),
     ).orderBy("month")
 
 
@@ -240,7 +251,7 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str):
     "ts_moving_avg_1h",
     oracle=f"""
 SELECT event_id, event_type, ts,
-       n_1h, round(avg_1h, 4) AS avg_1h
+       n_1h, floor(avg_1h * 10000 + 0.5) / 10000 AS avg_1h
 FROM (
   SELECT event_id, event_type, ts,
          count(*) OVER w AS n_1h,
@@ -275,7 +286,7 @@ def q_moving_avg_1h(spark: SparkSession, sf_dir: str):
             "event_type",
             "ts",
             F.count(F.lit(1)).over(w).alias("n_1h"),
-            F.round(avg_1h, 4).alias("avg_1h"),
+            (F.floor(avg_1h * 10000 + 0.5) / 10000).alias("avg_1h"),
         )
         .filter(F.col("event_id") % 25 == 0)
         .orderBy("event_id")
@@ -289,8 +300,8 @@ def q_moving_avg_1h(spark: SparkSession, sf_dir: str):
 SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
-         AS avg_value,
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))
+             * 10000 + 0.5) / 10000 AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM {EVENTS_SRC}

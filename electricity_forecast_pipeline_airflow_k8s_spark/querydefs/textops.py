@@ -51,8 +51,9 @@ cand AS (
     ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 10000 + 0.5)
+         / 10000 AS jaccard
 FROM cand c
 JOIN shingled sa ON sa.doc_id = c.doc_a
 JOIN shingled sb ON sb.doc_id = c.doc_b
@@ -351,8 +352,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str):
 WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs WHERE len(t) >= 3)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       floor((len(list_intersect(a.s, b.s)) * 1.0
+              / len(list_distinct(list_concat(a.s, b.s)))) * 10000 + 0.5)
+         / 10000 AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
@@ -369,11 +371,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     par = spark.sparkContext.defaultParallelism
     a = sh.repartition(par).withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
-    j = F.round(
-        F.try_divide(
-            F.size(F.array_intersect("sa", "sb")), F.size(F.array_union("sa", "sb"))
-        ),
-        4,
+    j = (
+        F.floor(
+            F.try_divide(
+                F.size(F.array_intersect("sa", "sb")),
+                F.size(F.array_union("sa", "sb")),
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
     )
     # size-ratio prefilter: jaccard >= t implies min(|a|,|b|)/max(|a|,|b|)
     # >= t, so pairs failing the cheap size check can never pass -- prunes

@@ -20,6 +20,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import
     sequence_windows,
     tail_window,
 )
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import portable_round
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
 
@@ -157,7 +158,7 @@ def q_tail_window(spark: SparkSession, sf_dir: str):
 SELECT event_type,
        round(min(value), 4) AS v_min,
        round(max(value), 4) AS v_max,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS v_mean,
        round(stddev_pop(value), 4) AS v_std
 FROM events GROUP BY event_type ORDER BY event_type
@@ -179,7 +180,7 @@ def q_scaler_params(spark: SparkSession, sf_dir: str):
             "event_type",
             F.round("v_min", 4).alias("v_min"),
             F.round("v_max", 4).alias("v_max"),
-            F.round("v_mean_exact", 4).alias("v_mean"),
+            portable_round(F.col("v_mean_exact"), 4).alias("v_mean"),
             F.round("v_std", 4).alias("v_std"),
         )
         .orderBy("event_type")
@@ -196,7 +197,7 @@ WITH params AS (
 )
 SELECT e.event_id, e.event_type,
        CASE WHEN p.v_max != p.v_min
-            THEN round((e.value - p.v_min) / (p.v_max - p.v_min), 4)
+            THEN floor(((e.value - p.v_min) / (p.v_max - p.v_min)) * 10000 + 0.5) / 10000
             ELSE 0.0 END AS value_scaled
 FROM events e JOIN params p USING (event_type)
 WHERE e.event_id % 20 = 0
@@ -210,7 +211,7 @@ def q_scaled_values(spark: SparkSession, sf_dir: str):
     return (
         scaled.filter(F.col("event_id") % 20 == 0)
         .select(
-            "event_id", "event_type", F.round("value_scaled", 4).alias("value_scaled")
+            "event_id", "event_type", portable_round(F.col("value_scaled"), 4).alias("value_scaled")
         )
         .orderBy("event_id")
     )
@@ -222,7 +223,7 @@ def q_scaled_values(spark: SparkSession, sf_dir: str):
     oracle=f"""
 SELECT event_type, date_trunc('hour', ts) AS bucket,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS avg_value
 FROM {EVENTS_SRC}
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -256,7 +257,7 @@ WITH bucketed AS (
     ON r.event_type = c.event_type AND r.bucket = c.bucket
 )
 SELECT event_type,
-       round(sum((p_ref + 1e-6 - p_cur - 1e-6) * ln((p_ref + 1e-6) / (p_cur + 1e-6))), 4)
+       floor((sum((p_ref + 1e-6 - p_cur - 1e-6) * ln((p_ref + 1e-6) / (p_cur + 1e-6)))) * 10000 + 0.5) / 10000
          AS psi
 FROM pivoted GROUP BY event_type ORDER BY event_type
 """,
@@ -296,7 +297,7 @@ ecdf AS (
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT e.g AS event_type,
-       round(max(abs(e.cum_ref * 1.0 / t.n_ref - e.cum_cur * 1.0 / t.n_cur)), 4)
+       floor((max(abs(e.cum_ref * 1.0 / t.n_ref - e.cum_cur * 1.0 / t.n_cur))) * 10000 + 0.5) / 10000
          AS ks_stat
 FROM ecdf e JOIN totals t USING (g)
 WHERE t.n_ref > 0 AND t.n_cur > 0

@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    exact_mean,
+    portable_round,
+)
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
     profile_oracle_sql,
     quality_profile,
@@ -33,7 +37,7 @@ SELECT count(*) AS n_rows,
        sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
        sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_group,
        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+       floor((sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*)) * 10000 + 0.5) / 10000
          AS null_value_pct
 FROM {EVENTS_SRC}
 """,
@@ -45,7 +49,7 @@ def q_val_null_counts(spark: SparkSession, sf_dir: str):
         F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
         F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias("null_group"),
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_value"),
-        F.round(
+        portable_round(
             F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)) * 100.0
             / F.count(F.lit(1)),
             4,
@@ -117,7 +121,7 @@ def q_val_dup_count(spark: SparkSession, sf_dir: str):
 @register(
     "val_value_stats",
     oracle="""
-SELECT round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+SELECT floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean_value,
        round(stddev_samp(value), 4) AS std_value,
        round(min(value), 4) AS min_value,
@@ -131,7 +135,7 @@ def q_val_value_stats(spark: SparkSession, sf_dir: str):
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
 
     return ev.agg(
-        F.round(exact_mean("value"), 4).alias("mean_value"),
+        portable_round(exact_mean("value"), 4).alias("mean_value"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
@@ -144,7 +148,7 @@ def q_val_value_stats(spark: SparkSession, sf_dir: str):
     "val_summary",
     oracle="""
 SELECT count(value) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean,
        round(stddev_samp(value), 4) AS std,
        round(min(value), 4) AS min,
@@ -162,7 +166,7 @@ def q_val_summary(spark: SparkSession, sf_dir: str):
     v = F.col("value")
     return ev.agg(
         F.count(v).alias("n"),
-        F.round(exact_mean(v), 4).alias("mean"),
+        portable_round(exact_mean(v), 4).alias("mean"),
         F.round(F.stddev_samp(v), 4).alias("std"),
         F.round(F.min(v), 4).alias("min"),
         F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
@@ -178,7 +182,7 @@ def q_val_summary(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT event_type,
        count(*) AS records,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4)
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean,
        round(min(value), 4) AS min,
        round(max(value), 4) AS max
@@ -193,7 +197,7 @@ def q_val_grouped_stats(spark: SparkSession, sf_dir: str):
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("records"),
-            F.round(exact_mean("value"), 4).alias("mean"),
+            portable_round(exact_mean("value"), 4).alias("mean"),
             F.round(F.min("value"), 4).alias("min"),
             F.round(F.max("value"), 4).alias("max"),
         )
@@ -236,8 +240,8 @@ def q_val_distinct_groups(spark: SparkSession, sf_dir: str):
     oracle=f"""
 SELECT event_type,
        sum(CASE WHEN gap_us > 5400000000 THEN 1 ELSE 0 END) AS n_gaps,
-       round(max(gap_us) / 1000000.0, 4) AS max_gap_seconds,
-       round(avg(gap_us) / 1000000.0, 4) AS avg_gap_seconds
+       floor((max(gap_us) / 1000000.0) * 10000 + 0.5) / 10000 AS max_gap_seconds,
+       floor((avg(gap_us) / 1000000.0) * 10000 + 0.5) / 10000 AS avg_gap_seconds
 FROM (
   SELECT event_type,
          epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts))
@@ -256,8 +260,8 @@ def q_val_gap_stats(spark: SparkSession, sf_dir: str):
         .groupBy("event_type")
         .agg(
             F.sum(F.when(F.col("gap_us") > 5_400_000_000, 1).otherwise(0)).alias("n_gaps"),
-            F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_seconds"),
-            F.round(F.avg("gap_us") / 1_000_000.0, 4).alias("avg_gap_seconds"),
+            portable_round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_seconds"),
+            portable_round(F.avg("gap_us") / 1_000_000.0, 4).alias("avg_gap_seconds"),
         )
         .orderBy("event_type")
     )

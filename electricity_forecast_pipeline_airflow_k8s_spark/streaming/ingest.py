@@ -57,7 +57,7 @@ def windowed_stats(
         .groupBy(F.col(group_col), win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_mean(value_col), 4).alias("avg_value"),
+            (F.floor(exact_mean(value_col) * 10000 + 0.5) / 10000).alias("avg_value"),
             F.round(F.min(value_col), 4).alias("min_value"),
             F.round(F.max(value_col), 4).alias("max_value"),
         )
