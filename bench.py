@@ -20,6 +20,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.session import get_spark
 
 HEADLINE = [
     "quality_profile",
+    "quality_profile_approx",
     "val_grouped_stats",
     "val_outlier_rows",
     "val_gap_stats",

@@ -56,8 +56,10 @@ def prepare_job(
     res = run_preparation(spark, raw, lake_root, run_ts=run_ts, fail_on_errors=False)
 
     normalized = normalize_readings(raw)
+    # timestamp arithmetic, not date_sub: date_sub truncates to midnight,
+    # shifting the trailing-week boundary by up to 24h from max(period)
     split_ts = normalized.agg(
-        F.date_sub(F.max("period"), drift_split_days).cast("timestamp")
+        (F.max("period") - F.expr(f"INTERVAL {int(drift_split_days)} DAYS"))
     ).collect()[0][0]
     drift = {}
     if split_ts is not None:

@@ -20,6 +20,9 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import (  
     dot,
     norm,
 )
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 
 
 def brute_force_topk(
@@ -47,7 +50,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+            portable_round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -111,7 +114,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            portable_round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -178,7 +181,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            portable_round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -220,7 +223,7 @@ def embedding_neardup_pairs(
         a.join(right, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+            "id_a", "id_b", portable_round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword language
 # heuristic. Real pipelines plug in larger lexicons; the operator shape
@@ -39,7 +42,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
         # try_divide: empty docs have 0 tokens; ANSI mode would throw
-        F.round(
+        portable_round(
             F.try_divide(F.length(text_col) - F.size(t) + 1, F.size(t)), 4
         ).alias("avg_token_len"),
     )
@@ -75,10 +78,10 @@ def quality_score(
     return df.select(
         id_col,
         n_tok.alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        portable_round(uniq_ratio, 4).alias("uniq_ratio"),
+        portable_round(stop_ratio, 4).alias("stopword_ratio"),
+        portable_round(digit_ratio, 4).alias("digit_ratio"),
+        portable_round(score, 4).alias("quality_score"),
     )
 
 
@@ -132,7 +135,7 @@ def tf_idf(
         .select(
             id_col,
             "token",
-            F.round(
+            portable_round(
                 (F.col("tc") / F.col("dl")) * F.log(F.lit(float(n_docs)) / F.col("df")),
                 round_to,
             ).alias("tfidf"),

@@ -47,6 +47,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def forced_broadcast_count(df: DataFrame) -> int:
+    """Explicit ``F.broadcast()`` hints in the analyzed logical plan --
+    distinguishes hand-forced broadcasts (which OOM when the hinted side
+    grows with SF) from ones Catalyst/AQE chose by measured size."""
+    text = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return text.count("ResolvedHint (strategy=broadcast)")
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators in the physical plan (pre-AQE)."""
     return explain_str(df).count("Exchange hashpartitioning") + explain_str(

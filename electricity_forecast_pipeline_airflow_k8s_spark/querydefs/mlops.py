@@ -20,6 +20,9 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import
     tail_window,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 
 L, H = 48, 12
 
@@ -41,6 +44,102 @@ def _windows(spark: SparkSession, sf_dir: str):
     )
 
 
+# Oracle-checked ML-edge invariants (SURVEY §5.2: split sizes floor(0.7n)/
+# floor(0.15n)/rest, window count n-L-H+1, horizon-H outputs). Every column
+# is computed from the REAL pipeline outputs (chronological_split,
+# sequence_windows, fit/predict_per_group, forecast_rows) on the Spark
+# side, while the oracle derives the same numbers from the reference's
+# closed-form invariants -- so a hash match proves the whole grouped-ML
+# plumbing produces reference-shaped results, even though the trained
+# weights themselves are not SQL-expressible.
+@register(
+    "ml_invariants",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type AS respondent, count(*) AS n FROM events GROUP BY 1
+)
+SELECT respondent,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(n * 0.7) AS BIGINT) AS n_train,
+       CAST(floor(n * 0.15) AS BIGINT) AS n_val,
+       CAST(n - floor(n * 0.7) - floor(n * 0.15) AS BIGINT) AS n_test,
+       CAST(greatest(floor(n * 0.7) - {L} - {H} + 1, 0) AS BIGINT)
+         AS n_train_windows,
+       CAST(greatest(n - floor(n * 0.7) - floor(n * 0.15) - {L} - {H} + 1, 0)
+         AS BIGINT) AS n_test_windows,
+       CAST(CASE WHEN greatest(floor(n * 0.7) - {L} - {H} + 1, 0) > 0
+            THEN greatest(n - floor(n * 0.7) - floor(n * 0.15) - {L} - {H} + 1, 0) * {H}
+            ELSE 0 END AS BIGINT) AS n_metric_pairs,
+       CAST(CASE WHEN greatest(floor(n * 0.7) - {L} - {H} + 1, 0) > 0
+            THEN {H} ELSE 0 END AS BIGINT) AS n_forecast_rows
+FROM counts ORDER BY respondent
+""",
+)
+def q_ml_invariants(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("respondent"),
+        F.col("ts").alias("period"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    split = chronological_split(ev, tiebreak_cols=("event_id",))
+    wins = sequence_windows(
+        split,
+        lookback=L,
+        horizon=H,
+        tiebreak_cols=("event_id",),
+        extra_partition_cols=("split",),
+    )
+
+    def _n(col, val):
+        return F.sum(F.when(F.col(col) == val, 1).otherwise(0))
+
+    base = split.groupBy("respondent").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _n("split", "train").alias("n_train"),
+        _n("split", "val").alias("n_val"),
+        _n("split", "test").alias("n_test"),
+    )
+    wc = wins.groupBy("respondent").agg(
+        _n("split", "train").alias("n_train_windows"),
+        _n("split", "test").alias("n_test_windows"),
+    )
+
+    params = fit_per_group(wins, lookback=L, horizon=H)
+    test = wins.filter(F.col("split") == "test").select("respondent", "x", "y")
+    pairs = (
+        predict_per_group(test, params)
+        .select("respondent", F.explode(F.arrays_zip("y", "forecast")).alias("z"))
+        .groupBy("respondent")
+        .agg(F.count(F.lit(1)).alias("n_metric_pairs"))
+    )
+    latest = tail_window(
+        wins.filter(F.col("split") == "train"),
+        group_col="respondent",
+        ts_col="window_start",
+        n=1,
+    ).select("respondent", "x")
+    fc = (
+        forecast_rows(predict_per_group(latest, params))
+        .groupBy("respondent")
+        .agg(F.count(F.lit(1)).alias("n_forecast_rows"))
+    )
+
+    def _left(a, b):
+        return a.join(b, "respondent", "left")
+
+    out = _left(_left(_left(base, wc), pairs), fc)
+    zero = ["n_train_windows", "n_test_windows", "n_metric_pairs", "n_forecast_rows"]
+    return out.select(
+        "respondent",
+        "n_rows",
+        "n_train",
+        "n_val",
+        "n_test",
+        *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in zero],
+    ).orderBy("respondent")
+
+
 @register("ml_train_eval_metrics")  # rows-only: train->test metrics per group
 def q_ml_train_eval(spark: SparkSession, sf_dir: str):
     wins = _windows(spark, sf_dir)
@@ -58,9 +157,9 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str):
     return m.select(
         "respondent",
         "n",
-        F.round("rmse", 4).alias("rmse"),
-        F.round("mape", 4).alias("mape"),
-        F.round("mae", 4).alias("mae"),
+        portable_round("rmse", 4).alias("rmse"),
+        portable_round("mape", 4).alias("mape"),
+        portable_round("mae", 4).alias("mae"),
     )
 
 
@@ -75,7 +174,7 @@ def q_ml_hpo(spark: SparkSession, sf_dir: str):
     grid = {"hidden": [8, 16], "epochs": [5], "seed": [42]}
     metrics = run_trials(wins, grid)
     return best_trials(metrics).select(
-        "respondent", "trial_id", "params", F.round("val_loss", 6).alias("val_loss")
+        "respondent", "trial_id", "params", portable_round("val_loss", 6).alias("val_loss")
     ).orderBy("respondent")
 
 
@@ -91,5 +190,5 @@ def q_ml_forecast_next(spark: SparkSession, sf_dir: str):
     ).select("respondent", "x")
     out = forecast_rows(predict_per_group(latest, params))
     return out.select(
-        "respondent", "hour", F.round("predicted_load", 4).alias("predicted_load")
+        "respondent", "hour", portable_round("predicted_load", 4).alias("predicted_load")
     ).orderBy("respondent", "hour")

@@ -15,6 +15,9 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 
 D182 = "decimal(18,2)"
 D42 = "decimal(4,2)"
@@ -110,9 +113,12 @@ def q_star_revenue(spark: SparkSession, sf_dir: str):
     c = table(spark, "customer", sf_dir)
     n = table(spark, "nation", sf_dir)
     r = table(spark, "region", sf_dir)
+    # customer is NOT force-broadcast: at sf100 it is ~15M rows and a forced
+    # broadcast OOMs the driver; AQE sizes that join at runtime. Only the
+    # bounded dims (nation=25, region=5 rows at every SF) are hinted.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -250,7 +256,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str):
 @register(
     "rel_topk_orders",
     oracle="""
-SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+SELECT o_orderkey, o_custkey, floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
 )
@@ -258,7 +264,7 @@ def q_topk_orders(spark: SparkSession, sf_dir: str):
     o = table(spark, "orders", sf_dir)
     return (
         o.orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .select("o_orderkey", "o_custkey", portable_round("o_totalprice", 4).alias("o_totalprice"))
         .limit(10)
     )
 
@@ -267,7 +273,7 @@ def q_topk_orders(spark: SparkSession, sf_dir: str):
 @register(
     "rel_topk_per_group",
     oracle="""
-SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -282,7 +288,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str):
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .select("o_custkey", "o_orderkey", portable_round("o_totalprice", 4).alias("o_totalprice"))
         .orderBy("o_custkey", "o_orderkey")
     )
 
@@ -365,7 +371,7 @@ def q_cube(spark: SparkSession, sf_dir: str):
 @register(
     "rel_window_rank",
     oracle="""
-SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS c_acctbal, rn, rk, drk, nt
+SELECT c_nationkey, c_custkey, floor((c_acctbal) * 10000 + 0.5) / 10000 AS c_acctbal, rn, rk, drk, nt
 FROM (
   SELECT c_nationkey, c_custkey, c_acctbal,
          row_number() OVER w AS rn,
@@ -394,7 +400,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str):
         .select(
             "c_nationkey",
             "c_custkey",
-            F.round("c_acctbal", 4).alias("c_acctbal"),
+            portable_round("c_acctbal", 4).alias("c_acctbal"),
             "rn",
             "rk",
             "drk",
@@ -495,12 +501,12 @@ def q_string_functions(spark: SparkSession, sf_dir: str):
     "rel_math_functions",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(abs(l_extendedprice - l_quantity * 1000), 4) AS absdiff,
-       round(sqrt(l_quantity), 4) AS sqrt_qty,
-       round(pow(l_discount, 2), 4) AS disc_sq,
+       floor((abs(l_extendedprice - l_quantity * 1000)) * 10000 + 0.5) / 10000 AS absdiff,
+       floor((sqrt(l_quantity)) * 10000 + 0.5) / 10000 AS sqrt_qty,
+       floor((pow(l_discount, 2)) * 10000 + 0.5) / 10000 AS disc_sq,
        CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
        CAST(floor(l_quantity) AS INT) % 5 AS qty_mod5,
-       sign(l_extendedprice - 30000.0) AS price_sign
+       CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign
 FROM lineitem WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber
 """,
 )
@@ -509,11 +515,11 @@ def q_math_functions(spark: SparkSession, sf_dir: str):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 4).alias(
+        portable_round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 4).alias(
             "absdiff"
         ),
-        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
-        F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+        portable_round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        portable_round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
         F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_div7"),
         # floor, not cast: DuckDB CAST(double AS INT) rounds to nearest
         # while Spark truncates -- floor is identical in both

@@ -46,7 +46,7 @@ def q_sql_exists(spark: SparkSession, sf_dir: str):
 @register(
     "rel_sql_above_nation_avg",
     oracle="""
-SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+SELECT c_custkey, floor((c_acctbal) * 10000 + 0.5) / 10000 AS c_acctbal
 FROM customer c
 WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                           / count(c_acctbal)
@@ -62,7 +62,7 @@ def q_sql_above_avg(spark: SparkSession, sf_dir: str):
     _views(spark, sf_dir, ("customer",))
     return spark.sql(
         """
-        SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+        SELECT c_custkey, floor((c_acctbal) * 10000 + 0.5) / 10000 AS c_acctbal
         FROM customer c
         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
                                        AS DOUBLE) / count(c_acctbal)
@@ -204,10 +204,21 @@ def q_union_pages(spark: SparkSession, sf_dir: str):
 # -- differ from DuckDB's sketches -> rows-only, exactness not claimed)
 @register("approx_distinct_and_quantiles")
 def q_approx(spark: SparkSession, sf_dir: str):
+    # flat scalar output only: array columns are not sortable/hashable by
+    # the driver's pandas canonicalizer
     ev = table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99))).alias(
-            "approx_p50_p99"
-        ),
-    ).orderBy("event_type")
+    qs = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            qs.alias("_qs"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_qs", 1).alias("approx_p50"),
+            F.element_at("_qs", 2).alias("approx_p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -8,6 +8,9 @@ import tempfile
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
 from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import windowed_stats
@@ -28,8 +31,9 @@ flagged AS (
 ),
 sessioned AS (
   SELECT user_id, ts, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -112,7 +116,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str):
 SELECT p_brand,
        count(*) AS n_parts,
        floor(avg(p_size) * 10000 + 0.5) / 10000 AS avg_size,
-       round(quantile_cont(p_retailprice, 0.5), 4) AS median_price
+       floor((quantile_cont(p_retailprice, 0.5)) * 10000 + 0.5) / 10000 AS median_price
 FROM part WHERE p_type NOT LIKE '%COPPER%'
 GROUP BY p_brand ORDER BY p_brand
 """,
@@ -124,7 +128,7 @@ def q_part_brand(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             (F.floor(F.avg("p_size") * 10000 + 0.5) / 10000).alias("avg_size"),
-            F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
+            portable_round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
         )
         .orderBy("p_brand")
     )
@@ -218,7 +222,7 @@ WITH monthly AS (
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
-SELECT month, round(revenue, 4) AS revenue,
+SELECT month, floor((revenue) * 10000 + 0.5) / 10000 AS revenue,
        CASE WHEN lag(revenue) OVER w > 0
             THEN floor(((revenue - lag(revenue) OVER w) * 100.0
                         / lag(revenue) OVER w) * 10000 + 0.5) / 10000
@@ -237,7 +241,7 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str):
     prev = F.lag("revenue").over(w)
     return monthly.select(
         "month",
-        F.round("revenue", 4).alias("revenue"),
+        portable_round("revenue", 4).alias("revenue"),
         F.when(
             prev > 0,
             F.floor((F.col("revenue") - prev) * 100.0 / prev * 10000 + 0.5) / 10000,
@@ -302,8 +306,8 @@ SELECT event_type,
        count(*) AS n,
        floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))
              * 10000 + 0.5) / 10000 AS avg_value,
-       round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value
+       floor((min(value)) * 10000 + 0.5) / 10000 AS min_value,
+       floor((max(value)) * 10000 + 0.5) / 10000 AS max_value
 FROM {EVENTS_SRC}
 GROUP BY 1, 2 ORDER BY 1, 2
 """,

@@ -10,6 +10,9 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as D
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import similarity as SIM
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
 
 # shared DuckDB fragments ----------------------------------------------------
 # Tokenizer must match operators.text.tokens (trim + split on \s+ runs):
@@ -90,7 +93,7 @@ FROM votes ORDER BY doc_id
 
 _COSINE_PAIR = """
   SELECT query_id, neighbor_id,
-         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+         floor((sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))) * 1000000 + 0.5) / 1000000
            AS cosine
   FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -111,7 +114,7 @@ SELECT doc_id,
        length(text) AS n_chars,
        len({_TOKS}) AS n_tokens,
        len(list_distinct({_TOKS})) AS n_uniq_tokens,
-       round((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}), 4)
+       floor(((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS})) * 10000 + 0.5) / 10000
          AS avg_token_len
 FROM documents ORDER BY doc_id
 """,
@@ -132,15 +135,15 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, n_tok AS n_tokens,
-       round(len(list_distinct(t)) * 1.0 / n_tok, 4) AS uniq_ratio,
-       round(stop_hits * 1.0 / n_tok, 4) AS stopword_ratio,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 4) AS digit_ratio,
-       round(0.4 * least(n_tok / 50.0, 1.0)
+       floor((len(list_distinct(t)) * 1.0 / n_tok) * 10000 + 0.5) / 10000 AS uniq_ratio,
+       floor((stop_hits * 1.0 / n_tok) * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1)) * 10000 + 0.5) / 10000 AS digit_ratio,
+       floor((0.4 * least(n_tok / 50.0, 1.0)
              + 0.4 * (len(list_distinct(t)) * 1.0 / n_tok)
              + 0.2 * least(stop_hits * 5.0 / n_tok, 1.0)
              - 0.5 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                      / greatest(length(text), 1)), 4) AS quality_score
+                      / greatest(length(text), 1))) * 10000 + 0.5) / 10000 AS quality_score
 FROM d ORDER BY doc_id
 """,
 )
@@ -201,10 +204,10 @@ WITH scored AS (
   FROM documents WHERE len({_TOKS}) > 0
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
-         AS n_pass,
-       round(sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
-             * 100.0 / count(*), 4) AS pass_pct
+       CAST(sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_pass,
+       floor((sum(CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.5 THEN 1 ELSE 0 END)
+             * 100.0 / count(*)) * 10000 + 0.5) / 10000 AS pass_pct
 FROM scored GROUP BY lang ORDER BY lang
 """,
 )
@@ -222,7 +225,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(passing).alias("n_pass"),
-            F.round(F.sum(passing) * 100.0 / F.count(F.lit(1)), 4).alias("pass_pct"),
+            portable_round(F.sum(passing) * 100.0 / F.count(F.lit(1)), 4).alias(
+                "pass_pct"
+            ),
         )
         .orderBy("lang")
     )
@@ -233,8 +238,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str):
     "text_length_profile",
     oracle=f"""
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(len({_TOKS}), 0.5), 4) AS p50_tokens,
-       round(quantile_cont(len({_TOKS}), 0.9), 4) AS p90_tokens,
+       floor((quantile_cont(len({_TOKS}), 0.5)) * 10000 + 0.5) / 10000 AS p50_tokens,
+       floor((quantile_cont(len({_TOKS}), 0.9)) * 10000 + 0.5) / 10000 AS p90_tokens,
        max(n_chars) AS max_chars
 FROM documents GROUP BY source ORDER BY source
 """,
@@ -246,8 +251,8 @@ def q_length_profile(spark: SparkSession, sf_dir: str):
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.percentile(n_tok, F.lit(0.5)), 4).alias("p50_tokens"),
-            F.round(F.percentile(n_tok, F.lit(0.9)), 4).alias("p90_tokens"),
+            portable_round(F.percentile(n_tok, F.lit(0.5)), 4).alias("p50_tokens"),
+            portable_round(F.percentile(n_tok, F.lit(0.9)), 4).alias("p90_tokens"),
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("source")
@@ -278,7 +283,7 @@ df AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT tc.doc_id, tc.token,
-         round((tc.tc * 1.0 / dl.dl) * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+         floor(((tc.tc * 1.0 / dl.dl) * ln(n.n_docs * 1.0 / df.df)) * 1000000 + 0.5) / 1000000 AS tfidf
   FROM tc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
 )
 SELECT doc_id, token, tfidf FROM (
@@ -327,7 +332,7 @@ def q_dedup_exact_stats(spark: SparkSession, sf_dir: str):
 SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS key,
        count(*) AS n_docs,
        min(doc_id) AS keep_id,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM documents
 GROUP BY 1 HAVING count(*) > 1
 ORDER BY keep_id
@@ -335,7 +340,17 @@ ORDER BY keep_id
 )
 def q_dedup_tokenset(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return DD.tokenset_dup_groups(docs).orderBy("keep_id")
+    groups = DD.tokenset_dup_groups(docs)
+    # flat output contract: the driver canonicalizer cannot sort array
+    # columns, so the member list is emitted as a comma-joined string
+    return groups.select(
+        "key",
+        "n_docs",
+        "keep_id",
+        F.array_join(
+            F.transform(F.sort_array("doc_ids"), lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    ).orderBy("keep_id")
 
 
 @register("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(0.5))
@@ -448,7 +463,7 @@ WITH b AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+         floor((sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))) * 1000000 + 0.5) / 1000000
            AS cosine
   FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -504,7 +519,7 @@ probes AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+         floor((sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))) * 1000000 + 0.5) / 1000000
            AS cosine
   FROM (
     SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -601,8 +616,22 @@ def q_mm_decode(spark: SparkSession, sf_dir: str):
         F.lit("application/octet-stream").alias("mime"),
     )
     sniffed = sniff_metadata(media).select("media_id", "n_bytes", "sniffed_mime")
+    # flat output contract (driver canonicalizer): digest the feature
+    # vector into scalars instead of emitting the array column
     decoded = decode_and_featurize(media).select(
-        "media_id", "sha1", "width", "height", "channels", "features"
+        "media_id",
+        "sha1",
+        "width",
+        "height",
+        "channels",
+        F.size("features").alias("n_features"),
+        portable_round(F.element_at("features", 1), 6).alias("feat_first"),
+        portable_round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("feat_sum"),
     )
     return sniffed.join(decoded, "media_id").orderBy("media_id")
 
@@ -615,7 +644,7 @@ WITH e AS (SELECT vec_id, label,
            FROM embeddings)
 SELECT id_a, id_b, cosine FROM (
   SELECT a_id AS id_a, b_id AS id_b,
-         round(sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))), 6)
+         floor((sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv)))) * 1000000 + 0.5) / 1000000
            AS cosine
   FROM (
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -97,8 +97,21 @@ def q_window_counts(spark: SparkSession, sf_dir: str):
 # -- W3: the windows themselves (x[L], y[H] arrays), early slice ------------
 @register(
     "ts_sequence_windows",
+    # Flat digest of each (x[L], y[H]) window: the driver canonicalizer
+    # cannot sort array columns, so each window is proven by its length,
+    # endpoints, and a DECIMAL-exact (summation-order-free) sum. The
+    # arrays themselves stay the operator's product (ml/forecast consumes
+    # them); only this registered projection is flattened.
     oracle=f"""
-SELECT event_type, window_start, x, y FROM (
+SELECT event_type, window_start,
+       len(x) AS x_len, len(y) AS y_len,
+       x[1] AS x_first, x[{LOOKBACK}] AS x_last,
+       y[1] AS y_first, y[{HORIZON}] AS y_last,
+       CAST(list_aggregate(list_transform(x, v -> CAST(v AS DECIMAL(18,2))), 'sum')
+            AS DOUBLE) AS x_sum,
+       CAST(list_aggregate(list_transform(y, v -> CAST(v AS DECIMAL(18,2))), 'sum')
+            AS DOUBLE) AS y_sum
+FROM (
   SELECT event_type, ts AS window_start,
          list(value) OVER (PARTITION BY event_type
               ORDER BY ts NULLS FIRST, event_id
@@ -124,8 +137,29 @@ def q_sequence_windows(spark: SparkSession, sf_dir: str):
         horizon=HORIZON,
         tiebreak_cols=("event_id",),
     )
-    return wins.filter(F.col("window_start") < "2024-01-03").orderBy(
-        "event_type", "window_start"
+
+    def _dec_sum(col: str):
+        return F.aggregate(
+            col,
+            F.lit(0).cast("decimal(28,2)"),
+            lambda acc, v: (acc + v.cast("decimal(18,2)")).cast("decimal(28,2)"),
+        ).cast("double")
+
+    return (
+        wins.filter(F.col("window_start") < "2024-01-03")
+        .select(
+            "event_type",
+            "window_start",
+            F.size("x").alias("x_len"),
+            F.size("y").alias("y_len"),
+            F.element_at("x", 1).alias("x_first"),
+            F.element_at("x", LOOKBACK).alias("x_last"),
+            F.element_at("y", 1).alias("y_first"),
+            F.element_at("y", HORIZON).alias("y_last"),
+            _dec_sum("x").alias("x_sum"),
+            _dec_sum("y").alias("y_sum"),
+        )
+        .orderBy("event_type", "window_start")
     )
 
 
@@ -156,11 +190,11 @@ def q_tail_window(spark: SparkSession, sf_dir: str):
     "ts_scaler_params",
     oracle="""
 SELECT event_type,
-       round(min(value), 4) AS v_min,
-       round(max(value), 4) AS v_max,
+       floor((min(value)) * 10000 + 0.5) / 10000 AS v_min,
+       floor((max(value)) * 10000 + 0.5) / 10000 AS v_max,
        floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS v_mean,
-       round(stddev_pop(value), 4) AS v_std
+       floor((stddev_pop(value)) * 10000 + 0.5) / 10000 AS v_std
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -178,10 +212,10 @@ def q_scaler_params(spark: SparkSession, sf_dir: str):
         .join(means, "event_type")
         .select(
             "event_type",
-            F.round("v_min", 4).alias("v_min"),
-            F.round("v_max", 4).alias("v_max"),
+            portable_round("v_min", 4).alias("v_min"),
+            portable_round("v_max", 4).alias("v_max"),
             portable_round(F.col("v_mean_exact"), 4).alias("v_mean"),
-            F.round("v_std", 4).alias("v_std"),
+            portable_round("v_std", 4).alias("v_std"),
         )
         .orderBy("event_type")
     )
@@ -331,7 +365,8 @@ spans AS (
 )
 SELECT g.event_type,
        count(*) AS n_hours,
-       sum(CASE WHEN o.hour_ts IS NULL THEN 1 ELSE 0 END) AS n_empty_hours
+       CAST(sum(CASE WHEN o.hour_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_hours
 FROM grid g LEFT JOIN obs o
   ON g.event_type = o.event_type AND g.hour_ts = o.hour_ts
 GROUP BY g.event_type ORDER BY g.event_type

@@ -33,7 +33,7 @@ _sql_query(
     "tpch_min_balance_supplier",
     """
 SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
-       round(s.s_acctbal, 4) AS s_acctbal
+       floor((s.s_acctbal) * 10000 + 0.5) / 10000 AS s_acctbal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
                      WHERE s2.s_nationkey = s.s_nationkey)
@@ -49,7 +49,7 @@ WITH part_value AS (
   SELECT l_partkey, CAST(sum({REV}) AS DOUBLE) AS value
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, round(value, 4) AS value
+SELECT l_partkey, floor((value) * 10000 + 0.5) / 10000 AS value
 FROM part_value
 -- threshold from the exact decimal total (summing the double part values
 -- would be association-order dependent across engines)
@@ -69,7 +69,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+SELECT s.s_suppkey, s.s_name, floor((r.total_revenue) * 10000 + 0.5) / 10000 AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s.s_suppkey
@@ -81,7 +81,7 @@ _sql_query(
     "tpch_large_orders",
     """
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
-       round(o.o_totalprice, 4) AS o_totalprice, sum(l.l_quantity) AS total_qty
+       floor((o.o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice, sum(l.l_quantity) AS total_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -161,7 +161,7 @@ _sql_query(
     "tpch_idle_rich_customers",
     """
 SELECT c.c_nationkey, count(*) AS numcust,
-       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+       floor((CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)) * 10000 + 0.5) / 10000
          AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

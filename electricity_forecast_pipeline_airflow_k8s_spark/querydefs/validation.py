@@ -14,6 +14,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
     profile_oracle_sql,
     quality_profile,
+    quality_profile_scale,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 
@@ -29,14 +30,30 @@ def q_quality_profile(spark: SparkSession, sf_dir: str):
     return quality_profile(ev, group_col="event_type", ts_col="ts", value_col="value")
 
 
+# -- flagship, scale mode (quality_profile_scale): mergeable groupBy
+# sketches + broadcast bounds + bucketed gap windows, so parallelism
+# follows data volume instead of being capped at the group count by
+# whole-partition windows (SCALING.md). This is the mode a 100 TB run
+# uses; rows-only (approx quantile sketches differ from DuckDB's, so
+# value equality is not claimed -- exactness is proven by
+# `quality_profile`, and the non-quantile columns are pinned equal to the
+# exact flagship by tests/test_validation.py).
+@register("quality_profile_approx")
+def q_quality_profile_approx(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    return quality_profile_scale(
+        ev, group_col="event_type", ts_col="ts", value_col="value"
+    )
+
+
 # -- A1/A2/P6: null counts + rate in one agg pass ---------------------------
 @register(
     "val_null_counts",
     oracle=f"""
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
-       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_group,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_group,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
        floor((sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*)) * 10000 + 0.5) / 10000
          AS null_value_pct
 FROM {EVENTS_SRC}
@@ -61,9 +78,9 @@ def q_val_null_counts(spark: SparkSession, sf_dir: str):
 @register(
     "val_domain_violations",
     oracle="""
-SELECT sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
-                THEN 1 ELSE 0 END) AS bad_domain,
-       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_values
+SELECT CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_domain,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values
 FROM events
 """,
 )
@@ -84,8 +101,9 @@ def q_val_domain(spark: SparkSession, sf_dir: str):
     "val_extreme_gate",
     oracle="""
 WITH thr AS (SELECT quantile_cont(value, 0.99) AS q99 FROM events)
-SELECT round(max(thr.q99), 4) AS q99,
-       sum(CASE WHEN e.value >= 3.0 * thr.q99 THEN 1 ELSE 0 END) AS extreme_values
+SELECT floor(max(thr.q99) * 10000 + 0.5) / 10000 AS q99,
+       CAST(sum(CASE WHEN e.value >= 3.0 * thr.q99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS extreme_values
 FROM events e CROSS JOIN thr
 """,
 )
@@ -93,7 +111,7 @@ def q_val_extreme(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
     thr = ev.agg(F.percentile("value", F.lit(0.99)).alias("q99"))
     return ev.crossJoin(F.broadcast(thr)).agg(
-        F.round(F.max("q99"), 4).alias("q99"),
+        portable_round(F.max("q99"), 4).alias("q99"),
         F.sum(F.when(F.col("value") >= 3.0 * F.col("q99"), 1).otherwise(0)).alias(
             "extreme_values"
         ),
@@ -123,10 +141,10 @@ def q_val_dup_count(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean_value,
-       round(stddev_samp(value), 4) AS std_value,
-       round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value,
-       round(quantile_cont(value, 0.5), 4) AS median_value
+       floor(stddev_samp(value) * 10000 + 0.5) / 10000 AS std_value,
+       floor(min(value) * 10000 + 0.5) / 10000 AS min_value,
+       floor(max(value) * 10000 + 0.5) / 10000 AS max_value,
+       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS median_value
 FROM events
 """,
 )
@@ -136,10 +154,10 @@ def q_val_value_stats(spark: SparkSession, sf_dir: str):
 
     return ev.agg(
         portable_round(exact_mean("value"), 4).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 4).alias("std_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        portable_round(F.stddev_samp("value"), 4).alias("std_value"),
+        portable_round(F.min("value"), 4).alias("min_value"),
+        portable_round(F.max("value"), 4).alias("max_value"),
+        portable_round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
     )
 
 
@@ -150,12 +168,12 @@ def q_val_value_stats(spark: SparkSession, sf_dir: str):
 SELECT count(value) AS n,
        floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean,
-       round(stddev_samp(value), 4) AS std,
-       round(min(value), 4) AS min,
-       round(quantile_cont(value, 0.25), 4) AS q1,
-       round(quantile_cont(value, 0.5), 4) AS median,
-       round(quantile_cont(value, 0.75), 4) AS q3,
-       round(max(value), 4) AS max
+       floor(stddev_samp(value) * 10000 + 0.5) / 10000 AS std,
+       floor(min(value) * 10000 + 0.5) / 10000 AS min,
+       floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS q1,
+       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS median,
+       floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS q3,
+       floor(max(value) * 10000 + 0.5) / 10000 AS max
 FROM events
 """,
 )
@@ -167,12 +185,12 @@ def q_val_summary(spark: SparkSession, sf_dir: str):
     return ev.agg(
         F.count(v).alias("n"),
         portable_round(exact_mean(v), 4).alias("mean"),
-        F.round(F.stddev_samp(v), 4).alias("std"),
-        F.round(F.min(v), 4).alias("min"),
-        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
-        F.round(F.percentile(v, F.lit(0.5)), 4).alias("median"),
-        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
-        F.round(F.max(v), 4).alias("max"),
+        portable_round(F.stddev_samp(v), 4).alias("std"),
+        portable_round(F.min(v), 4).alias("min"),
+        portable_round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        portable_round(F.percentile(v, F.lit(0.5)), 4).alias("median"),
+        portable_round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        portable_round(F.max(v), 4).alias("max"),
     )
 
 
@@ -184,8 +202,8 @@ SELECT event_type,
        count(*) AS records,
        floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)) * 10000 + 0.5) / 10000
          AS mean,
-       round(min(value), 4) AS min,
-       round(max(value), 4) AS max
+       floor(min(value) * 10000 + 0.5) / 10000 AS min,
+       floor(max(value) * 10000 + 0.5) / 10000 AS max
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -198,8 +216,8 @@ def q_val_grouped_stats(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("records"),
             portable_round(exact_mean("value"), 4).alias("mean"),
-            F.round(F.min("value"), 4).alias("min"),
-            F.round(F.max("value"), 4).alias("max"),
+            portable_round(F.min("value"), 4).alias("min"),
+            portable_round(F.max("value"), 4).alias("max"),
         )
         .orderBy("event_type")
     )
@@ -239,7 +257,7 @@ def q_val_distinct_groups(spark: SparkSession, sf_dir: str):
     "val_gap_stats",
     oracle=f"""
 SELECT event_type,
-       sum(CASE WHEN gap_us > 5400000000 THEN 1 ELSE 0 END) AS n_gaps,
+       CAST(sum(CASE WHEN gap_us > 5400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
        floor((max(gap_us) / 1000000.0) * 10000 + 0.5) / 10000 AS max_gap_seconds,
        floor((avg(gap_us) / 1000000.0) * 10000 + 0.5) / 10000 AS avg_gap_seconds
 FROM (
@@ -279,7 +297,7 @@ WITH bounds AS (
            - quantile_cont(value, 0.25)) AS upper
   FROM events GROUP BY event_type
 )
-SELECT e.event_id, e.event_type, round(e.value, 4) AS value
+SELECT e.event_id, e.event_type, floor(e.value * 10000 + 0.5) / 10000 AS value
 FROM events e JOIN bounds b ON e.event_type IS NOT DISTINCT FROM b.event_type
 WHERE e.value < b.lower OR e.value > b.upper
 ORDER BY e.event_id
@@ -297,7 +315,7 @@ def q_val_outlier_rows(spark: SparkSession, sf_dir: str):
     lower, upper = q1 - 3.0 * (q3 - q1), q3 + 3.0 * (q3 - q1)
     return (
         enriched.filter((v < lower) | (v > upper))
-        .select("event_id", "event_type", F.round(v, 4).alias("value"))
+        .select("event_id", "event_type", portable_round(v, 4).alias("value"))
         .orderBy("event_id")
     )
 

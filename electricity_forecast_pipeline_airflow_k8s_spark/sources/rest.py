@@ -31,7 +31,8 @@ def page_specs(
     API max (`core/data_extraction.py:69`)."""
     specs = [(off, page_size) for off in range(0, total, page_size)]
     df = spark.createDataFrame(specs, "offset long, length long")
-    return df.repartition(n_partitions or min(len(specs), 64))
+    # total=0 -> no pages; repartition(0) is illegal, so clamp to 1
+    return df.repartition(n_partitions or max(1, min(len(specs), 64)))
 
 
 def fetch_paginated(

@@ -50,7 +50,10 @@ def windowed_stats(
         if slide
         else F.window(ts_col, window_duration)
     )
-    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+        portable_round,
+    )
 
     return (
         stream.withWatermark(ts_col, watermark)
@@ -58,8 +61,8 @@ def windowed_stats(
         .agg(
             F.count(F.lit(1)).alias("n"),
             (F.floor(exact_mean(value_col) * 10000 + 0.5) / 10000).alias("avg_value"),
-            F.round(F.min(value_col), 4).alias("min_value"),
-            F.round(F.max(value_col), 4).alias("max_value"),
+            portable_round(F.min(value_col), 4).alias("min_value"),
+            portable_round(F.max(value_col), 4).alias("max_value"),
         )
         .select(
             group_col,

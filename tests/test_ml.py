@@ -99,3 +99,38 @@ def test_forecast_rows_shape(windows):
     assert len(rows) == 2 * H
     assert {r["hour"] for r in rows} == set(range(1, H + 1))
     assert all(math.isfinite(r["predicted_load"]) for r in rows)
+
+
+# -- torch architecture parity (import-gated; skips where torch absent) -----
+def test_torch_models_gate_without_torch():
+    """Without torch the module must import cleanly and fail loudly only
+    at call time (the honest production posture)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml import torch_models
+
+    if torch_models.TORCH_AVAILABLE:
+        pytest.skip("torch installed; gate-path not exercisable")
+    with pytest.raises(ImportError, match="torch is not installed"):
+        torch_models.build_lstm(lookback=24, horizon=6)
+    with pytest.raises(ImportError, match="torch is not installed"):
+        torch_models.torch_trainer()
+
+
+def test_torch_lstm_transformer_shapes():
+    """With torch: both reference architectures (`core/model.py:44-138`)
+    map (n, L) windows to (n, H) forecasts and train under the reference
+    loop (Adam/clip/early-stop)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml import torch_models
+
+    if not torch_models.TORCH_AVAILABLE:
+        pytest.skip("torch not installed in this container")
+    rng = np.random.default_rng(0)
+    x, y = rng.normal(size=(40, 16)), rng.normal(size=(40, 4))
+    models = [
+        torch_models.build_lstm(16, 4, hidden_size=16),
+        torch_models.build_transformer(16, 4, d_model=16, nhead=4, dim_feedforward=32),
+    ]
+    for model in models:
+        hist = torch_models.fit(model, x, y, x, y, epochs=2, patience=2)
+        assert len(hist["train_loss"]) >= 1
+        out = torch_models.predict(model, x)
+        assert out.shape == (40, 4)

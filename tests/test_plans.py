@@ -8,6 +8,7 @@ import pytest
 
 from electricity_forecast_pipeline_airflow_k8s_spark.plans.inspect import (
     explain_str,
+    forced_broadcast_count,
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -34,6 +35,14 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 def test_star_join_broadcasts_dims(spark, sf_dir):
     q = registry()["rel_star_revenue"].build(spark, sf_dir)
     assert has_broadcast_join(q)
+
+
+def test_star_join_does_not_force_customer_broadcast(spark, sf_dir):
+    """Only the SF-invariant dims (nation=25, region=5 rows) may carry an
+    explicit broadcast hint. customer grows ~150k rows/SF -- a forced
+    broadcast OOMs at sf100, so its join strategy is left to AQE."""
+    q = registry()["rel_star_revenue"].build(spark, sf_dir)
+    assert forced_broadcast_count(q) == 2
 
 
 def test_quality_profile_single_scan_single_shuffle(spark, sf_dir):

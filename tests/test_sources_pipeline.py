@@ -47,6 +47,15 @@ def test_paginated_rest_source(spark):
     assert {r["value"] for r in rows} == {str(i) for i in range(23)}
 
 
+def test_paginated_rest_source_empty_total(spark):
+    """total=0 (API reports no records) must yield an empty frame, not a
+    repartition(0) error."""
+    df = fetch_paginated(
+        spark, lambda o, n: [], total=0, schema=READ_SCHEMA, page_size=10
+    )
+    assert df.count() == 0
+
+
 def test_python_datasource_paged_rest(spark):
     """Spark 4 Python DataSource: one partition per page, executed on
     executors, feeding the normal normalization path."""

@@ -135,3 +135,43 @@ def test_checks_dataframe_surface(clean_readings):
     rows = {(r["check"], r["scope"]): r for r in rep.checks.collect()}
     assert rows[("missing_pct", "__all__")]["passed"]
     assert all(r["passed"] for r in rows.values())
+
+
+def test_quality_profile_scale_matches_exact_on_exact_columns(spark, sf_dir):
+    """quality_profile_scale (the 100 TB layout: mergeable sketches,
+    broadcast bounds, bucketed gap windows) must agree with the exact
+    flagship on every non-quantile-derived column -- in particular the
+    bucketed+boundary gap decomposition must be EXACTLY equivalent to the
+    full-sequence lag window."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile,
+        quality_profile_scale,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    kw = dict(group_col="event_type", ts_col="ts", value_col="value")
+    exact_cols = [
+        "event_type", "n_rows", "n_nulls", "null_pct", "min_ts", "max_ts",
+        "mean_value", "std_value", "n_dups", "n_gaps", "max_gap_seconds",
+    ]
+    a = [tuple(r) for r in quality_profile(ev, **kw).select(exact_cols).collect()]
+    b = [
+        tuple(r)
+        for r in quality_profile_scale(ev, **kw).select(exact_cols).collect()
+    ]
+    assert a == b
+    # quantile-derived columns: sketches must land within the group's
+    # observed value range
+    rng = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in quality_profile_scale(ev, **kw).collect():
+        lo, hi = rng[r["event_type"]]["lo"], rng[r["event_type"]]["hi"]
+        for c in ("q1", "median_value", "q3"):
+            assert lo <= r[c] <= hi, (r["event_type"], c, r[c])
