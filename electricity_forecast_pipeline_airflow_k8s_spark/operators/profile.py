@@ -154,21 +154,23 @@ def quality_profile_scale(
     history into ONE task, so its reduce stage parallelizes at the GROUP
     count (5 region-like keys => 5 tasks) and exact ``percentile`` is a
     non-mergeable ObjectAgg. This variant keeps parallelism proportional
-    to data volume instead:
+    to data volume, in exactly TWO scan-parallel passes over the fact:
 
-    * stats pass: one groupBy with only mergeable aggregates
+    * pass 1 (stats): one groupBy with only mergeable aggregates
       (count/sum/stddev/min/max/approx-quantile sketches) -- map-side
-      partial aggregation everywhere, the shuffle moves sketches, not rows;
-    * outliers: the per-group IQR bounds are a tiny frame broadcast-joined
-      back onto a second scan-parallel pass (no row shuffle at all);
-    * gaps: lag windows over (group, time-bucket) -- parallelism is
-      groups x buckets, not groups -- plus a boundary pass on the tiny
-      per-bucket (min_ts, max_ts) aggregate that catches gaps spanning
-      bucket edges. Gap results are EXACT, identical to the flagship's.
+      partial aggregation everywhere, the shuffle moves sketches, not
+      rows. The derived per-group IQR bounds frame is tiny (n_groups
+      rows) and is broadcast into pass 2.
+    * pass 2 (outliers + gaps, one shuffle on (group, time-bucket)): the
+      lag window partitions by (group, bucket), so parallelism is
+      groups x buckets, not groups; the broadcast bounds ride along so
+      the outlier flag aggregates in the same pass. The per-(group,
+      bucket) aggregate also carries bucket endpoints, and a lag over
+      that TINY frame closes the gaps spanning bucket edges -- gap
+      results are EXACT, identical to the flagship's full-sequence lag.
 
-    Two scan-parallel passes over the fact and zero O(rows) shuffles
-    replace the flagship's one group-bottlenecked shuffle; at high data:
-    group ratios that trade wins by orders of magnitude.
+    The tiny bounds frame is persisted (it feeds both the broadcast and
+    the final output) so pass 1 runs once.
     """
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
         portable_round,
@@ -190,7 +192,6 @@ def quality_profile_scale(
         ).alias("_mean"),
         F.stddev_samp(v).alias("_std"),
         qs.alias("_qs"),
-        (F.count(F.lit(1)) - F.count_distinct(F.struct(t))).alias("n_dups"),
     )
     bounds = stats.withColumns(
         {
@@ -204,66 +205,73 @@ def quality_profile_scale(
             "_upper": F.col("_q3") + iqr_k * (F.col("_q3") - F.col("_q1")),
         }
     )
+    # n_groups rows; feeds the final output AND the broadcast below --
+    # persist so the stats scan is not recomputed per consumer
+    bounds = bounds.persist()
 
-    # -- pass 2: outliers via broadcast of the tiny bounds frame ------------
+    # -- pass 2: one (group, bucket) shuffle serves gaps AND outliers -------
     # (right-side key renamed: bounds derives from df, and Spark rejects
     # same-lineage join keys as ambiguous)
     b = F.broadcast(
         bounds.select(F.col(group_col).alias("_bg"), "_lower", "_upper")
     )
-    outliers = (
-        df.join(b, on=g.eqNullSafe(F.col("_bg")), how="inner")
-        .groupBy(group_col)
-        .agg(
-            F.sum(
-                F.when((v < F.col("_lower")) | (v > F.col("_upper")), 1).otherwise(0)
-            ).alias("n_outliers")
-        )
-    )
-
-    # -- gaps: bucketed lag (groups x buckets tasks) + exact boundary fix ---
     bkt = F.date_trunc(bucket, t).alias("_bkt")
     win_in = Window.partitionBy(g, F.col("_bkt")).orderBy(t)
-    in_bucket = (
-        df.select(g.alias(group_col), t.alias(ts_col), bkt)
+    per_bucket = (
+        df.select(g.alias(group_col), t.alias(ts_col), v.alias(value_col), bkt)
+        .join(b, on=g.eqNullSafe(F.col("_bg")), how="left")
         .withColumn(
             "_gap_us",
             F.unix_micros(t) - F.unix_micros(F.lag(t).over(win_in)),
         )
-        .groupBy(group_col)
+        .groupBy(group_col, "_bkt")  # reuses the window's partitioning
         .agg(
             F.sum(F.when(F.col("_gap_us") > tol_us, 1).otherwise(0)).alias("_ng_in"),
             F.max("_gap_us").alias("_mx_in"),
+            F.min(t).alias("_bmin"),
+            F.max(t).alias("_bmax"),
+            F.sum(
+                F.when((v < F.col("_lower")) | (v > F.col("_upper")), 1).otherwise(0)
+            ).alias("_no"),
+            # duplicate timestamps are consecutive zero gaps in this sorted
+            # window (equal ts always share a bucket), so the dup count that
+            # would cost a count_distinct shuffle in pass 1 (~10x the whole
+            # profile, measured) is free here; null ts sort first with null
+            # gaps, so they are tallied separately below
+            F.sum(F.when(F.col("_gap_us") == 0, 1).otherwise(0)).alias("_dup_in"),
+            F.sum(F.when(t.isNull(), 1).otherwise(0)).alias("_n_null_ts"),
         )
     )
-    # per-bucket endpoints are tiny (groups x buckets rows); the lag over
-    # buckets closes the seams the in-bucket windows cannot see
+    # groups x buckets rows from here on: the lag over buckets closes the
+    # seams the in-bucket windows cannot see, then one tiny final agg
     win_b = Window.partitionBy(g).orderBy(F.col("_bkt"))
-    boundary = (
-        df.select(g.alias(group_col), t.alias(ts_col), bkt)
-        .groupBy(group_col, "_bkt")
-        .agg(F.min(t).alias("_bmin"), F.max(t).alias("_bmax"))
-        .withColumn(
-            "_gap_us",
+    fin = (
+        per_bucket.withColumn(
+            "_bgap_us",
             F.unix_micros(F.col("_bmin"))
             - F.unix_micros(F.lag("_bmax").over(win_b)),
         )
         .groupBy(group_col)
         .agg(
-            F.sum(F.when(F.col("_gap_us") > tol_us, 1).otherwise(0)).alias("_ng_b"),
-            F.max("_gap_us").alias("_mx_b"),
+            (
+                F.sum("_ng_in")
+                + F.sum(F.when(F.col("_bgap_us") > tol_us, 1).otherwise(0))
+            ).alias("_n_gaps"),
+            F.greatest(F.max("_mx_in"), F.max("_bgap_us")).alias("_mx_us"),
+            F.sum("_no").alias("n_outliers"),
+            # exact-flagship convention: all-null-ts rows collapse to one
+            # distinct struct(null), i.e. n_null - 1 extra duplicates
+            (
+                F.sum("_dup_in")
+                + F.greatest(F.sum("_n_null_ts") - 1, F.lit(0))
+            ).alias("_n_dups"),
         )
     )
 
-    def _nj(left, right):
-        right = right.withColumnRenamed(group_col, "_rg")
-        return left.join(
-            right, on=F.col(group_col).eqNullSafe(F.col("_rg")), how="left"
-        ).drop("_rg")
-
-    out = _nj(_nj(_nj(bounds, outliers), in_bucket), boundary)
-    n_gaps = F.coalesce("_ng_in", F.lit(0)) + F.coalesce("_ng_b", F.lit(0))
-    max_gap_s = F.greatest(F.col("_mx_in"), F.col("_mx_b")) / 1_000_000.0
+    fin = fin.withColumnRenamed(group_col, "_rg")
+    out = bounds.join(
+        fin, on=F.col(group_col).eqNullSafe(F.col("_rg")), how="left"
+    ).drop("_rg")
     return (
         out.select(
             group_col,
@@ -283,9 +291,9 @@ def quality_profile_scale(
             r(F.coalesce("n_outliers", F.lit(0)) * 100.0 / F.col("n_rows")).alias(
                 "outlier_pct"
             ),
-            "n_dups",
-            n_gaps.alias("n_gaps"),
-            r(max_gap_s).alias("max_gap_seconds"),
+            F.coalesce("_n_dups", F.lit(0)).alias("n_dups"),
+            F.coalesce("_n_gaps", F.lit(0)).alias("n_gaps"),
+            r(F.col("_mx_us") / 1_000_000.0).alias("max_gap_seconds"),
         )
         .orderBy(group_col)
     )

@@ -134,3 +134,43 @@ def test_torch_lstm_transformer_shapes():
         assert len(hist["train_loss"]) >= 1
         out = torch_models.predict(model, x)
         assert out.shape == (40, 4)
+
+
+# -- model registry: versioned params-as-data (`core/kubeflow_pipeline.py:330-368`)
+def test_model_registry_versioning_and_latest(windows, tmp_path):
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml import registry as REG
+
+    spark = windows.sparkSession
+    root = str(tmp_path / "lake")
+    params = fit_per_group(windows, lookback=L, horizon=H)
+    v1 = REG.register_model(spark, params, root, "load-forecaster", {"rmse": 12.5})
+    v2 = REG.register_model(spark, params, root, "load-forecaster", {"rmse": 11.0})
+    assert (v1, v2) == (1, 2)
+    assert REG.latest_version(spark, root, "load-forecaster") == 2
+
+    back = REG.load_model(spark, root, "load-forecaster")  # latest
+    a = {r["respondent"]: r["weights"] for r in params.collect()}
+    b = {r["respondent"]: r["weights"] for r in back.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert np.allclose(a[k], b[k])
+
+    cat = REG.describe(spark, root, "load-forecaster").collect()
+    assert [r["version"] for r in cat] == [2, 1]
+    assert '"rmse": 11.0' in cat[0]["metrics_json"]
+
+
+def test_model_registry_retention(windows, tmp_path):
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml import registry as REG
+
+    spark = windows.sparkSession
+    root = str(tmp_path / "lake")
+    params = fit_per_group(windows, lookback=L, horizon=H)
+    for _ in range(3):
+        REG.register_model(spark, params, root, "m", {})
+    deleted = REG.apply_version_retention(spark, root, "m", keep=2)
+    assert deleted == [1]
+    # newest versions still load; the deleted one is gone
+    assert REG.load_model(spark, root, "m", 3).count() == params.count()
+    with pytest.raises(Exception):
+        REG.load_model(spark, root, "m", 1).count()

@@ -58,6 +58,33 @@ def test_quality_profile_single_scan_single_shuffle(spark, sf_dir):
     assert tree.count("Exchange") <= 2
 
 
+def test_quality_profile_scale_windows_never_partition_rows_by_group_alone(
+    spark, sf_dir
+):
+    """The 100 TB profile layout: no O(rows) window may partition by the
+    group key alone (that caps parallelism at the group count). Row-level
+    lag windows must partition by (group, bucket); the only group-keyed
+    window allowed is the boundary pass over the tiny per-bucket
+    aggregate."""
+    q = registry()["quality_profile_approx"].build(spark, sf_dir)
+    plan = explain_str(q)
+    # the row-level gap window shuffles on (event_type, _bkt)
+    assert "hashpartitioning(event_type" in plan
+    tree = plan.split("\n\n")[0]
+    # details section: every Window's partition spec
+    import re
+
+    specs = re.findall(r"Window .*?partitionspec=\[([^\]]*)\]", plan) or re.findall(
+        r"\[partitionspec=\[([^\]]*)\]", plan
+    )
+    # fall back to operator-tree inspection if spec extraction finds nothing
+    if specs:
+        row_windows = [s for s in specs if "_bkt" not in s]
+        # at most the boundary window (over the groups x buckets aggregate)
+        assert len(row_windows) <= 1, specs
+    assert "CartesianProduct" not in tree
+
+
 def test_window_then_groupby_reuses_partitioning(spark, sf_dir):
     """gap stats: window on (event_type) then groupBy(event_type) must not
     add a second hash exchange on the same key."""
