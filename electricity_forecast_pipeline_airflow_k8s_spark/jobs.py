@@ -87,13 +87,29 @@ def train_job(
     lake_root: str,
     lookback: int = 168,
     horizon: int = 24,
+    model_name: str = "electricity-load-forecaster",
 ) -> dict[str, Any]:
     """Training on the newest validated snapshot (S9 latest-read,
-    `core/train_katib.py:99-104`)."""
+    `core/train_katib.py:99-104`), then registry publication: the trained
+    per-group params are registered as the next model version with the
+    eval metrics as the version description, mirroring the reference's
+    MLflow register_model step (`core/kubeflow_pipeline.py:341-356`)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml.registry import (
+        register_model,
+    )
+
     readings = latest_snapshot(spark, lake_root, "processed")
     res = run_training(spark, readings, lookback=lookback, horizon=horizon)
     forecasts = [r.asDict() for r in res.forecasts.collect()]
-    return {"metrics": res.metrics, "n_forecast_rows": len(forecasts)}
+    version = register_model(
+        spark, res.params, lake_root, model_name, metrics=res.metrics
+    )
+    return {
+        "metrics": res.metrics,
+        "n_forecast_rows": len(forecasts),
+        "model_name": model_name,
+        "model_version": version,
+    }
 
 
 def main() -> None:

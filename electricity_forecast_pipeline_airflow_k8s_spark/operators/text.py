@@ -153,3 +153,83 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (content-defined identity for exact dedup across formatting noise)."""
     return df.select(id_col, fingerprint_expr(text_col).alias("fp"))
+
+
+def bpe_token_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_per_token: int = 4,
+) -> DataFrame:
+    """LLM token-budget estimation: BPE-ish regex pieces + a
+    chars-per-token subword heuristic, all JVM-side.
+
+    Text splits into word/number runs and single punctuation marks (the
+    piece structure BPE vocabularies build on); each piece contributes
+    ceil(len / chars_per_token) estimated subword tokens (~4 chars/token,
+    the usual budgeting rule). Integer arithmetic only, so the estimate
+    is bit-identical across engines."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.floor((F.length(p) + (chars_per_token - 1)) / chars_per_token).cast(
+            "long"
+        ),
+    )
+    return df.select(
+        id_col,
+        F.size(pieces).alias("n_pieces"),
+        est.alias("est_bpe_tokens"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every
+    k-char gram of the normalized text, slide a ``window``-wide frame
+    over the hash sequence, keep each frame's minimum, dedupe.
+
+    The standard local fingerprinting scheme (Schleimer et al.,
+    SIGMOD'03): any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint, so matching
+    fingerprints finds partial overlap/plagiarism, not just whole-doc
+    equality like :func:`fingerprint`. All array expressions (sequence /
+    transform / slice / array_min) -- JVM-side per row, no shuffle, no
+    explosion of the corpus; md5 hex keeps the hash engine-portable and
+    its lexicographic min well-defined everywhere.
+
+    Output is flat: the fingerprint count and an md5 digest over the
+    sorted fingerprint set (set identity as one scalar)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        )
+    )
+    # sequence(1, 0) yields [1, 0]... guard: when no grams/windows -> empty
+    fps = F.when(n_windows >= F.lit(1), fps).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(
+        id_col,
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", fps)).alias("fp_digest"),
+    )

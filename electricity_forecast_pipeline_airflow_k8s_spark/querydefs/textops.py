@@ -658,3 +658,51 @@ ORDER BY id_a, id_b
 def q_emb_neardup(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir)
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+# -- LLM token budgeting: BPE-ish subword estimate (integer-exact) ----------
+@register(
+    "text_bpe_token_estimate",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+       CAST(coalesce(list_sum(list_transform(
+            regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+            p -> (length(p) + 3) // 4)), 0) AS BIGINT) AS est_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.bpe_token_estimate(docs).orderBy("doc_id")
+
+
+# -- rolling-hash (winnowing) fingerprints, flat digest output --------------
+@register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8
+              THEN [md5(substr(t, i, 8)) for i in range(1, length(t) - 8 + 2)]
+              ELSE [] END AS hs
+  FROM d
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_sort(list_distinct(
+                     [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
+              ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM h
+)
+SELECT doc_id, len(fps) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM w ORDER BY doc_id
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return TX.winnow_fingerprints(docs, k=8, window=4).orderBy("doc_id")

@@ -21,6 +21,19 @@ def test_prepare_then_train_jobs(spark, sf_dir, tmp_path):
     res = train_job(spark, lake, lookback=24, horizon=6)
     assert res["n_forecast_rows"] == 6
     assert res["metrics"]["rmse"] is not None
+    # registry publication: the trained params are the new latest version
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml.registry import (
+        latest_version,
+        load_model,
+    )
+
+    assert res["model_version"] == 1
+    assert latest_version(spark, lake, res["model_name"]) == 1
+    assert load_model(spark, lake, res["model_name"]).count() > 0
+
+    # a second run registers version 2
+    res2 = train_job(spark, lake, lookback=24, horizon=6)
+    assert res2["model_version"] == 2
 
 
 def test_cli_prepare(tmp_path, sf_dir):
