@@ -329,3 +329,56 @@ def simhash_codes(
     for j in range(n_bits):
         code = code + F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
     return summed.select(F.col(id_col), code.cast("int").alias("simhash"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    count and fraction of its distinct word n-grams that also appear in
+    the benchmark set (the decontamination signal -- docs overlapping an
+    eval benchmark get dropped before training).
+
+    Scale layout: the benchmark's distinct n-grams are a small set
+    (benchmarks are thousands of examples, not terabytes), so they
+    broadcast; the corpus explodes its distinct shingles once and
+    left-semi joins -- never a cross join, and the only shuffle on the
+    corpus side is the per-doc count aggregation. At 100 TB this is one
+    scan + one broadcast-semi-join + one hash agg."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("g")
+    )
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(shingles(text_col, n)).alias("n_ngrams")
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import portable_round
+
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias(
+            "contaminated_ngrams"
+        ),
+        F.when(
+            F.col("n_ngrams") > 0,
+            portable_round(
+                F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+                / F.col("n_ngrams"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contaminated_frac"),
+    )

@@ -1,0 +1,75 @@
+"""Deterministic sampling and source mixing for training-data pipelines.
+
+The core primitive is hash-threshold sampling: a row is kept iff the
+first 8 hex chars of md5(seed \\x1f key) are lexicographically below the
+hex encoding of floor(rate * 16^8). Because md5 is uniform and identical
+in every engine, this gives
+
+  * exact reproducibility (same seed + key -> same sample, any engine,
+    any partitioning, any cluster size -- unlike df.sample, whose output
+    depends on the partition layout), and
+  * consistent subsets: rate 0.1 is a strict subset of rate 0.2, so a
+    pipeline can down-mix a source without reshuffling history.
+
+Mixing applies a per-source rate from a small weights table (broadcast
+join -- the weights side is bounded by the number of corpora, never data
+volume). This is the standard "data mixture" layout for LLM corpus
+assembly: one scan, one broadcast, no shuffle on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import stable_hash
+
+_HEX_DIGITS = 8
+_HEX_SPACE = 16**_HEX_DIGITS
+
+
+def hex_threshold(rate: float) -> str:
+    """Hex string h such that P[substr(md5, 1, 8) < h] == floor(rate *
+    16^8) / 16^8 (within 6e-10 of ``rate``)."""
+    v = min(max(int(rate * _HEX_SPACE), 0), _HEX_SPACE)
+    return format(v, "08x") if v < _HEX_SPACE else "g" * _HEX_DIGITS
+
+def sample_key(seed: str, *cols) -> Column:
+    """The 8-hex-char sampling key for a row."""
+    return F.substring(stable_hash(F.lit(seed), *cols), 1, _HEX_DIGITS)
+
+
+def hash_sample(
+    df: DataFrame, *key_cols: str, rate: float, seed: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, selected by
+    md5(seed, key) threshold. Pure filter -- pushes down, no shuffle."""
+    return df.filter(sample_key(seed, *key_cols) < F.lit(hex_threshold(rate)))
+
+
+def rate_threshold_col(rate_col: Column) -> Column:
+    """Column form of :func:`hex_threshold` for per-row (per-source)
+    rates: lower(format_string('%08x', floor(rate * 16^8)))."""
+    v = F.floor(rate_col * F.lit(float(_HEX_SPACE))).cast("long")
+    v = F.least(F.greatest(v, F.lit(0)), F.lit(_HEX_SPACE - 1))
+    return F.lower(F.format_string("%08x", v))
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    *key_cols: str,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted multi-source sampling: join the tiny ``weights(source,
+    rate)`` table (broadcast) and keep each row iff its hash key falls
+    under its source's threshold. One scan + one broadcast join; the
+    corpus side never shuffles, so this holds at 100 TB regardless of
+    how skewed the source distribution is."""
+    keyed = df.withColumn("_sk", sample_key(seed, *key_cols))
+    joined = keyed.join(F.broadcast(weights), on=source_col, how="inner")
+    return (
+        joined.filter(F.col("_sk") < rate_threshold_col(F.col("rate")))
+        .drop("_sk")
+    )

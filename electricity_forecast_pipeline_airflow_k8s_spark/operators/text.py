@@ -233,3 +233,109 @@ def winnow_fingerprints(
         F.size(fps).alias("n_fingerprints"),
         F.md5(F.concat_ws(",", fps)).alias("fp_digest"),
     )
+
+
+def word_ngrams(text_col: Column | str, n: int) -> Column:
+    """ALL word n-grams (with multiplicity, unlike
+    :func:`~electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup.shingles`)
+    as an array column -- repetition analysis needs the counts, not the
+    set. Documents with fewer than n tokens yield an empty array."""
+    t = tokens(text_col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_ngram_char_frac(text_col: str, n: int) -> Column:
+    """Fraction of document characters covered by the single most frequent
+    word n-gram (count * gram length / doc length) -- the Gopher
+    repetition signal (Rae et al. 2021, 'rep. top n-gram char frac').
+
+    Argmax is deterministic: max by (count, then gram text), computed as
+    array_max over (count, gram) structs. Pure array expressions per row
+    (JVM-side, shuffle-free); the within-row O(distinct x total) compare
+    is bounded by document length, never corpus size."""
+    grams = word_ngrams(text_col, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                g.alias("g"),
+            ),
+        )
+    )
+    frac = F.try_divide(top["c"] * F.length(top["g"]), F.length(F.col(text_col)))
+    return F.when(F.size(grams) > 0, portable_round(frac, 4)).otherwise(F.lit(0.0))
+
+
+def _dup_frac(parts: Column) -> Column:
+    """1 - distinct/total over an array of parts (lines, paragraphs,
+    tokens); 0.0 for empty/singleton part lists."""
+    dup = F.try_divide(
+        (F.size(parts) - F.size(F.array_distinct(parts))).cast("double"),
+        F.size(parts),
+    )
+    return F.when(F.size(parts) > 0, portable_round(dup, 4)).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality rules per document (Rae et al.
+    2021 §A1.1): duplicate line / paragraph / token fractions and the
+    top-{2,3,4}-gram character fractions. Training pipelines drop
+    documents above thresholds on these (e.g. top-2-gram frac > 0.2).
+
+    Everything is per-row array arithmetic -- no shuffle, no UDF; the
+    operator scales linearly with corpus bytes and parallelism follows
+    the scan."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\n+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return df.select(
+        id_col,
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(paras).alias("dup_para_frac"),
+        _dup_frac(tokens(text_col)).alias("dup_token_frac"),
+        _top_ngram_char_frac(text_col, 2).alias("top2gram_char_frac"),
+        _top_ngram_char_frac(text_col, 3).alias("top3gram_char_frac"),
+        _top_ngram_char_frac(text_col, 4).alias("top4gram_char_frac"),
+    )
+
+
+# PII patterns: RE2/Java-regex-portable (no lookaround, no backtracking
+# ambiguity) so Spark and any SQL oracle count identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+[0-9]{7,15}",
+}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection counts (email / IPv4 / URL / intl
+    phone) -- the filtering signal a training pipeline uses to drop or
+    redact documents before the corpus ships. regexp_count is JVM-side;
+    patterns are chosen to behave identically under Java regex and RE2."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    total = None
+    for name in PII_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name]))
+        total = c if total is None else total + c
+    return df.select(id_col, *cols, total.alias("pii_total"))

@@ -93,12 +93,13 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_hour_coverage",
     # ML edge: shape/split/window invariants of the REAL grouped-ML
     # pipeline, oracle-checked (the weights themselves are no_oracle and
-    # were rows-only-checked in round 1)
+    # were rows-only-checked in round 1; quality_profile_approx is pinned
+    # exact-equal to the oracle-checked flagship by pytest, so it yields
+    # its window slot to oracle-backed queries)
     "ml_invariants",
-    # flagship scale mode (rows-only: approx sketches differ from DuckDB)
-    "quality_profile_approx",
-    # round-1 canonicalizer-crash family member, re-prove flat output
-    "dedup_clusters",
+    # LLM token budgeting + rolling-hash fingerprinting (new this round)
+    "text_bpe_token_estimate",
+    "text_winnow_fingerprints",
 )
 
 

@@ -706,3 +706,187 @@ FROM w ORDER BY doc_id
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return TX.winnow_fingerprints(docs, k=8, window=4).orderBy("doc_id")
+
+
+# -- Gopher-style repetition quality rules (Rae et al. 2021 A1.1) -----------
+def _rep_gram_cte(n: int) -> str:
+    """Top word-n-gram char fraction CTEs: explode grams, count, argmax
+    by (count, gram), chars = count * len(gram)."""
+    return f"""
+g{n} AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {n}
+                THEN [array_to_string(t[i:i+{n - 1}], ' ')
+                      for i in range(1, len(t) - {n} + 2)]
+                ELSE [] END) AS g
+  FROM toks
+), c{n} AS (
+  SELECT doc_id, g, count(*) AS cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, g DESC) AS rn
+  FROM g{n} GROUP BY doc_id, g
+), top{n} AS (
+  SELECT doc_id, cnt * length(g) AS top_chars FROM c{n} WHERE rn = 1
+)"""
+
+
+_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS t FROM documents
+),
+{_rep_gram_cte(2).lstrip()},
+{_rep_gram_cte(3).lstrip()},
+{_rep_gram_cte(4).lstrip()},
+base AS (
+  SELECT doc_id, text, t,
+         list_filter(list_transform(string_split_regex(text, '\\n'),
+                                    s -> trim(s)), s -> s != '') AS lines,
+         list_filter(list_transform(string_split_regex(text, '\\n\\n+'),
+                                    s -> trim(s)), s -> s != '') AS paras
+  FROM toks
+)
+SELECT b.doc_id,
+       CASE WHEN len(lines) > 0 THEN floor((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) * 10000 + 0.5) / 10000 ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN len(paras) > 0 THEN floor((len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) * 10000 + 0.5) / 10000 ELSE 0.0 END AS dup_para_frac,
+       CASE WHEN len(t) > 0 THEN floor((len(t) - len(list_distinct(t))) * 1.0 / len(t) * 10000 + 0.5) / 10000 ELSE 0.0 END AS dup_token_frac,
+       coalesce(floor(t2.top_chars * 1.0 / length(b.text) * 10000 + 0.5) / 10000, 0.0) AS top2gram_char_frac,
+       coalesce(floor(t3.top_chars * 1.0 / length(b.text) * 10000 + 0.5) / 10000, 0.0) AS top3gram_char_frac,
+       coalesce(floor(t4.top_chars * 1.0 / length(b.text) * 10000 + 0.5) / 10000, 0.0) AS top4gram_char_frac
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN top4 t4 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_stats", oracle=_REP_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.repetition_stats(docs).orderBy("doc_id")
+
+
+# -- PII detection counts ---------------------------------------------------
+# The synthetic fixture contains no PII, so the query plants deterministic
+# PII derived from doc_id on BOTH sides (same concat in Spark and SQL),
+# making the regex machinery a non-trivial cross-engine check.
+_PII_AUG_SQL = """
+text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+     || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+     || CASE WHEN doc_id % 11 = 0 THEN ' call +1555' || CAST(1000000 + doc_id AS VARCHAR) ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+          + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+          + len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS INT) AS pii_total
+FROM aug ORDER BY doc_id
+"""
+
+
+@register("text_pii_stats", oracle=_PII_ORACLE)
+def q_pii_stats(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" see https://example.org/d/"), d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" call +1555"), (d + 1000000).cast("string"))).otherwise(F.lit("")),
+    )
+    docs = table(spark, "documents", sf_dir).withColumn("text", aug)
+    return TX.pii_stats(docs).orderBy("doc_id")
+
+
+# -- deterministic hash sampling / source mixing ----------------------------
+_MIX_RATES = {f"src{i}": (2 + i % 5) / 8 for i in range(20)}  # exact binary
+
+_MIX_ORACLE = f"""
+WITH w(source, rate) AS (VALUES {", ".join(f"('{s}', CAST({r} AS DOUBLE))" for s, r in _MIX_RATES.items())}),
+keyed AS (
+  SELECT d.source, w.rate,
+         substr(md5('mix1' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sk,
+         lower(printf('%08x', CAST(least(greatest(floor(w.rate * 4294967296), 0), 4294967295) AS BIGINT))) AS thr
+  FROM documents d JOIN w USING (source)
+)
+SELECT source, rate,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN sk < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(sum(CASE WHEN sk < thr THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS kept_frac
+FROM keyed GROUP BY source, rate ORDER BY source
+"""
+
+
+@register("sample_mix_sources", oracle=_MIX_ORACLE)
+def q_sample_mix_sources(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import sampling as SP
+
+    docs = table(spark, "documents", sf_dir)
+    weights = spark.createDataFrame(
+        list(_MIX_RATES.items()), "source string, rate double"
+    )
+    kept = SP.mix_sources(docs, weights, "source", "doc_id", seed="mix1")
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    kept_counts = kept.groupBy("source", "rate").agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "rate",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            portable_round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_total"), 4
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- benchmark-contamination n-gram overlap ---------------------------------
+# Real decontamination uses 8-13 grams; the synthetic fixture's vocabulary
+# is tiny, so n=3 keeps the overlap distribution non-degenerate here.
+_CONTAM_N = 3
+_CONTAM_GRAMS = (
+    f"CASE WHEN len(t) >= {_CONTAM_N} THEN "
+    f"list_distinct([array_to_string(t[i:i+{_CONTAM_N - 1}], ' ') "
+    f"for i in range(1, len(t) - {_CONTAM_N} + 2)]) ELSE [] END"
+)
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (SELECT doc_id, {_CONTAM_GRAMS} AS gs FROM toks),
+bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 25 = 0),
+corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 25 <> 0),
+matched AS (
+  SELECT c.doc_id, count(*) AS contaminated_ngrams
+  FROM corpus c JOIN bench b USING (g) GROUP BY c.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.gs) AS INT) AS n_ngrams,
+       CAST(coalesce(m.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       CASE WHEN len(g.gs) > 0
+            THEN floor(coalesce(m.contaminated_ngrams, 0) * 1.0 / len(g.gs) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS contaminated_frac
+FROM grams g LEFT JOIN matched m USING (doc_id)
+WHERE g.doc_id % 25 <> 0
+ORDER BY g.doc_id
+"""
+
+
+@register("dedup_contamination_check", oracle=_CONTAM_ORACLE)
+def q_contamination_check(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return DD.ngram_contamination(corpus, bench, n=_CONTAM_N).orderBy("doc_id")
