@@ -36,11 +36,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Read one testdata table. Plain parquet scan -- predicate pushdown,
     column pruning, and split-based parallelism all come from Catalyst.
 
-    `events.ts` is stored as TIMESTAMP(NANOS) which Spark's parquet reader
-    does not model natively; we read it as long nanos (legacy conf) and
-    truncate to microsecond timestamps with integer arithmetic -- the same
-    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP, so oracle
-    comparisons stay exact.
+    `events.ts` may be stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader does not model natively; with the legacy conf it surfaces as long
+    nanos, and we truncate to microsecond timestamps with integer
+    arithmetic -- the same truncation DuckDB applies casting TIMESTAMP_NS ->
+    TIMESTAMP, so oracle comparisons stay exact. When the file already uses
+    micro/millisecond precision the column reads as a timestamp and needs no
+    conversion.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,9 +50,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
