@@ -43,6 +43,13 @@ HEADLINE = [
     "sim_topk_ivf",
     "emb_neardup_pairs",
     "tpch_large_orders",
+    # round-3 additions
+    "ts_calendar_features",
+    "ts_backtest_folds",
+    "text_entropy_stats",
+    "emb_centroid_assign",
+    "dedup_keep_best",
+    "tpch_returned_items",
 ]
 
 

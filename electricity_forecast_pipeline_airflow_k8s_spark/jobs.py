@@ -46,13 +46,26 @@ def prepare_job(
     retention, plus the drift check the reference only configured
     (`config.yaml:44-47`): PSI + KS between the trailing week and the rest
     of the new batch."""
-    # tolerate TIMESTAMP(NANOS) parquet (same handling as sources/tables.py)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(input_path)
-    if "ts" in raw.columns and "period" not in raw.columns:
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        raw = events_as_readings(raw)
+    # tolerate TIMESTAMP(NANOS)/MICROS-ntz parquet (same handling as
+    # sources/tables.py, with the conf scoped so it can't leak into later
+    # reads in the same session)
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        raw = spark.read.parquet(input_path)
+        if "ts" in raw.columns and "period" not in raw.columns:
+            dtype = dict(raw.dtypes).get("ts")
+            if dtype == "bigint":
+                raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dtype == "timestamp_ntz":
+                raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            raw = events_as_readings(raw)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     res = run_preparation(spark, raw, lake_root, run_ts=run_ts, fail_on_errors=False)
 
     normalized = normalize_readings(raw)

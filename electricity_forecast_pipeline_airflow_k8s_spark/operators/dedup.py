@@ -101,11 +101,19 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Band the signature (k/bands rows per band), hash each band, and
     equi-join docs sharing any band hash. Returns distinct (id_a < id_b)
-    candidate pairs."""
+    candidate pairs.
+
+    ``cache_registry``: when provided, the internally persisted banded
+    table's handle is appended so the caller can unpersist it after the
+    terminal action (scoped-cache hygiene for long-lived sessions)."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -122,6 +130,8 @@ def lsh_candidate_pairs(
         .select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -180,6 +190,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    scoped_cache: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> banded candidates -> exact
     Jaccard verify. No stage is quadratic in corpus size.
@@ -188,24 +199,29 @@ def minhash_lsh_dedup_pairs(
     the signature explode and the verify join; the banded table is likewise
     persisted because the candidate self-join consumes it twice. Without
     these, Spark recomputes the md5 pipeline once per join side (measured
-    ~2x on the bench). Trade-off: the cached blocks stay resident until LRU
-    eviction (MEMORY_AND_DISK) -- Spark has no scoped cache, and caller-side
-    unpersist would fire before the lazy consumers run; long-lived sessions
-    invoking this repeatedly rely on eviction, which is safe but can churn
-    other cached data."""
+    ~2x on the bench).
+
+    Cache hygiene (``scoped_cache=True``, the default): the verified-pairs
+    result -- tiny relative to the corpus (near-dup pairs only) -- is
+    eagerly materialized via ``localCheckpoint`` and every intermediate
+    persist is released before returning, so repeated invocations in a
+    long-lived session leave no cached blocks behind. Pass
+    ``scoped_cache=False`` for a fully lazy plan (caller owns eviction)."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    handles: list = []
     sh = (
         df.repartition(par, id_col)
         .select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
         .persist()
     )
+    handles.append(sh)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
         for i in range(k)
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
-    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands, cache_registry=handles)
     j = (
         cands.join(
             sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"
@@ -226,7 +242,14 @@ def minhash_lsh_dedup_pairs(
             / 10000,
         )
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    result = j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    if scoped_cache:
+        result = result.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
+    return result
 
 
 def connected_components(

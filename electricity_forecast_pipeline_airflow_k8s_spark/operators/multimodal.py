@@ -38,7 +38,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("sha1", T.StringType()),
+        T.StructField("sha256", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -66,8 +66,9 @@ def sniff_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
 def _fake_decode(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Deterministic stand-in decoder: derives a stable (w, h, c) and an
     8-dim feature vector from the byte content. Replace with a real codec
-    via the decode_fn parameter."""
-    digest = hashlib.sha1(content).digest()
+    via the decode_fn parameter. sha256 (not sha1) so an independent SQL
+    engine can recompute every derived column for oracle checks."""
+    digest = hashlib.sha256(content).digest()
     w = 16 + digest[0] % 64
     h = 16 + digest[1] % 64
     c = 1 + digest[2] % 3
@@ -102,7 +103,7 @@ def decode_and_featurize(
                         "media_id": r["media_id"],
                         "kind": r["kind"],
                         "n_bytes": len(content),
-                        "sha1": hashlib.sha1(content).hexdigest(),
+                        "sha256": hashlib.sha256(content).hexdigest(),
                         "width": w,
                         "height": h,
                         "channels": c,

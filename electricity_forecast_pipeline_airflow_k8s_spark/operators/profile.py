@@ -146,6 +146,7 @@ def quality_profile_scale(
     iqr_k: float = 3.0,
     round_to: int = 4,
     bucket: str = "day",
+    scoped_cache: bool = True,
 ) -> DataFrame:
     """The 100 TB layout of :func:`quality_profile` (same output schema;
     quantile-derived columns are percentile_approx sketches).
@@ -170,7 +171,9 @@ def quality_profile_scale(
       results are EXACT, identical to the flagship's full-sequence lag.
 
     The tiny bounds frame is persisted (it feeds both the broadcast and
-    the final output) so pass 1 runs once.
+    the final output) so pass 1 runs once; with ``scoped_cache`` (default)
+    the n_groups-row result is eagerly materialized via localCheckpoint and
+    the persist is released, so the operator leaves no cached blocks behind.
     """
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
         portable_round,
@@ -272,7 +275,7 @@ def quality_profile_scale(
     out = bounds.join(
         fin, on=F.col(group_col).eqNullSafe(F.col("_rg")), how="left"
     ).drop("_rg")
-    return (
+    result = (
         out.select(
             group_col,
             "n_rows",
@@ -297,6 +300,10 @@ def quality_profile_scale(
         )
         .orderBy(group_col)
     )
+    if scoped_cache:
+        result = result.localCheckpoint(eager=True)
+        bounds.unpersist()
+    return result
 
 
 def profile_oracle_sql(

@@ -228,3 +228,62 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def centroid_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """One k-means assignment step over an embedding column: centroids =
+    per-label mean vectors, every vector re-assigned to its nearest
+    centroid (squared L2, ties to the smaller label).
+
+    100 TB layout -- the canonical distributed k-means iteration:
+
+    * centroid pass: posexplode to (label, dim) then ONE hash aggregate;
+      map-side combine caps the shuffle at n_labels x dim rows per
+      partition regardless of corpus size.
+    * assignment pass: the k x dim centroid table (a few KB) is
+      BROADCAST; distance is native `zip_with`/`aggregate` array math
+      inside codegen, and the arg-min is a `min(struct(d2, label))`
+      aggregate -- again map-side combinable, no window, no shuffle of
+      the k-expanded frame by vector id.
+
+    No Python executes per row anywhere.
+    """
+    v_dbl = F.transform(vec_col, lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), F.col(label_col), v_dbl.alias("_v"))
+    exp = e.select(
+        F.col(label_col).alias("_cl"), F.posexplode("_v").alias("_pos", "_val")
+    )
+    cent = (
+        exp.groupBy("_cl", "_pos")
+        .agg(F.avg("_val").alias("_cval"))
+        .groupBy("_cl")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_cval"))).alias("_s"))
+        .select("_cl", F.transform("_s", lambda st: st["_cval"]).alias("_cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("_v", "_cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        F.col(label_col),
+        F.struct(d2.alias("d2"), F.col("_cl").alias("cl")).alias("_dc"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.first(label_col).alias("true_label"),
+        F.min("_dc").alias("_best"),
+    )
+    return best.select(
+        id_col,
+        "true_label",
+        F.col("_best.cl").alias("assigned_label"),
+        portable_round(F.col("_best.d2"), round_to).alias("dist2"),
+        (F.col("_best.cl") == F.col("true_label")).alias("is_own_centroid"),
+    )

@@ -262,3 +262,105 @@ def psi_drift(
         )
         .orderBy(group_col)
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str = "period",
+    round_to: int = 6,
+) -> DataFrame:
+    """Calendar feature engineering for forecasting models: hour-of-day,
+    ISO day-of-week, month, weekend flag, plus the cyclic sin/cos
+    encodings neural forecasters consume (an LSTM fed raw hour 23 and
+    hour 0 cannot see they are adjacent; sin/cos makes the wraparound
+    metric). Reference analog: the datetime feature derivation feeding
+    model training (core/model_training.py builds sequences over the
+    time-indexed series; cyclic time features are the standard public
+    encoding for that input).
+
+    All native column expressions -- codegen end-to-end, no shuffle; at
+    100 TB this fuses into whatever scan precedes it.
+
+    `isodow` is 1=Monday..7=Sunday (Spark's weekday()+1), matching
+    DuckDB/Postgres `isodow` so oracles align across engines.
+    """
+    t = F.col(ts_col)
+    two_pi = 2.0 * 3.141592653589793
+    hour = F.hour(t)
+    isodow = F.weekday(t) + F.lit(1)
+    month = F.month(t)
+    r = lambda c: F.floor(c * 10**round_to + 0.5) / 10**round_to  # noqa: E731
+    return df.withColumns(
+        {
+            "hour": hour,
+            "isodow": isodow,
+            "month": month,
+            "is_weekend": (isodow >= 6),
+            "hour_sin": r(F.sin(hour * F.lit(two_pi) / F.lit(24.0))),
+            "hour_cos": r(F.cos(hour * F.lit(two_pi) / F.lit(24.0))),
+            "dow_sin": r(F.sin((isodow - 1) * F.lit(two_pi) / F.lit(7.0))),
+            "dow_cos": r(F.cos((isodow - 1) * F.lit(two_pi) / F.lit(7.0))),
+        }
+    )
+
+
+def backtest_folds(
+    df: DataFrame,
+    n_folds: int = 4,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation fold assignment,
+    the standard backtest layout for forecast HPO: the group's ordered
+    history is cut into ``n_folds + 1`` equal slices; fold i trains on
+    slices [0, i] and tests on slice i+1, so train always precedes test
+    and later folds see strictly more history.
+
+    Returns one row per (group, fold) with train/test row counts and
+    boundary timestamps. The row-number window partitions by group --
+    fine here because the output is per-fold aggregates computed in the
+    SAME pass (no O(rows) second window); for volume-parallel variants
+    bucket first as in quality_profile_scale.
+
+    Fold boundaries use exact integer arithmetic (floor((i+1) * n /
+    (n_folds+1))) so every engine derives identical cuts.
+    """
+    slices = n_folds + 1
+    order = [F.col(ts_col).asc_nulls_last()] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(ts_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    folds = ranked.select(
+        group_col,
+        ts_col,
+        "_rn",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_folds - 1))).alias("fold"),
+    )
+    train_end = F.floor((F.col("fold") + 1) * F.col("_n") / slices)
+    test_end = F.floor((F.col("fold") + 2) * F.col("_n") / slices)
+    tagged = folds.withColumn(
+        "_part",
+        F.when(F.col("_rn") <= train_end, "train")
+        .when(F.col("_rn") <= test_end, "test")
+        .otherwise(None),
+    ).filter(F.col("_part").isNotNull())
+    return (
+        tagged.groupBy(group_col, "fold")
+        .agg(
+            F.sum(F.when(F.col("_part") == "train", 1).otherwise(0)).alias("train_n"),
+            F.sum(F.when(F.col("_part") == "test", 1).otherwise(0)).alias("test_n"),
+            F.max(F.when(F.col("_part") == "train", F.col(ts_col))).alias(
+                "train_end_ts"
+            ),
+            F.max(F.when(F.col("_part") == "test", F.col(ts_col))).alias(
+                "test_end_ts"
+            ),
+        )
+        .orderBy(group_col, "fold")
+    )

@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+    portable_round_sql,
+)
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 
 
@@ -200,25 +204,51 @@ def q_union_pages(spark: SparkSession, sf_dir: str):
     )
 
 
-# -- approx variants (scale path; deterministic in Spark but approx values
-# -- differ from DuckDB's sketches -> rows-only, exactness not claimed)
-@register("approx_distinct_and_quantiles")
+# -- approx variants (scale path). Spark's HLL++/KLL sketch values cannot
+# -- be reproduced by another engine, so the oracle-checkable CONTRACT is
+# -- the error bound itself: Spark emits the exact anchors (matched
+# -- value-for-value against DuckDB) plus booleans asserting the approx
+# -- result lies within its documented error envelope; the oracle emits
+# -- TRUE literals. A sketch drifting out of tolerance hash-mismatches.
+@register(
+    "approx_distinct_and_quantiles",
+    oracle=f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       {portable_round_sql("quantile_cont(value, 0.5)", 6)} AS p50_exact,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_p50_ok,
+       TRUE AS approx_p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def q_approx(spark: SparkSession, sf_dir: str):
     # flat scalar output only: array columns are not sortable/hashable by
     # the driver's pandas canonicalizer
     ev = table(spark, "events", sf_dir)
-    qs = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)))
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            qs.alias("_qs"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.element_at("_qs", 1).alias("approx_p50"),
-            F.element_at("_qs", 2).alias("approx_p99"),
-        )
-        .orderBy("event_type")
+    aqs = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)))
+    eqs = F.percentile("value", F.array(*[F.lit(x) for x in (0.4, 0.5, 0.6, 0.97)]))
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        aqs.alias("_aqs"),
+        eqs.alias("_eqs"),
+        F.max("value").alias("_vmax"),
     )
+    rel_err = (
+        F.abs(F.col("_approx_users") - F.col("n_users_exact"))
+        / F.col("n_users_exact")
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        portable_round(F.element_at("_eqs", 2), 6).alias("p50_exact"),
+        # HLL++ default rsd = 0.05; 3x headroom for the probabilistic tail
+        (rel_err <= 0.15).alias("approx_users_ok"),
+        F.element_at("_aqs", 1)
+        .between(F.element_at("_eqs", 1), F.element_at("_eqs", 3))
+        .alias("approx_p50_ok"),
+        F.element_at("_aqs", 2)
+        .between(F.element_at("_eqs", 4), F.col("_vmax"))
+        .alias("approx_p99_ok"),
+    ).orderBy("event_type")

@@ -348,3 +348,73 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str):
         .select("event_type", "window_start", "n", "avg_value", "min_value", "max_value")
         .orderBy("event_type", "window_start")
     )
+
+
+# -- streaming dedup parity: at-least-once delivery collapsed (round 3) -----
+# The file source lands the SAME events parquet twice (duplicate delivery,
+# as a flaky upstream or replayed ingest would); watermark + dropDuplicates
+# on event_id must collapse the second copy so the per-type aggregate
+# equals plain batch SQL over ONE copy. Real Structured Streaming --
+# availableNow trigger, state-store dedup, complete-mode sink.
+@register(
+    "stream_dedup_counts",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))
+             * 10000 + 0.5) / 10000 AS avg_value
+FROM {EVENTS_SRC} WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        dedup_late_data,
+    )
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.write.parquet(src)
+        ev.write.mode("append").parquet(src)  # duplicate delivery
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        deduped = dedup_late_data(
+            stream, group_col="event_id", ts_col="ts", watermark="24 hours"
+        )
+        agg = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                        / F.count("value")
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("avg_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_dedup_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming dedup query did not finish in 300s")
+    return (
+        spark.table("stream_dedup_out")
+        .select("event_type", "n_events", "avg_value")
+        .orderBy("event_type")
+    )

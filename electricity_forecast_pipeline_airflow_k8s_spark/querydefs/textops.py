@@ -601,7 +601,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str):
 
 # -- multimodal plumbing over binary columns (decode step is a
 # -- deterministic stub in this container; see operators/multimodal.py) -----
-@register("mm_decode_features")  # rows-only: mapInPandas decode stage
+def _hexbyte(i: int) -> str:
+    """DuckDB SQL for byte ``i`` (0-based) of the sha256 hex digest ``h``."""
+    c1, c2 = 2 * i + 1, 2 * i + 2
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {c1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(h, {c2}, 1)) - 1))"
+    )
+
+
+def _mm_decode_oracle() -> str:
+    """The fake decoder derives every output from sha256(content), so DuckDB
+    can recompute the ENTIRE mapInPandas stage -- width/height/channels and
+    the feature vector included -- from first principles. content is
+    utf-8(text), so DuckDB's VARCHAR sha256 hashes identical bytes."""
+    feat_sum = " + ".join(_hexbyte(4 + j) for j in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS content, sha256(text) AS h
+  FROM documents WHERE doc_id < 100
+)
+SELECT media_id,
+       CAST(octet_length(content) AS INT) AS n_bytes,
+       'application/octet-stream' AS sniffed_mime,
+       h AS sha256,
+       CAST(16 + {_hexbyte(0)} % 64 AS INT) AS width,
+       CAST(16 + {_hexbyte(1)} % 64 AS INT) AS height,
+       CAST(1 + {_hexbyte(2)} % 3 AS INT) AS channels,
+       8 AS n_features,
+       floor(({_hexbyte(4)} / 255.0) * 1000000 + 0.5) / 1000000 AS feat_first,
+       floor((({feat_sum}) / 255.0) * 1000000 + 0.5) / 1000000 AS feat_sum
+FROM m ORDER BY media_id
+"""
+
+
+@register("mm_decode_features", oracle=_mm_decode_oracle())
 def q_mm_decode(spark: SparkSession, sf_dir: str):
     from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
         decode_and_featurize,
@@ -620,7 +654,7 @@ def q_mm_decode(spark: SparkSession, sf_dir: str):
     # vector into scalars instead of emitting the array column
     decoded = decode_and_featurize(media).select(
         "media_id",
-        "sha1",
+        "sha256",
         "width",
         "height",
         "channels",
@@ -890,3 +924,123 @@ def q_contamination_check(spark: SparkSession, sf_dir: str):
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     return DD.ngram_contamination(corpus, bench, n=_CONTAM_N).orderBy("doc_id")
+
+
+# -- character entropy: corpus-quality signal (round 3) ---------------------
+# DuckDB's entropy() aggregate computes the identical -sum(p log2 p) over
+# the same exploded char stream, so both engines derive the value from
+# first principles independently.
+@register(
+    "text_entropy_stats",
+    oracle=r"""
+WITH chars AS (
+  SELECT doc_id, length(text) AS n_chars,
+         unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
+  FROM documents
+)
+SELECT doc_id,
+       first(n_chars) AS n_chars,
+       count(DISTINCT ch) AS n_distinct_chars,
+       floor(entropy(ch) * 1000000 + 0.5) / 1000000 AS entropy_bits
+FROM chars GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_entropy_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.char_entropy(docs).orderBy("doc_id")
+
+
+# -- k-means assignment step over embeddings (round 3) ----------------------
+# Centroids = per-label mean vectors; each vector re-assigned to nearest
+# (squared L2, ties to smaller label). DuckDB re-derives centroids and
+# distances from scratch via unnest + positional join.
+@register(
+    "emb_centroid_assign",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+exp AS (
+  SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+),
+cent AS (
+  SELECT label AS clabel, pos, avg(val) AS cval FROM exp GROUP BY 1, 2
+),
+dists AS (
+  SELECT x.vec_id, x.label, c.clabel, sum((x.val - c.cval) * (x.val - c.cval)) AS d2
+  FROM exp x JOIN cent c ON x.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT vec_id, label AS true_label, clabel AS assigned_label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM dists
+)
+SELECT vec_id, true_label, assigned_label,
+       floor(d2 * 1000000 + 0.5) / 1000000 AS dist2,
+       (assigned_label = true_label) AS is_own_centroid
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+""",
+)
+def q_emb_centroid_assign(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    return SIM.centroid_assign(emb).orderBy("vec_id")
+
+
+# -- canonical-representative selection per near-dup cluster (round 3) ------
+# The step after clustering in a real corpus pipeline: of each near-dup
+# cluster, KEEP the best document (here: most distinct tokens; ties to the
+# smaller doc_id) and count what gets dropped. argmax is a mergeable
+# max(struct(quality, -doc_id)) aggregate -- no window over the corpus.
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH clusters AS (
+  SELECT * FROM ({_clusters_oracle(0.5).replace("ORDER BY node", "")}) _c
+),
+scored AS (
+  SELECT doc_id, len(list_distinct({_TOKS})) AS q FROM documents
+),
+j AS (
+  SELECT c.component, c.node, s.q FROM clusters c JOIN scored s ON s.doc_id = c.node
+),
+r AS (
+  SELECT component, node, q,
+         row_number() OVER (PARTITION BY component ORDER BY q DESC, node) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM j
+)
+SELECT component, node AS kept_doc_id, q AS kept_quality,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1 ORDER BY component
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    pairs = DD.minhash_lsh_dedup_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.5
+    )
+    cc = DD.connected_components(pairs)
+    scored = docs.select(
+        F.col("doc_id"),
+        F.size(F.array_distinct(TX.tokens("text"))).alias("q"),
+    )
+    j = cc.join(scored, cc["node"] == scored["doc_id"], "inner").select(
+        "component", "node", "q"
+    )
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col("q").alias("q"), (-F.col("node")).alias("negnode"))).alias(
+            "_b"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "component",
+        (-F.col("_b.negnode")).alias("kept_doc_id"),
+        F.col("_b.q").alias("kept_quality"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    ).orderBy("component")

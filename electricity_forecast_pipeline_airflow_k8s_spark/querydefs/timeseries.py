@@ -13,6 +13,8 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.scaling import (
     fit_standard,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+    backtest_folds,
+    calendar_features,
     chronological_split,
     ks_drift,
     psi_drift,
@@ -20,7 +22,10 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import
     sequence_windows,
     tail_window,
 )
-from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import portable_round
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+    portable_round_sql,
+)
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
 
@@ -394,3 +399,84 @@ def q_hour_coverage(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- calendar feature engineering for forecasting (round 3) -----------------
+# Aggregated per (group, hour, isodow) so the driver compares a bounded
+# frame; the cyclic encodings are recomputed on the grouped keys, exactly
+# the per-row expressions calendar_features() emits.
+@register(
+    "ts_calendar_features",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, ts::TIMESTAMP AS ts, value FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       hour(ts) AS hour,
+       isodow(ts) AS isodow,
+       (isodow(ts) >= 6) AS is_weekend,
+       count(*) AS n,
+       {portable_round_sql("avg(value)", 4)} AS avg_value,
+       {portable_round_sql("sin(hour(ts) * 2 * pi() / 24.0)", 6)} AS hour_sin,
+       {portable_round_sql("cos(hour(ts) * 2 * pi() / 24.0)", 6)} AS hour_cos,
+       {portable_round_sql("sin((isodow(ts) - 1) * 2 * pi() / 7.0)", 6)} AS dow_sin,
+       {portable_round_sql("cos((isodow(ts) - 1) * 2 * pi() / 7.0)", 6)} AS dow_cos
+FROM ev GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3
+""",
+)
+def q_calendar_features(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    feats = calendar_features(ev, ts_col="ts", round_to=6)
+    return (
+        feats.groupBy("event_type", "hour", "isodow", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.avg("value"), 4).alias("avg_value"),
+            F.first("hour_sin").alias("hour_sin"),
+            F.first("hour_cos").alias("hour_cos"),
+            F.first("dow_sin").alias("dow_sin"),
+            F.first("dow_cos").alias("dow_cos"),
+        )
+        .orderBy("event_type", "hour", "isodow")
+    )
+
+
+# -- rolling-origin backtest folds (forecast HPO layout, round 3) -----------
+@register(
+    "ts_backtest_folds",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, ts::TIMESTAMP AS ts, event_id FROM events
+),
+ranked AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts ASC NULLS LAST, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+folds AS (
+  SELECT r.*, f.fold FROM ranked r
+  CROSS JOIN (SELECT unnest(range(4)) AS fold) f
+),
+tagged AS (
+  SELECT event_type, fold, ts,
+         CASE WHEN rn <= (fold + 1) * n // 5 THEN 'train'
+              WHEN rn <= (fold + 2) * n // 5 THEN 'test' END AS part
+  FROM folds
+)
+SELECT event_type, CAST(fold AS INT) AS fold,
+       CAST(sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+       CAST(sum(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_n,
+       max(CASE WHEN part = 'train' THEN ts END) AS train_end_ts,
+       max(CASE WHEN part = 'test' THEN ts END) AS test_end_ts
+FROM tagged WHERE part IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_backtest_folds(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    out = backtest_folds(
+        ev, n_folds=4, group_col="event_type", ts_col="ts", order_cols=("event_id",)
+    )
+    return out.withColumn("fold", F.col("fold").cast("int"))

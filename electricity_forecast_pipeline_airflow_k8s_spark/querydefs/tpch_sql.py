@@ -172,3 +172,23 @@ GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """,
 )
+
+# Q10-style: customers who returned the most revenue (top 20), through the
+# customer x orders x lineitem x nation star. LIMIT with a total-order
+# ORDER BY (revenue, custkey) so the cut is deterministic in both engines.
+_sql_query(
+    "tpch_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       floor(CAST(sum({REV}) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY CAST(sum({REV}) AS DOUBLE) DESC, c.c_custkey
+LIMIT 20
+""",
+)

@@ -46,6 +46,60 @@ def q_quality_profile_approx(spark: SparkSession, sf_dir: str):
     )
 
 
+# -- oracle-checkable contract for the scale mode: every non-quantile
+# column of the two-pass layout (counts, mean/std, dup/gap/seam logic) is
+# hash-matched against DuckDB value-for-value; the sketch-derived quantile
+# columns -- which no other engine can reproduce -- are asserted to satisfy
+# their structural invariants (ordered, consistent bounds), with the oracle
+# emitting TRUE literals. A violated invariant or a drifted exact column
+# hash-mismatches, so the 100 TB path gets full driver evidence.
+@register(
+    "quality_profile_scale_contract",
+    oracle=f"""
+SELECT event_type, n_rows, n_nulls, null_pct, min_ts, max_ts,
+       mean_value, std_value, n_dups, n_gaps, max_gap_seconds,
+       TRUE AS quantiles_ordered,
+       TRUE AS bounds_consistent,
+       TRUE AS outliers_bounded
+FROM ({profile_oracle_sql(table=EVENTS_SRC)}) ORDER BY event_type
+""",
+)
+def q_quality_profile_scale_contract(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    p = quality_profile_scale(
+        ev, group_col="event_type", ts_col="ts", value_col="value"
+    )
+    t = F.lit(True)
+    return p.select(
+        "event_type",
+        "n_rows",
+        "n_nulls",
+        "null_pct",
+        "min_ts",
+        "max_ts",
+        "mean_value",
+        "std_value",
+        "n_dups",
+        "n_gaps",
+        "max_gap_seconds",
+        # coalesce: an all-null-value group has NULL quantiles -> invariants
+        # hold vacuously on both sides
+        F.coalesce(
+            (F.col("q1") <= F.col("median_value"))
+            & (F.col("median_value") <= F.col("q3")),
+            t,
+        ).alias("quantiles_ordered"),
+        F.coalesce(
+            (F.col("lower_bound") <= F.col("q1"))
+            & (F.col("upper_bound") >= F.col("q3")),
+            t,
+        ).alias("bounds_consistent"),
+        (
+            (F.col("n_outliers") >= 0) & (F.col("n_outliers") <= F.col("n_rows"))
+        ).alias("outliers_bounded"),
+    ).orderBy("event_type")
+
+
 # -- A1/A2/P6: null counts + rate in one agg pass ---------------------------
 @register(
     "val_null_counts",

@@ -36,24 +36,44 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Read one testdata table. Plain parquet scan -- predicate pushdown,
     column pruning, and split-based parallelism all come from Catalyst.
 
-    `events.ts` may be stored as TIMESTAMP(NANOS), which Spark's parquet
-    reader does not model natively; with the legacy conf it surfaces as long
-    nanos, and we truncate to microsecond timestamps with integer
-    arithmetic -- the same truncation DuckDB applies casting TIMESTAMP_NS ->
-    TIMESTAMP, so oracle comparisons stay exact. When the file already uses
-    micro/millisecond precision the column reads as a timestamp and needs no
-    conversion.
+    `events.ts` arrives in whatever precision/annotation the fixture writer
+    chose, and every downstream consumer assumes a session-TZ TIMESTAMP:
+
+    - TIMESTAMP(NANOS): Spark's parquet reader does not model nanos natively;
+      with the legacy conf it surfaces as long nanos, and we truncate to
+      microsecond timestamps with integer arithmetic -- the same truncation
+      DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP, so oracle comparisons
+      stay exact.
+    - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): Spark reads it as
+      TIMESTAMP_NTZ, which `unix_micros`/interval arithmetic reject; we cast
+      to TIMESTAMP. The cast reinterprets the wall-clock fields in the session
+      TZ (UTC here), which is exactly how DuckDB's `epoch_us` treats the same
+      values, so oracle parity holds.
+    - already TIMESTAMP: passthrough.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        # Scope the nanos-as-long conf to this read so other parquet reads in
+        # the session keep their native timestamp behavior.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            dtype = dict(df.dtypes).get("ts")
+            if dtype == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

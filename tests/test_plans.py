@@ -65,8 +65,20 @@ def test_quality_profile_scale_windows_never_partition_rows_by_group_alone(
     group key alone (that caps parallelism at the group count). Row-level
     lag windows must partition by (group, bucket); the only group-keyed
     window allowed is the boundary pass over the tiny per-bucket
-    aggregate."""
-    q = registry()["quality_profile_approx"].build(spark, sf_dir)
+    aggregate.
+
+    Built with scoped_cache=False: the registered query eagerly
+    checkpoints its tiny result (cache hygiene), which hides the logical
+    plan this test inspects."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile_scale,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    q = quality_profile_scale(
+        ev, group_col="event_type", ts_col="ts", value_col="value",
+        scoped_cache=False,
+    )
     plan = explain_str(q)
     # the row-level gap window shuffles on (event_type, _bkt)
     assert "hashpartitioning(event_type" in plan

@@ -118,3 +118,19 @@ def test_exact_dedup_keeps_one_per_duplicate(spark):
     )
     kept = DD.exact_dedup(df)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_lsh_pipeline_leaves_no_cached_blocks(spark):
+    """Scoped-cache hygiene (VERDICT r2 item 7): the LSH pipeline persists
+    two intermediates internally; after the terminal action completes the
+    cache manager must be empty again."""
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # start from a clean cache: module fixtures legitimately .cache()
+    # (perf only), and this test asserts the PIPELINE adds nothing
+    spark.catalog.clearCache()
+    result = DD.minhash_lsh_dedup_pairs(df, threshold=0.5)
+    result.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
