@@ -43,17 +43,20 @@ HEADLINE = [
     "sim_topk_ivf",
     "emb_neardup_pairs",
     "tpch_large_orders",
-    # round-3 additions
+    # round-3 additions (dedup_keep_best/dedup_clusters excluded: their
+    # iterative connected-components materializes during plan BUILD via
+    # localCheckpoint, so a write-bracketed timer would underreport them)
     "ts_calendar_features",
     "ts_backtest_folds",
     "text_entropy_stats",
     "emb_centroid_assign",
-    "dedup_keep_best",
     "tpch_returned_items",
 ]
 
 
 def main() -> None:
+    # lazy plans for benchmarking: see the timing note below
+    os.environ["SPARK_GRAFT_SCOPED_CACHE"] = "0"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="efp-bench")
@@ -71,7 +74,11 @@ def main() -> None:
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # two timed iterations, report the min (steady-state; OS cache and JIT
-    # noise dominates single runs at this data size)
+    # noise dominates single runs at this data size). Timing brackets the
+    # noop materialization of a LAZY plan: SPARK_GRAFT_SCOPED_CACHE=0 (set
+    # in main) turns off the session-hygiene eager checkpoints so no query
+    # computes at build time -- otherwise the checkpointing operators would
+    # run OUTSIDE the timer and report near-zero.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:

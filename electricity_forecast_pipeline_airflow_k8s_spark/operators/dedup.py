@@ -190,7 +190,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    scoped_cache: bool = True,
+    scoped_cache: bool | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> banded candidates -> exact
     Jaccard verify. No stage is quadratic in corpus size.
@@ -206,7 +206,13 @@ def minhash_lsh_dedup_pairs(
     eagerly materialized via ``localCheckpoint`` and every intermediate
     persist is released before returning, so repeated invocations in a
     long-lived session leave no cached blocks behind. Pass
-    ``scoped_cache=False`` for a fully lazy plan (caller owns eviction)."""
+    ``scoped_cache=False`` for a fully lazy plan (caller owns eviction);
+    the default resolves from ``SPARK_GRAFT_SCOPED_CACHE`` (on unless
+    "0" -- bench.py turns it off so timing brackets the lazy plan)."""
+    if scoped_cache is None:
+        import os
+
+        scoped_cache = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
     par = df.sparkSession.sparkContext.defaultParallelism
     handles: list = []
     sh = (

@@ -146,7 +146,7 @@ def quality_profile_scale(
     iqr_k: float = 3.0,
     round_to: int = 4,
     bucket: str = "day",
-    scoped_cache: bool = True,
+    scoped_cache: bool | None = None,
 ) -> DataFrame:
     """The 100 TB layout of :func:`quality_profile` (same output schema;
     quantile-derived columns are percentile_approx sketches).
@@ -171,10 +171,15 @@ def quality_profile_scale(
       results are EXACT, identical to the flagship's full-sequence lag.
 
     The tiny bounds frame is persisted (it feeds both the broadcast and
-    the final output) so pass 1 runs once; with ``scoped_cache`` (default)
-    the n_groups-row result is eagerly materialized via localCheckpoint and
-    the persist is released, so the operator leaves no cached blocks behind.
+    the final output) so pass 1 runs once; with ``scoped_cache`` (default,
+    resolved from ``SPARK_GRAFT_SCOPED_CACHE`` when None) the n_groups-row
+    result is eagerly materialized via localCheckpoint and the persist is
+    released, so the operator leaves no cached blocks behind.
     """
+    if scoped_cache is None:
+        import os
+
+        scoped_cache = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
         portable_round,
     )
