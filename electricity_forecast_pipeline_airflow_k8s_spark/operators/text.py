@@ -374,3 +374,48 @@ def char_entropy(
             ),
         )
     )
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 30,
+    max_distance: int = 18,
+) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution shape): normalized text
+    prefixes compared by Levenshtein edit distance WITHIN blocking keys
+    only. The pair space is sum(|block|^2), never corpus^2 -- the same
+    blocking discipline as the embedding near-dup operator; levenshtein
+    is a native JVM expression, so the whole comparison stays in codegen.
+
+    At 100 TB: choose block keys so the largest block's pair count fits a
+    task (lang x source here; add a length band or first-k-chars key to
+    split hot blocks), and the equi-join on block keys is an ordinary
+    shuffle join -- no crossJoin anywhere.
+    """
+    norm = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+        1,
+        prefix_len,
+    )
+    d = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], norm.alias("_p")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            lev.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )

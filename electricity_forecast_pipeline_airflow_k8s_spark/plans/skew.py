@@ -38,3 +38,32 @@ def salted_count(
     salted = salt_keys(df, n_salts).select(*key_cols, "_salt")
     partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*key_cols).agg(F.sum("_c").alias("n"))
+
+
+def salted_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level salted aggregation for a full algebraic stat bundle:
+    partial (key, salt) -> (count, decimal-sum, min, max); final key ->
+    merge. Every partial is mergeable, so the hot key's rows fan out over
+    ``n_salts`` reducers and the final agg touches n_keys x n_salts rows.
+    DECIMAL for the sum keeps the two-level result bit-identical to a
+    single-level aggregation (double addition would re-associate)."""
+    v = F.col(value_col)
+    salted = salt_keys(df, n_salts).select(*key_cols, "_salt", value_col)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v.cast("decimal(18,2)")).alias("_s"),
+        F.count(value_col).alias("_nv"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_s").cast("double") / F.sum("_nv")).alias("mean_value"),
+        F.min("_mn").alias("min_value"),
+        F.max("_mx").alias("max_value"),
+    )

@@ -66,8 +66,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     # family anchors: re-prove a spread of round-1/2 greens
     "val_null_counts",
     "val_outlier_rows",
-    "val_dup_rows",
-    "val_extreme_gate",
+    "sess_funnel_counts",
+    "ml_linreg_trend",
     "rel_pricing_summary",
     "rel_star_revenue",
     "rel_topk_per_group",
@@ -80,17 +80,17 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_sequence_windows",
     "ts_resample_hourly",
     "ts_psi_drift",
-    "ts_moving_avg_1h",
+    "ts_resample_15min",
     "stream_windowed_stats",
     "text_token_stats",
     "text_quality_score",
-    "text_tfidf_top_terms",
+    "rel_unpivot_measures",
     "text_bpe_token_estimate",
     "text_winnow_fingerprints",
     "dedup_exact_stats",
-    "dedup_simhash_codes",
+    "rel_salted_skew_stats",
     "sim_topk_bruteforce",
-    "sim_topk_lsh",
+    "text_fuzzy_prefix_pairs",
     "sim_topk_ivf",
     "emb_neardup_pairs",
     "ml_invariants",

@@ -22,6 +22,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
     portable_round,
+    portable_round_sql,
 )
 
 L, H = 48, 12
@@ -192,3 +193,56 @@ def q_ml_forecast_next(spark: SparkSession, sf_dir: str):
     return out.select(
         "respondent", "hour", portable_round("predicted_load", 4).alias("predicted_load")
     ).orderBy("respondent", "hour")
+
+
+# -- per-group trend fit, oracle-checked (round 3) --------------------------
+# A real per-group model fit with hash-green driver evidence: ordinary
+# least squares value ~ hours-since-anchor per event_type via the
+# SQL-standard REGR_* aggregates, which both engines implement from first
+# principles. The closed-form fit is the degenerate-but-exact end of the
+# U4 per-group-training spectrum (ridge/MLP/torch variants are rows-only
+# because no SQL engine can replay them).
+#
+# Scale: one hash aggregate with map-side combine -- the same shape as
+# any grouped mean; the regression state (6 moments) is constant-size.
+# The fixed 2024-01-01 anchor keeps x well-conditioned (hours 0..~720)
+# instead of epoch-scale 1e12, so float accumulation orders cannot drift
+# the rounded coefficients between engines.
+@register(
+    "ml_linreg_trend",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP - TIMESTAMP '2024-01-01') / 3600000000.0 AS x,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       {portable_round_sql("regr_slope(y, x)", 6)} AS slope_per_hour,
+       {portable_round_sql("regr_intercept(y, x)", 6)} AS intercept,
+       {portable_round_sql("regr_r2(y, x)", 6)} AS r2,
+       {portable_round_sql("regr_avgx(y, x)", 6)} AS mean_x,
+       {portable_round_sql("regr_avgy(y, x)", 6)} AS mean_y
+FROM ev GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_ml_linreg_trend(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    x = (F.unix_micros(F.col("ts")) - F.unix_micros(anchor)) / 3.6e9
+    prepared = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return (
+        prepared.groupBy("event_type")
+        .agg(
+            F.regr_count("y", "x").cast("bigint").alias("n"),
+            portable_round(F.regr_slope("y", "x"), 6).alias("slope_per_hour"),
+            portable_round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            portable_round(F.regr_r2("y", "x"), 6).alias("r2"),
+            portable_round(F.regr_avgx("y", "x"), 6).alias("mean_x"),
+            portable_round(F.regr_avgy("y", "x"), 6).alias("mean_y"),
+        )
+        .orderBy("event_type")
+    )

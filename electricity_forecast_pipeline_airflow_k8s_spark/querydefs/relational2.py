@@ -252,3 +252,81 @@ def q_approx(spark: SparkSession, sf_dir: str):
         .between(F.element_at("_eqs", 4), F.col("_vmax"))
         .alias("approx_p99_ok"),
     ).orderBy("event_type")
+
+
+# -- unpivot / melt (round 3): wide measures -> long (measure, value) -------
+# The inverse of rel_pivot_status_priority. Spark's DataFrame.unpivot is
+# the native melt (one pass, no join); the oracle uses the portable
+# UNION ALL expansion so both engines derive the long frame independently.
+@register(
+    "rel_unpivot_measures",
+    oracle=f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       count(*) AS n,
+       {portable_round_sql("CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(val)", 4)}
+         AS mean_val,
+       {portable_round_sql("min(val)", 4)} AS min_val,
+       {portable_round_sql("max(val)", 4)} AS max_val
+FROM long GROUP BY measure ORDER BY measure
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(
+                F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+                / F.count("val"),
+                4,
+            ).alias("mean_val"),
+            portable_round(F.min("val"), 4).alias("min_val"),
+            portable_round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+# -- salted two-level aggregation vs its unsalted oracle (round 3) ----------
+# The skew-mitigation machinery (plans/skew.py) registered as a query: the
+# salted result must be value-identical to a plain single-level group
+# aggregate, which is exactly what the DuckDB oracle computes. DECIMAL
+# sums make the two-level merge bit-equal (double re-association would
+# drift the mean in the last ulp).
+@register(
+    "rel_salted_skew_stats",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n,
+       {portable_round_sql("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)", 4)}
+         AS mean_value,
+       {portable_round_sql("min(value)", 4)} AS min_value,
+       {portable_round_sql("max(value)", 4)} AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_salted_skew_stats(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.plans.skew import salted_stats
+
+    ev = table(spark, "events", sf_dir)
+    out = salted_stats(ev, key_cols=["event_type"], value_col="value", n_salts=16)
+    return out.select(
+        "event_type",
+        "n",
+        portable_round(F.col("mean_value"), 4).alias("mean_value"),
+        portable_round(F.col("min_value"), 4).alias("min_value"),
+        portable_round(F.col("max_value"), 4).alias("max_value"),
+    ).orderBy("event_type")

@@ -418,3 +418,114 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str):
         .select("event_type", "n_events", "avg_value")
         .orderBy("event_type")
     )
+
+
+# -- funnel analysis within sessions (round 3): view -> click -> purchase ---
+# Sequence-pattern matching the declarative way: per session, the funnel
+# stage reached is determined by conditional min-timestamps (first view,
+# first click AFTER that view, first purchase AFTER that click) -- three
+# mergeable conditional aggregates over the sessionized frame, no
+# self-joins, no UDF. Oracle derives the identical stages in SQL.
+@register(
+    "sess_funnel_counts",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events
+            WHERE ts IS NOT NULL),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+stages AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sessioned GROUP BY 1, 2
+),
+stage2 AS (
+  SELECT s.user_id, s.session_id, s.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > s.t_view THEN e.ts END)
+           AS t_click
+  FROM stages s JOIN sessioned e
+    ON e.user_id = s.user_id AND e.session_id = s.session_id
+  GROUP BY 1, 2, 3
+),
+stage3 AS (
+  SELECT s.user_id, s.session_id, s.t_view, s.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s.t_click THEN e.ts END)
+           AS t_purchase
+  FROM stage2 s JOIN sessioned e
+    ON e.user_id = s.user_id AND e.session_id = s.session_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click_purchase
+FROM stage3
+""",
+)
+def q_sess_funnel(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    order = [F.col("ts").asc_nulls_last(), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    cum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(prev.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+        ).over(cum),
+    )
+    # stage 1: first view per session (one agg); stages 2-3 need the
+    # stage-(k-1) timestamp per row -> broadcastable tiny frames (one row
+    # per session) joined back, then one more conditional agg each
+    s1 = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    j2 = sess.join(F.broadcast(s1), ["user_id", "session_id"])
+    s2 = j2.groupBy("user_id", "session_id", "t_view").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_click")
+    )
+    j3 = sess.join(F.broadcast(s2), ["user_id", "session_id"])
+    s3 = j3.groupBy("user_id", "session_id", "t_view", "t_click").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase")
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias(
+            "n_view_click"
+        ),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
+            "n_view_click_purchase"
+        ),
+    )

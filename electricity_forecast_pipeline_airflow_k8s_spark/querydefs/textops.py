@@ -1044,3 +1044,25 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str):
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     ).orderBy("component")
+
+
+# -- blocked fuzzy matching via edit distance (round 3) ---------------------
+@register(
+    "text_fuzzy_prefix_pairs",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 30) AS p
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+       levenshtein(a.p, b.p) AS edit_distance
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 18
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.fuzzy_prefix_pairs(docs).orderBy("id_a", "id_b")

@@ -480,3 +480,43 @@ def q_backtest_folds(spark: SparkSession, sf_dir: str):
         ev, n_folds=4, group_col="event_type", ts_col="ts", order_cols=("event_id",)
     )
     return out.withColumn("fold", F.col("fold").cast("int"))
+
+
+# -- sub-hour resample via epoch bucketing (round 3) ------------------------
+# date_trunc stops at minute/hour granularity; arbitrary-interval buckets
+# (15 min here) come from integer epoch arithmetic -- pure codegen, and
+# the same epoch-aligned semantics as DuckDB's time_bucket.
+@register(
+    "ts_resample_15min",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) AS bucket,
+         value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, bucket,
+       count(*) AS n,
+       {portable_round_sql("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)", 4)}
+         AS avg_value
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_resample_15min(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    step = 15 * 60 * 1_000_000
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / step) * step).cast("long")
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value"),
+                4,
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
