@@ -81,7 +81,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_resample_hourly",
     "ts_psi_drift",
     "ts_resample_15min",
-    "stream_windowed_stats",
+    "stream_session_stats",
     "text_token_stats",
     "text_quality_score",
     "rel_unpivot_measures",

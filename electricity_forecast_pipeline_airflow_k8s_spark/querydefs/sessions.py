@@ -529,3 +529,72 @@ def q_sess_funnel(spark: SparkSession, sf_dir: str):
             "n_view_click_purchase"
         ),
     )
+
+
+# -- streaming session windows (round 3): native session_window parity ------
+# Real Structured Streaming gap-sessionization: session_window(ts, 30 min)
+# merges events whose [ts, ts+gap) windows overlap, i.e. a session breaks
+# when the inter-event gap is >= the gap duration. The batch oracle
+# derives the same islands with a >=-boundary cumulative sum -- note the
+# deliberate difference from sess_user_sessions' strict-> boundary, which
+# follows the batch reference's dup-tolerant convention.
+@register(
+    "stream_session_stats",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+            WHERE ts IS NOT NULL),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessioned GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q_stream_session_stats(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.write.parquet(src)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "24 hours")
+            .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_session_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming session query did not finish in 300s")
+    return (
+        spark.table("stream_session_out")
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -32,6 +32,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _parquet_ts_is_nanos(path: str, col: str = "ts") -> bool:
+    """True iff the parquet footer declares ``col`` as TIMESTAMP(NANOS)
+    (pyarrow timestamp('ns')). Driver-side metadata read only -- one
+    footer, no data."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        field = schema.field(col)
+        return str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+    except Exception:
+        # unreadable footer: keep the legacy assumption (nanos) rather
+        # than silently skipping the conversion for real nanos files
+        return True
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table. Plain parquet scan -- predicate pushdown,
     column pruning, and split-based parallelism all come from Catalyst.
@@ -62,10 +78,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         prior = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            path = f"{sf_dir}/{name}.parquet"
+            df = spark.read.parquet(path)
             dtype = dict(df.dtypes).get("ts")
             if dtype == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                # A long ts is only nanoseconds when the parquet logical
+                # type says so (the nanosAsLong conf surfaces exactly that
+                # case); a genuinely integer ts column must not be divided.
+                # Inspect the footer rather than inferring units from the
+                # Spark dtype alone (ADVICE r2).
+                if _parquet_ts_is_nanos(path):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
             elif dtype == "timestamp_ntz":
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             return df

@@ -82,3 +82,24 @@ def test_events_nanos_conf_restored(spark, tmp_path):
     spark.conf.set(conf_key, "false")
     load_table(spark, "events", str(tmp_path))
     assert spark.conf.get(conf_key, None) == "false"
+
+
+def test_events_plain_int64_ts_not_corrupted(spark, tmp_path):
+    """A genuinely integer ts column (no TIMESTAMP logical type) must pass
+    through untouched -- the nanos div-1000 conversion applies only when
+    the parquet footer declares TIMESTAMP(NANOS) (ADVICE r2)."""
+    micros = [1_704_067_200_000_000, 1_704_067_230_500_000]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(micros, pa.int64()),
+            "user_id": pa.array([10, 10], pa.int64()),
+            "event_type": pa.array(["a", "a"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet")
+    df = load_table(spark, "events", str(tmp_path))
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert sorted(r["ts"] for r in df.select("ts").collect()) == micros
