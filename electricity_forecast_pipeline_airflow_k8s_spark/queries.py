@@ -82,8 +82,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_psi_drift",
     "ts_resample_15min",
     "stream_session_stats",
-    "text_token_stats",
-    "text_quality_score",
+    "scd2_user_type_versions",
+    "scd2_point_in_time",
     "rel_unpivot_measures",
     "text_bpe_token_estimate",
     "text_winnow_fingerprints",

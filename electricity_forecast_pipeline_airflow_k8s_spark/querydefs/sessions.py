@@ -598,3 +598,97 @@ def q_stream_session_stats(spark: SparkSession, sf_dir: str):
         .select("user_id", "session_start", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# -- SCD2 dimension build from a change log (round 3) -----------------------
+# Change log -> versioned dimension: consecutive-duplicate suppression +
+# validity intervals, one window pass (operators/scd.py). The user's
+# event_type stream plays the changing attribute.
+@register(
+    "scd2_user_type_versions",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         (row_number() OVER w = 1) AS is_first
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+vers AS (
+  SELECT user_id, event_type, ts, event_id FROM lagged
+  WHERE is_first OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER wv AS valid_to,
+       (lead(ts) OVER wv IS NULL) AS is_current
+FROM vers WINDOW wv AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from
+""",
+)
+def q_scd2_versions(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    dim = scd2_from_changelog(
+        ev,
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return dim.orderBy("user_id", "valid_from")
+
+
+# -- point-in-time (as-of) read over the SCD2 dimension ---------------------
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         (row_number() OVER w = 1) AS is_first
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+vers AS (
+  SELECT user_id, event_type, ts, event_id FROM lagged
+  WHERE is_first OR event_type IS DISTINCT FROM prev
+),
+dim AS (
+  SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER wv AS valid_to
+  FROM vers WINDOW wv AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, valid_from
+FROM dim
+WHERE valid_from <= TIMESTAMP '2024-01-15'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+ORDER BY user_id
+""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_point_in_time,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    dim = scd2_from_changelog(
+        ev,
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return (
+        scd2_point_in_time(dim, "2024-01-15 00:00:00")
+        .select("user_id", "event_type", "valid_from")
+        .orderBy("user_id")
+    )

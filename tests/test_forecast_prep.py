@@ -76,3 +76,43 @@ def test_centroid_assign_separated_clusters(spark):
     assert len(out) == 12
     assert all(r["is_own_centroid"] for r in out)
     assert all(r["assigned_label"] == r["true_label"] for r in out)
+
+
+def test_scd2_changelog_collapse_and_asof(spark):
+    import datetime as dt
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_point_in_time,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # key 1: a -> a (renewal, suppressed) -> b -> a
+        (1, "a", t(1), 1),
+        (1, "a", t(2), 2),
+        (1, "b", t(3), 3),
+        (1, "a", t(4), 4),
+        # key 2: null attr versions are null-safe-equal (one version)
+        (2, None, t(1), 5),
+        (2, None, t(5), 6),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, id long")
+    dim = scd2_from_changelog(
+        df, key_cols=("k",), attr_cols=("attr",), ts_col="ts", tiebreak_cols=("id",)
+    )
+    got = [(r["k"], r["attr"], r["valid_from"].day,
+            r["valid_to"].day if r["valid_to"] else None, r["is_current"])
+           for r in dim.orderBy("k", "valid_from").collect()]
+    assert got == [
+        (1, "a", 1, 3, False),
+        (1, "b", 3, 4, False),
+        (1, "a", 4, None, True),
+        (2, None, 1, None, True),
+    ]
+    # as-of day 3 12:00 -> key 1 is in state b, key 2 in its null version
+    asof = {
+        r["k"]: r["attr"]
+        for r in scd2_point_in_time(dim, "2024-01-03 12:00:00").collect()
+    }
+    assert asof == {1: "b", 2: None}
