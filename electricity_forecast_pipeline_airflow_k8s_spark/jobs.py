@@ -33,6 +33,9 @@ from electricity_forecast_pipeline_airflow_k8s_spark.sources.snapshots import (
     latest_snapshot,
     list_snapshots,
 )
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+    _parquet_ts_is_nanos,
+)
 
 
 def prepare_job(
@@ -57,7 +60,12 @@ def prepare_job(
         if "ts" in raw.columns and "period" not in raw.columns:
             dtype = dict(raw.dtypes).get("ts")
             if dtype == "bigint":
-                raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                # only TIMESTAMP(NANOS) per the footer gets the div-1000;
+                # a genuine int64 ts passes through untouched (ADVICE r3)
+                if _parquet_ts_is_nanos(input_path):
+                    raw = raw.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
             elif dtype == "timestamp_ntz":
                 raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
             raw = events_as_readings(raw)

@@ -14,10 +14,33 @@ parity holds; swap in xxhash64 for raw speed where parity isn't needed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
+
+
+def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage cap for the iterative operators, cluster-durable by default.
+
+    ``localCheckpoint`` stores blocks on executors: fast, but on a real
+    cluster a single executor loss mid-iteration kills the job (the blocks
+    are gone and the truncated lineage cannot recompute them). So whenever
+    a reliable checkpoint directory is configured -- via
+    ``sparkContext.setCheckpointDir`` or the SPARK_GRAFT_CHECKPOINT_DIR env
+    var (pointed at HDFS/the object store on a cluster) -- use reliable
+    ``checkpoint()``; ``localCheckpoint`` remains the local-mode fast path.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckdir:
+            sc.setCheckpointDir(ckdir)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
@@ -277,17 +300,15 @@ def connected_components(
     # growing iteration lineage with localCheckpoint -- otherwise every
     # per-iteration count() action replays ALL prior joins plus the full
     # upstream pipeline (e.g. the whole minhash/LSH subtree)
-    edges = (
+    edges = _cut_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _cut_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # neighbor labels: for each node, the min component among neighbors
@@ -297,11 +318,11 @@ def connected_components(
         )
         # lazy checkpoint: the convergence count below materializes it, so
         # each iteration costs ONE job instead of two
-        new_labels = (
+        new_labels = _cut_lineage(
             labels.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("component").alias("component")),
+            eager=False,
         )
         changed = (
             new_labels.alias("n")

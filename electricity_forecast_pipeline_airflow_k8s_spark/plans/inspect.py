@@ -56,7 +56,29 @@ def forced_broadcast_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan (pre-AQE)."""
-    return explain_str(df).count("Exchange hashpartitioning") + explain_str(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of Exchange operators in the physical plan (pre-AQE).
+
+    Counted on the SIMPLE explain mode: its one-line nodes read
+    ``Exchange hashpartitioning(...)``. The formatted mode splits the node
+    name (``Exchange (14)``) from its arguments (``Arguments:
+    hashpartitioning(...)``), so substring counts there are silently zero
+    (ADVICE r3)."""
+    text = explain_str(df, "simple")
+    return text.count("Exchange hashpartitioning") + text.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def plan_counts(df: DataFrame) -> dict[str, int]:
+    """Robust node counts from the simple-mode plan: broadcast joins (hash
+    AND nested-loop -- a broadcast-scalar cross join is the latter), hash
+    exchanges, range exchanges, broadcast exchanges, scans."""
+    text = explain_str(df, "simple")
+    return {
+        "broadcast_joins": text.count("BroadcastHashJoin")
+        + text.count("BroadcastNestedLoopJoin"),
+        "hash_exchanges": text.count("Exchange hashpartitioning"),
+        "range_exchanges": text.count("Exchange rangepartitioning"),
+        "broadcast_exchanges": text.count("BroadcastExchange"),
+        "parquet_scans": text.count("Scan parquet") + text.count("FileScan parquet"),
+    }

@@ -381,9 +381,19 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str):
         src = f"{tmp}/src"
         ev.write.parquet(src)
         ev.write.mode("append").parquet(src)  # duplicate delivery
-        stream = spark.readStream.schema(
-            "event_id long, ts timestamp, event_type string, value double"
-        ).parquet(src)
+        # Parity with the one-copy batch oracle needs every file of BOTH
+        # copies in a single micro-batch: if the file source split batches
+        # (its default cap is 1000 files/trigger even under availableNow),
+        # first-copy rows older than the advanced 24h watermark would be
+        # dropped as late data and undercount (ADVICE r3). Pin the cap far
+        # above any file count this fixture can produce.
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1_000_000)
+            .parquet(src)
+        )
         deduped = dedup_late_data(
             stream, group_col="event_id", ts_col="ts", watermark="24 hours"
         )

@@ -35,17 +35,44 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _parquet_ts_is_nanos(path: str, col: str = "ts") -> bool:
     """True iff the parquet footer declares ``col`` as TIMESTAMP(NANOS)
     (pyarrow timestamp('ns')). Driver-side metadata read only -- one
-    footer, no data."""
+    footer, no data.
+
+    A bigint ``ts`` under ``nanosAsLong`` is ambiguous: TIMESTAMP(NANOS)
+    must be divided to micros, a genuine int64 must not. Guessing either
+    way silently corrupts one of the two, so footer-read failures are an
+    error, not a fallback. Environments where the footer is unreachable
+    from the driver (e.g. a filesystem Spark can read but pyarrow cannot)
+    can force the unit with SPARK_GRAFT_BIGINT_TS=ns|raw.
+    """
+    forced = os.environ.get("SPARK_GRAFT_BIGINT_TS")
+    if forced in ("ns", "raw"):
+        return forced == "ns"
     try:
         import pyarrow.dataset as ds
+    except ImportError:
+        import warnings
 
+        warnings.warn(
+            f"pyarrow unavailable; assuming bigint {col!r} in {path!r} is "
+            "TIMESTAMP(NANOS) (legacy behavior). Set SPARK_GRAFT_BIGINT_TS "
+            "to 'ns' or 'raw' to silence this.",
+            stacklevel=2,
+        )
+        return True
+    import pyarrow as pa
+
+    try:
         schema = ds.dataset(path, format="parquet").schema
         field = schema.field(col)
-        return str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
-    except Exception:
-        # unreadable footer: keep the legacy assumption (nanos) rather
-        # than silently skipping the conversion for real nanos files
-        return True
+    except (KeyError, OSError, pa.ArrowInvalid, pa.ArrowIOError) as exc:
+        raise ValueError(
+            f"cannot read the parquet footer of {path!r} to decide whether "
+            f"bigint {col!r} is TIMESTAMP(NANOS) or a genuine int64: {exc}. "
+            "Refusing to guess (either wrong guess silently corrupts the "
+            "column). Set SPARK_GRAFT_BIGINT_TS=ns or =raw to declare the "
+            "unit explicitly."
+        ) from exc
+    return str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -134,3 +134,42 @@ def test_lsh_pipeline_leaves_no_cached_blocks(spark):
     result = DD.minhash_lsh_dedup_pairs(df, threshold=0.5)
     result.count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """Cluster-durability (VERDICT r3): with a checkpoint dir configured,
+    the iterative label propagation must use reliable checkpoint() (blocks
+    on the checkpoint filesystem, survive executor loss) and produce the
+    exact same components as the local-mode localCheckpoint fast path."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    expected = {
+        r["node"]: r["component"] for r in DD.connected_components(pairs).collect()
+    }
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # precondition: local fast path above
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        reliable = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(pairs).collect()
+        }
+        assert reliable == expected == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+        }
+        # reliable mode really wrote checkpoint data to the configured dir
+        import os
+
+        found = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # reset the JVM-side checkpoint dir so other tests keep the
+        # local-mode fast path ($-named Scala setter needs getattr)
+        jsc = sc._jsc.sc()
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(jsc, "checkpointDir_$eq")(none)

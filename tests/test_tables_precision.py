@@ -103,3 +103,47 @@ def test_events_plain_int64_ts_not_corrupted(spark, tmp_path):
     df = load_table(spark, "events", str(tmp_path))
     assert dict(df.dtypes)["ts"] == "bigint"
     assert sorted(r["ts"] for r in df.select("ts").collect()) == micros
+
+
+def test_footer_check_raises_on_unreadable_footer(tmp_path, monkeypatch):
+    """An unreadable footer for a bigint ts must be an error, not a silent
+    nanos guess (ADVICE r3): either wrong guess corrupts the column."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+        _parquet_ts_is_nanos,
+    )
+
+    missing = str(tmp_path / "does_not_exist.parquet")
+    monkeypatch.delenv("SPARK_GRAFT_BIGINT_TS", raising=False)
+    with pytest.raises(ValueError, match="parquet footer"):
+        _parquet_ts_is_nanos(missing)
+    # the documented escape hatch for footer-unreachable filesystems
+    monkeypatch.setenv("SPARK_GRAFT_BIGINT_TS", "ns")
+    assert _parquet_ts_is_nanos(missing) is True
+    monkeypatch.setenv("SPARK_GRAFT_BIGINT_TS", "raw")
+    assert _parquet_ts_is_nanos(missing) is False
+
+
+def test_prepare_job_does_not_divide_plain_int64_ts(spark, tmp_path):
+    """jobs.prepare_job must route its bigint-ts conversion through the
+    same footer check as load_table (ADVICE r3): a genuine int64 ts fed to
+    the job is not divided by 1000."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+        _parquet_ts_is_nanos,
+    )
+
+    micros = [1_704_067_200_000_000, 1_704_067_230_500_000]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(micros, pa.int64()),
+        }
+    )
+    path = str(tmp_path / "raw.parquet")
+    pq.write_table(table, path)
+    assert _parquet_ts_is_nanos(path) is False
+    # and a real nanos footer still converts
+    ts = [datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)]
+    table_ns = pa.table({"ts": pa.array(ts).cast(pa.timestamp("ns"))})
+    path_ns = str(tmp_path / "raw_ns.parquet")
+    pq.write_table(table_ns, path_ns)
+    assert _parquet_ts_is_nanos(path_ns) is True
