@@ -28,71 +28,69 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round 1 covered the relational +
-# validation families; round 2 the extension operators (text/dedup/
-# similarity), TPC-H SQL, time-series prep and streaming. Round 3 closes
-# the evidence ledger: (a) the three queries that crashed on the
-# TIMESTAMP_NTZ loader regression -- never driver-green before -- lead;
-# (b) the five queries that sat outside both prior windows; (c) every
-# query whose code or oracle changed this round (sha256 multimodal
-# contract, approx error-envelope contract, scoped-cache dedup pipeline,
-# new scale-contract); the remaining slots re-prove one or two anchors
-# per family so a cross-family regression cannot hide.
+# registration order per round). Rounds 1-3 proved every oracle query green
+# at least once; round 4's window is pure ledger freshness (VERDICT r3 item
+# 1): the entire round-1 cohort whose last driver green is two rounds old
+# leads, then the oldest round-2 cohort, plus the one query whose semantics
+# changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
+# The 14 remaining round-2-green queries (ngram-jaccard, ts window/tail/
+# coverage + ks drift, text fingerprint/length/top-tokens/quality-filter,
+# six tpch_*) rotate in next round, bounding driver-evidence age at ~2
+# rounds for every query.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    # (a) loader-regression casualties: oldest open items, never green
-    "quality_profile",
-    "val_gap_stats",
-    "sess_user_sessions",
-    # (b) never inside a verification window before round 3
-    "quality_profile_approx",
-    "text_repetition_stats",
-    "text_pii_stats",
-    "sample_mix_sources",
-    "dedup_contamination_check",
-    # (c) changed this round -- new or upgraded oracles / cache scoping
-    "quality_profile_scale_contract",
-    "mm_decode_features",
-    "approx_distinct_and_quantiles",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    # (d) new operators this round
-    "ts_calendar_features",
-    "ts_backtest_folds",
-    "text_entropy_stats",
-    "tpch_returned_items",
-    "emb_centroid_assign",
+    # round-1 cohort: last driver-green in r1
+    "ml_train_eval_metrics",
+    "ml_hpo_best_trials",
+    "ml_forecast_next",
+    "rel_shipping_priority",
+    "rel_nation_revenue",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_rollup",
+    "rel_cube",
+    "rel_window_rank",
+    "rel_date_functions",
+    "rel_string_functions",
+    "rel_json_extract",
+    "rel_range_join",
+    "rel_sql_exists_priority",
+    "rel_sql_above_nation_avg",
+    "rel_outer_join_counts",
+    "rel_pivot_status_priority",
+    "rel_grouping_sets",
+    "rel_regex_extract",
+    "rel_union_pages",
+    "rel_promo_share",
+    "rel_part_brand_stats",
+    "rel_window_analytic",
+    "rel_events_by_segment",
+    "val_dup_count",
+    "val_value_stats",
+    "val_summary",
+    "val_grouped_stats",
+    "val_top_group",
+    "val_distinct_groups",
+    "val_dup_rows",
+    "ts_moving_avg_1h",
+    # round-2 cohort: last driver-green in r2, oldest first
+    "rel_math_functions",
+    "val_domain_violations",
+    "val_extreme_gate",
+    "stream_windowed_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tfidf_top_terms",
+    "dedup_tokenset_groups",
+    "dedup_simhash_codes",
+    "sim_topk_lsh",
+    "ts_scaler_params",
+    "ts_scaled_values",
+    # changed this round: file-source batching pinned (ADVICE r3); new
+    # forecast-shape/envelope invariant columns (VERDICT r3 item 5)
     "stream_dedup_counts",
-    "dedup_keep_best",
-    # family anchors: re-prove a spread of round-1/2 greens
-    "val_null_counts",
-    "val_outlier_rows",
-    "sess_funnel_counts",
-    "ml_linreg_trend",
-    "rel_pricing_summary",
-    "rel_star_revenue",
-    "rel_topk_per_group",
-    "rel_asof_click_before_purchase",
-    "rel_window_running",
-    "rel_monthly_revenue_growth",
-    "tpch_large_orders",
-    "tpch_product_profit",
-    "ts_split_counts",
-    "ts_sequence_windows",
-    "ts_resample_hourly",
-    "ts_psi_drift",
-    "ts_resample_15min",
-    "stream_session_stats",
-    "scd2_user_type_versions",
-    "scd2_point_in_time",
-    "rel_unpivot_measures",
-    "text_bpe_token_estimate",
-    "text_winnow_fingerprints",
-    "dedup_exact_stats",
-    "rel_salted_skew_stats",
-    "sim_topk_bruteforce",
-    "text_fuzzy_prefix_pairs",
-    "sim_topk_ivf",
-    "emb_neardup_pairs",
     "ml_invariants",
 )
 

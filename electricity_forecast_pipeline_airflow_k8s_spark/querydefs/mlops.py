@@ -72,7 +72,12 @@ SELECT respondent,
             THEN greatest(n - floor(n * 0.7) - floor(n * 0.15) - {L} - {H} + 1, 0) * {H}
             ELSE 0 END AS BIGINT) AS n_metric_pairs,
        CAST(CASE WHEN greatest(floor(n * 0.7) - {L} - {H} + 1, 0) > 0
-            THEN {H} ELSE 0 END AS BIGINT) AS n_forecast_rows
+            THEN {H} ELSE 0 END AS BIGINT) AS n_forecast_rows,
+       CAST(CASE WHEN greatest(floor(n * 0.7) - {L} - {H} + 1, 0) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS fc_hour_min,
+       CAST(CASE WHEN greatest(floor(n * 0.7) - {L} - {H} + 1, 0) > 0
+            THEN {H} ELSE 0 END AS BIGINT) AS fc_hour_max,
+       TRUE AS fc_in_envelope
 FROM counts ORDER BY respondent
 """,
 )
@@ -120,17 +125,50 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         ts_col="window_start",
         n=1,
     ).select("respondent", "x")
+    # forecast-horizon shape + inverse-envelope invariants (VERDICT r3
+    # item 5): hours must span exactly 1..H, and every ridge prediction
+    # must land inside a 3x-train-range envelope around the group's train
+    # values -- a broken weight reshape or unit corruption (e.g. a ts
+    # loader regression upstream) blows predictions out of the envelope
+    # and flips the boolean, hash-mismatching the oracle's TRUE.
+    train_bounds = split.filter(F.col("split") == "train").groupBy(
+        "respondent"
+    ).agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     fc = (
         forecast_rows(predict_per_group(latest, params))
+        .join(train_bounds, "respondent", "left")
         .groupBy("respondent")
-        .agg(F.count(F.lit(1)).alias("n_forecast_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_forecast_rows"),
+            F.min("hour").alias("fc_hour_min"),
+            F.max("hour").alias("fc_hour_max"),
+            (
+                F.min(
+                    F.when(
+                        F.col("predicted_load").between(
+                            F.col("vmin") - 3 * (F.col("vmax") - F.col("vmin")),
+                            F.col("vmax") + 3 * (F.col("vmax") - F.col("vmin")),
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("fc_in_envelope"),
+        )
     )
 
     def _left(a, b):
         return a.join(b, "respondent", "left")
 
     out = _left(_left(_left(base, wc), pairs), fc)
-    zero = ["n_train_windows", "n_test_windows", "n_metric_pairs", "n_forecast_rows"]
+    zero = [
+        "n_train_windows",
+        "n_test_windows",
+        "n_metric_pairs",
+        "n_forecast_rows",
+        "fc_hour_min",
+        "fc_hour_max",
+    ]
     return out.select(
         "respondent",
         "n_rows",
@@ -138,6 +176,7 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         "n_val",
         "n_test",
         *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in zero],
+        F.coalesce("fc_in_envelope", F.lit(True)).alias("fc_in_envelope"),
     ).orderBy("respondent")
 
 

@@ -84,4 +84,31 @@ def s3a_conf(
         "spark.hadoop.fs.s3a.secret.key": secret_key,
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
         "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+        # committer + upload tuning: the magic committer commits via
+        # multipart-upload completion instead of rename (S3 has no rename;
+        # the default FileOutputCommitter v1 does O(files) copies at job
+        # commit -- a 100 TB write would spend hours there). These are
+        # Hadoop-side keys consulted only for s3a:// paths, so carrying
+        # them in every session is safe for file://.
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.hadoop.fs.s3a.connection.maximum": "64",
+        "spark.hadoop.fs.s3a.multipart.size": "67108864",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    }
+
+
+def s3a_committer_conf() -> dict[str, str]:
+    """Spark-side bindings that route parquet writes through the S3A
+    PathOutputCommitter (magic committer). Split from :func:`s3a_conf`
+    because these two keys change the commit protocol for ALL writes and
+    require the ``spark-hadoop-cloud`` module on the classpath -- apply
+    them only on clusters that ship it (any s3-targeting distro does)."""
+    return {
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
     }

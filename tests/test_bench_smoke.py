@@ -5,6 +5,8 @@ that this test now catches locally before the driver's per-round bench
 run ever sees it.
 """
 
+import os
+
 import pytest
 
 import bench
@@ -18,3 +20,45 @@ def test_headline_query_materializes(spark, sf_dir, name):
     qs = all_queries()
     assert name in qs, f"bench HEADLINE references unregistered query {name!r}"
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+@pytest.mark.parametrize("name", bench.ITERATIVE)
+def test_iterative_query_materializes(spark, sf_dir, name):
+    qs = all_queries()
+    assert name in qs, f"bench ITERATIVE references unregistered query {name!r}"
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def test_every_budget_key_is_benched():
+    """BUDGETS must stay in sync with the benched query set -- a budget for
+    a query that no longer runs is dead weight, a benched headline query
+    without a budget escapes the regression gate."""
+    benched = set(bench.HEADLINE)
+    assert set(bench.BUDGETS) <= benched, set(bench.BUDGETS) - benched
+    missing = benched - set(bench.BUDGETS)
+    assert not missing, f"headline queries without a budget: {missing}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_RUN_BENCH_BUDGETS") != "1",
+    reason="opt-in: full sf0.1 timing run (set SPARK_GRAFT_RUN_BENCH_BUDGETS=1)",
+)
+def test_headline_queries_within_budget():
+    """Opt-in budget gate (VERDICT r3 item 2): run the real bench timing
+    loop at sf0.1 in a fresh subprocess (the bench needs its own session
+    confs) and assert every query lands under its 1.5x-of-best budget."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    parsed = json.loads(out.stdout.strip().splitlines()[-1])
+    assert parsed["over_budget"] == {}, parsed["over_budget"]

@@ -174,3 +174,37 @@ def test_model_registry_retention(windows, tmp_path):
     assert REG.load_model(spark, root, "m", 3).count() == params.count()
     with pytest.raises(Exception):
         REG.load_model(spark, root, "m", 1).count()
+
+
+def test_forecast_next_matches_golden(spark):
+    """Golden pin for the rows-only ml_forecast_next query (VERDICT r3
+    item 5): the seeded closed-form ridge is deterministic, so its sf0.001
+    output is committed as a golden fixture and compared with a 1e-3
+    absolute tolerance (absorbs float-summation reorder across partitions
+    while still catching any real regression -- wrong weights shape, unit
+    corruption from a loader change, scaling drift)."""
+    import json
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import (
+        queries as all_queries,
+    )
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "ml_forecast_next_sf0.001.json"
+    )
+    with open(golden_path) as f:
+        golden = {(r, h): p for r, h, p in json.load(f)}
+    got = {
+        (r["respondent"], r["hour"]): r["predicted_load"]
+        for r in all_queries()["ml_forecast_next"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(golden)
+    bad = {
+        k: (golden[k], got[k])
+        for k in golden
+        if abs(golden[k] - got[k]) > 1e-3
+    }
+    assert not bad, f"{len(bad)} predictions off golden: {dict(list(bad.items())[:5])}"

@@ -1,0 +1,102 @@
+"""Object-store dress rehearsal without an object store (VERDICT r3 item
+7): the snapshot/retention/latest lifecycle and the CSV/JSON sinks run
+against an EXPLICIT `file://` URI with the full s3a conf surface loaded
+into the live Hadoop configuration. Everything scheme-dependent -- URI
+parsing, FileSystem resolution, listStatus/delete through the Hadoop FS
+API, committer keys present -- is exercised; on a real cluster the only
+delta left is the s3a endpoint itself (and the spark-hadoop-cloud
+committer bindings, see s3a_committer_conf).
+
+Reference parity: MinIO snapshot lifecycle at
+`core/airflow_dag.py:113-123,570-631,202-214`.
+"""
+
+import pytest
+
+from electricity_forecast_pipeline_airflow_k8s_spark.session import (
+    s3a_committer_conf,
+    s3a_conf,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.snapshots import (
+    apply_retention,
+    latest_snapshot,
+    list_snapshots,
+    write_snapshot,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def s3a_loaded_hconf(spark):
+    """Load every fs.s3a.* key from s3a_conf into the live Hadoop conf
+    (stripping the spark.hadoop. prefix, exactly what Spark does at
+    session build) and restore afterwards."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    entries = {
+        k.removeprefix("spark.hadoop."): v
+        for k, v in s3a_conf(
+            "http://object-store.invalid:9000", "test-access", "test-secret"
+        ).items()
+    }
+    prior = {k: hconf.get(k, None) for k in entries}
+    for k, v in entries.items():
+        hconf.set(k, v)
+    yield hconf
+    for k, v in prior.items():
+        if v is None:
+            hconf.unset(k)
+        else:
+            hconf.set(k, v)
+
+
+def test_snapshot_lifecycle_on_file_uri_with_s3a_conf(
+    spark, sf_dir, tmp_path, s3a_loaded_hconf
+):
+    """write -> list -> latest -> retention over an explicit file:// root
+    while the s3a conf surface is live. The snapshot code resolves the
+    FileSystem from the URI scheme, so this is the identical codepath an
+    s3a:// root takes, endpoint aside."""
+    root = f"file://{tmp_path}/lake"
+    ev = load_table(spark, "events", sf_dir).limit(50)
+    for ts in ("20240101_000000", "20240102_000000", "20240103_000000"):
+        write_snapshot(ev, root, "bronze/events", run_ts=ts)
+    assert list_snapshots(spark, root, "bronze/events") == [
+        "20240101_000000",
+        "20240102_000000",
+        "20240103_000000",
+    ]
+    assert latest_snapshot(spark, root, "bronze/events").count() == 50
+    deleted = apply_retention(spark, root, "bronze/events", keep=2)
+    assert deleted == ["20240101_000000"]
+    assert list_snapshots(spark, root, "bronze/events") == [
+        "20240102_000000",
+        "20240103_000000",
+    ]
+    # the committer keys really are live in the conf the write consulted
+    assert s3a_loaded_hconf.get("fs.s3a.committer.name") == "magic"
+    assert s3a_loaded_hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_csv_and_json_sink_on_file_uri(spark, sf_dir, tmp_path, s3a_loaded_hconf):
+    """S6 (object-store CSV sink) rehearsal: explicit-scheme URI write +
+    read-back with the s3a surface loaded."""
+    ev = load_table(spark, "events", sf_dir).limit(20).select("event_id", "value")
+    csv_path = f"file://{tmp_path}/out_csv"
+    ev.write.option("header", True).csv(csv_path)
+    assert spark.read.option("header", True).csv(csv_path).count() == 20
+    json_path = f"file://{tmp_path}/out_json"
+    ev.write.json(json_path)
+    assert spark.read.json(json_path).count() == 20
+
+
+def test_s3a_committer_conf_shape():
+    """The cluster-only committer bindings stay available and well-formed
+    (they cannot be exercised here: spark-hadoop-cloud is not shipped in
+    the sandbox pyspark)."""
+    conf = s3a_committer_conf()
+    assert conf["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert conf["spark.sql.parquet.output.committer.class"].endswith(
+        "BindingParquetOutputCommitter"
+    )

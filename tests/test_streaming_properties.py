@@ -1,0 +1,149 @@
+"""Streaming lateness/arrival-order properties (VERDICT r3 item 8).
+
+Hypothesis drives event-time permutations and micro-batch splits:
+events are shuffled into files, the file source is pinned to ONE FILE PER
+TRIGGER (so the watermark genuinely advances between micro-batches), and
+the streamed result must be invariant to arrival order and equal to the
+batch computation -- provided every event lies within the watermark delay
+of the stream's maximum event time (the contract under which Structured
+Streaming guarantees no late drops).
+
+Each example runs a real streaming query (availableNow, memory sink), so
+example counts stay small; the permutation space is where the value is.
+"""
+
+import datetime as dt
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+    dedup_late_data,
+    windowed_stats,
+)
+
+_settings = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# events: (group 0|1, minute-offset 0..100, value); duplicates are likely
+# by construction (small offset space). Span <= 100 min < the 2h watermark
+# delay, so no arrival order can make a row late beyond the watermark.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _rows(events):
+    base = dt.datetime(2024, 3, 1)
+    return [
+        (f"g{g}", base + dt.timedelta(minutes=m), float(v)) for g, m, v in events
+    ]
+
+
+def _stream_to_df(spark, tmpdir, rows, shuffler, n_files, transform):
+    """Land shuffled rows into n_files parquet files, stream them one file
+    per trigger through `transform`, return the final memory-sink table."""
+    shuffler.shuffle(rows)
+    src = f"{tmpdir}/src-{uuid.uuid4().hex[:8]}"
+    chunks = [rows[i::n_files] for i in range(n_files)]
+    schema = "respondent string, period timestamp, value double"
+    wrote_any = False
+    for i, chunk in enumerate(chunks):
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+            wrote_any = True
+    assert wrote_any
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    name = f"slp_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt-{name}")
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming property query timed out"
+    return spark.table(name)
+
+
+@given(events=events_strategy, seed=st.randoms(use_true_random=False))
+@_settings
+def test_watermark_dedup_invariant_to_arrival_order(
+    spark, tmp_path_factory, events, seed
+):
+    """Per-group counts after watermark dedup must equal the batch
+    distinct-(group, ts) count no matter how arrivals are permuted or
+    split across micro-batches."""
+    rows = _rows(events)
+    expected = {}
+    for g, ts, _ in rows:
+        expected.setdefault(g, set()).add(ts)
+    expected = {g: len(ts_set) for g, ts_set in expected.items()}
+
+    tmpdir = str(tmp_path_factory.mktemp("slp"))
+    out = _stream_to_df(
+        spark,
+        tmpdir,
+        rows,
+        seed,
+        n_files=4,
+        transform=lambda s: dedup_late_data(
+            s, group_col="respondent", ts_col="period", watermark="2 hours"
+        )
+        .groupBy("respondent")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    got = {r["respondent"]: r["n"] for r in out.collect()}
+    assert got == expected
+
+
+@given(events=events_strategy, seed=st.randoms(use_true_random=False))
+@_settings
+def test_windowed_stats_invariant_to_arrival_order(
+    spark, tmp_path_factory, events, seed
+):
+    """Streamed tumbling-window stats must equal the SAME function applied
+    in batch mode (one definition, two execution modes) for any arrival
+    permutation within the watermark."""
+    rows = _rows(events)
+    tmpdir = str(tmp_path_factory.mktemp("slp"))
+
+    def agg(s):
+        return windowed_stats(
+            s,
+            group_col="respondent",
+            ts_col="period",
+            value_col="value",
+            window_duration="30 minutes",
+            watermark="2 hours",
+        )
+
+    out = _stream_to_df(spark, tmpdir, rows, seed, n_files=4, transform=agg)
+    batch = agg(
+        spark.createDataFrame(
+            rows, "respondent string, period timestamp, value double"
+        )
+    )
+    key = ["respondent", "window_start"]
+    got = {tuple(r[k] for k in key): (r["n"], r["avg_value"], r["min_value"], r["max_value"]) for r in out.collect()}
+    want = {tuple(r[k] for k in key): (r["n"], r["avg_value"], r["min_value"], r["max_value"]) for r in batch.collect()}
+    assert got == want
