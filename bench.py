@@ -51,6 +51,13 @@ HEADLINE = [
     "text_entropy_stats",
     "emb_centroid_assign",
     "tpch_returned_items",
+    # round-4 additions
+    "text_pii_redaction",
+    "emb_norm_stats",
+    "sample_stratified_topk",
+    "text_packing_estimate",
+    "text_ngram_novelty",
+    "sample_split_assign",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -98,6 +105,13 @@ BUDGETS: dict[str, float] = {
     "text_entropy_stats": 1.50,
     "emb_centroid_assign": 1.10,
     "tpch_returned_items": 1.35,
+    # round-4 additions: 1.5x idle-machine best-of-3 (2026-08-14)
+    "text_pii_redaction": 1.50,
+    "emb_norm_stats": 0.35,
+    "sample_stratified_topk": 0.40,
+    "text_packing_estimate": 0.55,
+    "text_ngram_novelty": 2.40,
+    "sample_split_assign": 0.25,
 }
 
 

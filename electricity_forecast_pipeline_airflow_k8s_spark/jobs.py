@@ -121,13 +121,19 @@ def train_job(
 
     readings = latest_snapshot(spark, lake_root, "processed")
     res = run_training(spark, readings, lookback=lookback, horizon=horizon)
-    forecasts = [r.asDict() for r in res.forecasts.collect()]
+    # forecasts land in the lake, never on the driver (VERDICT r3: at 100x
+    # group cardinality a collect() here is the job's memory ceiling); the
+    # report carries only the path and a count
+    forecast_path = f"{lake_root}/forecasts/model={model_name}"
+    res.forecasts.write.mode("overwrite").parquet(forecast_path)
+    n_forecast_rows = spark.read.parquet(forecast_path).count()
     version = register_model(
         spark, res.params, lake_root, model_name, metrics=res.metrics
     )
     return {
         "metrics": res.metrics,
-        "n_forecast_rows": len(forecasts),
+        "n_forecast_rows": n_forecast_rows,
+        "forecast_path": forecast_path,
         "model_name": model_name,
         "model_version": version,
     }

@@ -19,7 +19,7 @@ assembly: one scan, one broadcast, no shuffle on the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import stable_hash
@@ -72,4 +72,35 @@ def mix_sources(
     return (
         joined.filter(F.col("_sk") < rate_threshold_col(F.col("rate")))
         .drop("_sk")
+    )
+
+
+def stratified_topk(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    *key_cols: str,
+    seed: str = "",
+) -> DataFrame:
+    """Exact-quota stratified sampling: keep the K rows with the smallest
+    hash keys per stratum -- a deterministic, subset-consistent quota
+    (adding rows to a stratum can only displace the current selection's
+    largest keys, never reshuffle it wholesale).
+
+    The reference's split logic is fraction-based (`core/model.py:170`
+    splits by position); quota sampling is the corpus-curation analog:
+    "exactly K docs per source", reproducible run-to-run.
+
+    Scale: one shuffle on the stratum key + per-group ORDER BY inside the
+    window. K is small and fixed, so the right cluster-scale plan is a
+    rank-truncating window -- Spark's WindowGroupLimit pushes the top-K
+    truncation into the shuffle's sort (no full per-group materialization
+    after Spark 3.5)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_key(seed, *key_cols), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -341,6 +341,30 @@ def pii_stats(
     return df.select(id_col, *cols, total.alias("pii_total"))
 
 
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction TRANSFORM (the counting in :func:`pii_stats` decides;
+    this one rewrites): each PII family is regexp-replaced with its
+    placeholder tag, in fixed dict order so nested matches (an IPv4 inside
+    a URL, an email in a query string) resolve deterministically.
+    ``n_redacted`` counts matches on the ORIGINAL text. Pure codegen
+    string expressions -- no Python in the row path, patterns valid under
+    both Java regex and RE2 (no backrefs/lookaround)."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    total = None
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        total = c if total is None else total + c
+    return df.select(
+        id_col,
+        out.alias("redacted_text"),
+        total.cast("int").alias("n_redacted"),
+    )
+
+
 def char_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

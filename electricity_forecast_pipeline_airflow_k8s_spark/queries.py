@@ -33,10 +33,11 @@ _REGISTRY: dict[str, Query] = {}
 # 1): the entire round-1 cohort whose last driver green is two rounds old
 # leads, then the oldest round-2 cohort, plus the one query whose semantics
 # changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
-# The 14 remaining round-2-green queries (ngram-jaccard, ts window/tail/
-# coverage + ks drift, text fingerprint/length/top-tokens/quality-filter,
-# six tpch_*) rotate in next round, bounding driver-evidence age at ~2
-# rounds for every query.
+# The 20 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
+# dedup, sim_topk_lsh, ts window/tail/coverage + ks drift, text token-stats/
+# lang-id/fingerprint/length/top-tokens/quality-filter/tfidf, six tpch_*)
+# rotate in next round, bounding driver-evidence age at ~2 rounds for every
+# query.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # round-1 cohort: last driver-green in r1
     "ml_train_eval_metrics",
@@ -79,19 +80,20 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_domain_violations",
     "val_extreme_gate",
     "stream_windowed_stats",
-    "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
-    "text_tfidf_top_terms",
-    "dedup_tokenset_groups",
-    "dedup_simhash_codes",
-    "sim_topk_lsh",
-    "ts_scaler_params",
     "ts_scaled_values",
     # changed this round: file-source batching pinned (ADVICE r3); new
     # forecast-shape/envelope invariant columns (VERDICT r3 item 5)
     "stream_dedup_counts",
     "ml_invariants",
+    # new operators this round (round 4)
+    "text_pii_redaction",
+    "emb_norm_stats",
+    "sample_stratified_topk",
+    "text_packing_estimate",
+    "text_ngram_novelty",
+    "sample_split_assign",
+    "stream_quality_counts",
 )
 
 

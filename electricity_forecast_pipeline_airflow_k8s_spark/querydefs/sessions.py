@@ -702,3 +702,58 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str):
         .select("user_id", "event_type", "valid_from")
         .orderBy("user_id")
     )
+
+
+# -- streaming incremental validation counters (round 4) --------------------
+# stream_quality_counts was pytest-only; this registers it against a batch
+# oracle: per-window violation counters (nulls, negatives) from REAL
+# Structured Streaming must equal plain batch SQL -- the incremental form
+# of the batch validation suite (S/U parity for ST coverage).
+@register(
+    "stream_quality_counts",
+    oracle=f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM {EVENTS_SRC}
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_stream_quality_counts(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        stream_quality_counts,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.select("event_type", "ts", "value").write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        ).parquet(src)
+        out = stream_quality_counts(
+            stream,
+            group_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            window_duration="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_quality_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming quality query did not finish in 300s")
+    return (
+        spark.table("stream_quality_out")
+        .select("event_type", "window_start", "n_rows", "n_nulls", "n_negative")
+        .orderBy("event_type", "window_start")
+    )

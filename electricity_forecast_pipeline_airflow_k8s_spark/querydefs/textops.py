@@ -1066,3 +1066,327 @@ ORDER BY id_a, id_b
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
     return TX.fuzzy_prefix_pairs(docs).orderBy("id_a", "id_b")
+
+
+# -- PII redaction transform (round 4) --------------------------------------
+# pii_stats counts; this REWRITES -- the corpus-shipping form. Same
+# deterministic PII augmentation as text_pii_stats; the full redacted text
+# participates in the value hash, so the oracle must reproduce every
+# replacement byte-for-byte (same patterns, same order, global flag).
+_REDACT_SQL = "text"
+for _name, _pat in (
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("IPV4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("URL", "https?://[^\\s]+"),
+    ("PHONE", "\\+[0-9]{7,15}"),
+):
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '<{_name}>', 'g')"
+
+_REDACT_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       {_REDACT_SQL} AS redacted_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+          + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+          + len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS INT) AS n_redacted
+FROM aug ORDER BY doc_id
+"""
+
+
+@register("text_pii_redaction", oracle=_REDACT_ORACLE)
+def q_pii_redaction(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" see https://example.org/d/"), d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" call +1555"), (d + 1000000).cast("string"))).otherwise(F.lit("")),
+    )
+    docs = table(spark, "documents", sf_dir).withColumn("text", aug)
+    return TX.redact_pii(docs).orderBy("doc_id")
+
+
+# -- per-label embedding norm profile (round 4) -----------------------------
+# Vector hygiene for the ANN/near-dup family: zero vectors (failed
+# encoders) and norm outliers (truncated or unnormalized batches) are the
+# embedding-space analog of the events outlier gate. Per-row L2 norm is a
+# sequential double fold (same element order both engines), quantized to
+# 4 decimals; per-label means go through DECIMAL so accumulation order
+# cannot drift the hash. One scan, one hash agg -- word-count shape.
+_EMB_NORM_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         floor(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5)
+           / 10000 AS qn,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(max(dim) AS INT) AS dim,
+       floor((CAST(sum(CAST(qn AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+             * 10000 + 0.5) / 10000 AS mean_norm,
+       min(qn) AS min_norm,
+       max(qn) AS max_norm,
+       CAST(sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+@register("emb_norm_stats", oracle=_EMB_NORM_ORACLE)
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    x = F.col("x").cast("double")
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    qn = F.floor(norm * 10000 + 0.5) / 10000
+    norms = emb.select(
+        "label", qn.alias("qn"), F.size("embedding").alias("dim")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("dim").cast("int").alias("dim"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("qn").cast("decimal(18,4)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_norm"),
+            F.min("qn").alias("min_norm"),
+            F.max("qn").alias("max_norm"),
+            F.sum(F.when(F.col("qn") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+# -- exact-quota stratified sampling (round 4) ------------------------------
+# "exactly K docs per source", deterministic and subset-consistent: keep
+# the K smallest md5 sampling keys per stratum. Spark plans the
+# rank-truncating window with WindowGroupLimit (top-K pushed into the
+# shuffle sort), so no stratum is ever fully materialized per-task.
+_STRATA_K = 7
+
+_STRATA_ORACLE = f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('strata' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_STRATA_K}
+ORDER BY source, doc_id
+"""
+
+
+@register("sample_stratified_topk", oracle=_STRATA_ORACLE)
+def q_sample_stratified_topk(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import sampling as SP
+
+    docs = table(spark, "documents", sf_dir)
+    return (
+        SP.stratified_topk(docs, "source", _STRATA_K, "doc_id", seed="strata")
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+# -- sequence-packing efficiency (round 4) ----------------------------------
+# LLM training batches pack documents into fixed seq_len windows; the gap
+# between one-doc-per-sequence and the concatenation lower bound is the
+# compute a packer can recover. Integer-exact everywhere (reuses the BPE
+# estimate), so the cross-engine hash is exact. One scan + one hash agg.
+_PACK_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+WITH est AS (
+  SELECT source,
+         CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+              p -> (length(p) + 3) // 4)), 0) AS BIGINT) AS est_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum((est_tokens + {_PACK_SEQ_LEN} - 1) // {_PACK_SEQ_LEN}) AS BIGINT)
+         AS n_seqs_padded,
+       CAST((sum(est_tokens) + {_PACK_SEQ_LEN} - 1) // {_PACK_SEQ_LEN} AS BIGINT)
+         AS n_seqs_packed_lb,
+       floor((1.0 - CAST(sum(est_tokens) AS DOUBLE)
+                    / (CAST(sum((est_tokens + {_PACK_SEQ_LEN} - 1) // {_PACK_SEQ_LEN}) AS DOUBLE) * {_PACK_SEQ_LEN}))
+             * 10000 + 0.5) / 10000 AS waste_frac
+FROM est GROUP BY source ORDER BY source
+"""
+
+
+@register("text_packing_estimate", oracle=_PACK_ORACLE)
+def q_text_packing_estimate(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    est = TX.bpe_token_estimate(docs.withColumn("source", F.col("source")), id_col="source").select(
+        F.col("source"), F.col("est_bpe_tokens").alias("est_tokens")
+    )
+    seq = _PACK_SEQ_LEN
+    padded = F.sum(F.floor((F.col("est_tokens") + seq - 1) / seq).cast("long"))
+    total = F.sum("est_tokens")
+    return (
+        est.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.cast("long").alias("total_tokens"),
+            padded.cast("long").alias("n_seqs_padded"),
+            F.floor((total + seq - 1) / seq).cast("long").alias("n_seqs_packed_lb"),
+            (
+                F.floor(
+                    (
+                        1.0
+                        - total.cast("double")
+                        / (padded.cast("double") * seq)
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("waste_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# -- corpus n-gram novelty (round 4) -----------------------------------------
+# Per-document fraction of its distinct 3-grams that are corpus-UNIQUE --
+# high novelty = fresh content, low = boilerplate/template mass. The
+# boilerplate-detection complement of the contamination check.
+#
+# Scale: explode distinct grams (shuffle bounded by total distinct grams
+# per doc, NOT doc length²), one count agg with map-side combine, one
+# equi-join back on the gram, one final per-doc agg. All codegen.
+_NOVELTY_GRAMS = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) "
+    "ELSE [] END"
+)
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_NOVELTY_GRAMS}) AS g FROM toks),
+counts AS (SELECT g, count(*) AS n_docs_with FROM grams GROUP BY g),
+per_doc AS (
+  SELECT grams.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN counts.n_docs_with = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM grams JOIN counts USING (g) GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN floor(p.n_unique * 1.0 / p.n_grams * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS novelty_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    grams3 = F.when(
+        F.size("t") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.slice("t", 1, F.size("t") - 2),
+                lambda _, i: F.concat_ws(
+                    " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(grams3).alias("g"))
+    # Deliberately groupBy+join-back, NOT count-over-gram-partition window:
+    # the window form saves one shuffle of the gram stream but buffers each
+    # gram's rows in ONE task -- an unsplittable hot spot when boilerplate
+    # grams dominate (exactly the corpus shape this query exists to
+    # detect). The aggregate has map-side combine and the join is
+    # AQE-skew-splittable, so this form holds at corpus scale.
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.floor(F.col("n_unique") / F.col("n_grams") * 10000 + 0.5) / 10000,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- deterministic train/val/test split assignment (round 4) -----------------
+# Corpus split by content-stable hash: reproducible across runs, machines
+# and partitionings, and adding documents never reassigns existing ones
+# (the property position-based splits lack). 80/10/10 via two md5
+# thresholds. Pure projection -- no shuffle, pushes down, holds at any SF.
+_SPLIT_T1 = 0.8
+_SPLIT_T2 = 0.9
+
+_SPLIT_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         substr(md5('split1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8) AS sk
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN sk < lower(printf('%08x', CAST(floor({_SPLIT_T1} * 4294967296) AS BIGINT)))
+            THEN 'train'
+            WHEN sk < lower(printf('%08x', CAST(floor({_SPLIT_T2} * 4294967296) AS BIGINT)))
+            THEN 'val' ELSE 'test' END AS split
+FROM keyed ORDER BY doc_id
+"""
+
+
+@register("sample_split_assign", oracle=_SPLIT_ORACLE)
+def q_sample_split_assign(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import sampling as SP
+
+    docs = table(spark, "documents", sf_dir)
+    sk = SP.sample_key("split1", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(sk < F.lit(SP.hex_threshold(_SPLIT_T1)), F.lit("train"))
+        .when(sk < F.lit(SP.hex_threshold(_SPLIT_T2)), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -21,6 +21,8 @@ def test_prepare_then_train_jobs(spark, sf_dir, tmp_path):
     res = train_job(spark, lake, lookback=24, horizon=6)
     assert res["n_forecast_rows"] == 6
     assert res["metrics"]["rmse"] is not None
+    # forecasts land in the lake (no driver collect); report carries path
+    assert spark.read.parquet(res["forecast_path"]).count() == 6
     # registry publication: the trained params are the new latest version
     from electricity_forecast_pipeline_airflow_k8s_spark.ml.registry import (
         latest_version,

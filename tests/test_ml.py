@@ -208,3 +208,66 @@ def test_forecast_next_matches_golden(spark):
         if abs(golden[k] - got[k]) > 1e-3
     }
     assert not bad, f"{len(bad)} predictions off golden: {dict(list(bad.items())[:5])}"
+
+
+def test_train_eval_metrics_matches_golden(spark):
+    """Golden pin for rows-only ml_train_eval_metrics (sf0.01: sf0.001 has
+    no test windows with L=48/H=12). Tolerance 1e-2 on the 4-decimal
+    metrics absorbs float-summation reorder; shape and group set are
+    exact."""
+    import json
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import (
+        queries as all_queries,
+    )
+
+    with open(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "ml_train_eval_metrics_sf0.01.json"
+        )
+    ) as f:
+        golden = {r[0]: r[1:] for r in json.load(f)}
+    got = {
+        r["respondent"]: [r["n"], r["rmse"], r["mape"], r["mae"]]
+        for r in all_queries()["ml_train_eval_metrics"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(got) == set(golden)
+    for g in golden:
+        assert got[g][0] == golden[g][0], (g, got[g], golden[g])  # n exact
+        for x, y in zip(got[g][1:], golden[g][1:]):
+            assert abs(x - y) <= 1e-2, (g, got[g], golden[g])
+
+
+def test_hpo_best_trials_matches_golden(spark):
+    """Golden pin for rows-only ml_hpo_best_trials: the winning trial per
+    group (id + params) must be stable; val_loss within 1e-2."""
+    import json
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import (
+        queries as all_queries,
+    )
+
+    with open(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "ml_hpo_best_trials_sf0.001.json"
+        )
+    ) as f:
+        golden = {r[0]: r[1:] for r in json.load(f)}
+    got = {
+        r["respondent"]: [r["trial_id"], str(r["params"]), r["val_loss"]]
+        for r in all_queries()["ml_hpo_best_trials"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(golden)
+    for g in golden:
+        assert got[g][0] == golden[g][0] and got[g][1] == golden[g][1], (
+            g,
+            got[g],
+            golden[g],
+        )
+        assert abs(got[g][2] - golden[g][2]) <= 1e-2

@@ -100,3 +100,48 @@ def test_s3a_committer_conf_shape():
     assert conf["spark.sql.parquet.output.committer.class"].endswith(
         "BindingParquetOutputCommitter"
     )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """Incremental lake maintenance: with partitionOverwriteMode=dynamic, an
+    overwrite write replaces ONLY the partitions present in the incoming
+    batch -- the idempotent-backfill primitive (re-run one day without
+    nuking the table). Static mode (the default) would drop every
+    partition."""
+    import pyspark.sql.functions as F
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    path = str(tmp_path / "part_lake")
+    ev.write.partitionBy("event_type").parquet(path)
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = (
+            ev.filter(F.col("event_type") == "click")
+            .limit(10)
+            .withColumn("value", F.lit(0.0))
+        )
+        patch.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert after["click"] == 10  # touched partition replaced
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k], k  # untouched partitions intact

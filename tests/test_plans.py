@@ -170,3 +170,12 @@ def test_salted_count_matches_plain_count(spark, sf_dir):
         for r in salted_count(ev, ["event_type"], n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_stratified_topk_truncates_in_window_group_limit(spark, sf_dir):
+    """sample_stratified_topk's scale claim: the rank filter must compile
+    to WindowGroupLimit (map-side top-K truncation BEFORE the exchange +
+    final truncation after), never a full per-group sort-materialize."""
+    q = registry()["sample_stratified_topk"].build(spark, sf_dir)
+    plan = explain_str(q, "simple")
+    assert plan.count("WindowGroupLimit") == 2, plan[:2000]
