@@ -72,7 +72,10 @@ def sequence_windows(
     # collect_list SKIPS null elements, which would silently shorten
     # windows containing null values and break the n-L-H+1 invariant;
     # wrapping in a struct keeps null slots (struct itself is non-null),
-    # then project back out.
+    # then project back out. (A single combined L+H frame sliced into x/y
+    # afterwards measures bench-equal at sf0.1 -- the cost is the struct
+    # build + array copy per element, not WindowExec's per-frame
+    # bookkeeping -- so this keeps the simpler two-frame form.)
     v = F.struct(F.col(value_col).alias("v"))
     unwrap = lambda c: F.transform(c, lambda s: s.getField("v"))  # noqa: E731
     out = df.select(
