@@ -58,6 +58,8 @@ HEADLINE = [
     "text_packing_estimate",
     "text_ngram_novelty",
     "sample_split_assign",
+    "text_para_dedup",
+    "val_mad_outliers",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -112,6 +114,8 @@ BUDGETS: dict[str, float] = {
     "text_packing_estimate": 0.55,
     "text_ngram_novelty": 2.40,
     "sample_split_assign": 0.25,
+    "text_para_dedup": 1.05,
+    "val_mad_outliers": 1.15,
 }
 
 

@@ -33,11 +33,11 @@ _REGISTRY: dict[str, Query] = {}
 # 1): the entire round-1 cohort whose last driver green is two rounds old
 # leads, then the oldest round-2 cohort, plus the one query whose semantics
 # changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
-# The 20 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
-# dedup, sim_topk_lsh, ts window/tail/coverage + ks drift, text token-stats/
-# lang-id/fingerprint/length/top-tokens/quality-filter/tfidf, six tpch_*)
-# rotate in next round, bounding driver-evidence age at ~2 rounds for every
-# query.
+# The 22 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
+# dedup, sim_topk_lsh, domain/extreme gates, ts window/tail/coverage + ks
+# drift, text token-stats/lang-id/fingerprint/length/top-tokens/
+# quality-filter/tfidf, six tpch_*) rotate in next round, bounding
+# driver-evidence age at ~2 rounds for every query.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # round-1 cohort: last driver-green in r1
     "ml_train_eval_metrics",
@@ -77,8 +77,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_moving_avg_1h",
     # round-2 cohort: last driver-green in r2, oldest first
     "rel_math_functions",
-    "val_domain_violations",
-    "val_extreme_gate",
     "stream_windowed_stats",
     "text_quality_score",
     "ts_scaled_values",
@@ -94,6 +92,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_ngram_novelty",
     "sample_split_assign",
     "stream_quality_counts",
+    "text_para_dedup",
+    "val_mad_outliers",
 )
 
 

@@ -1390,3 +1390,84 @@ def q_sample_split_assign(spark: SparkSession, sf_dir: str):
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# -- cross-document paragraph dedup (round 4) --------------------------------
+# C4-style boilerplate removal signal at PARAGRAPH granularity: a
+# paragraph appearing in >= 2 distinct documents is boilerplate (headers,
+# nav, license blocks). Per doc: distinct paragraphs, how many are shared
+# with other docs, shared fraction.
+#
+# Scale: explode distinct paragraphs -> md5 (16-byte keys shuffle, never
+# the text) -> doc-count agg (map-side combine) -> join back -> per-doc
+# agg. Same skew posture as text_ngram_novelty: hot boilerplate hashes hit
+# an AQE-splittable join, not an unsplittable window buffer.
+_PARA_SQL = (
+    "list_distinct(list_filter(list_transform(string_split_regex(text, '\\n\\n+'), "
+    "s -> trim(s)), s -> s != ''))"
+)
+
+_PARA_DEDUP_ORACLE = f"""
+WITH paras AS (
+  SELECT doc_id, md5(unnest({_PARA_SQL})) AS h FROM documents
+),
+counts AS (SELECT h, count(DISTINCT doc_id) AS n_docs_with FROM paras GROUP BY h),
+per_doc AS (
+  SELECT paras.doc_id,
+         count(*) AS n_paras,
+         sum(CASE WHEN counts.n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM paras JOIN counts USING (h) GROUP BY paras.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(p.n_paras, 0) > 0
+            THEN floor(p.n_shared * 1.0 / p.n_paras * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS shared_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("text_para_dedup", oracle=_PARA_DEDUP_ORACLE)
+def q_text_para_dedup(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    paras_arr = F.array_distinct(
+        F.filter(
+            F.transform(F.split("text", r"\n\n+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    )
+    paras = docs.select(
+        "doc_id", F.explode(paras_arr).alias("p")
+    ).select("doc_id", F.md5("p").alias("h"))
+    counts = paras.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    per_doc = (
+        paras.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(
+                F.coalesce("n_paras", F.lit(0)) > 0,
+                F.floor(F.col("n_shared") / F.col("n_paras") * 10000 + 0.5)
+                / 10000,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -395,3 +395,71 @@ def q_val_dup_rows(spark: SparkSession, sf_dir: str):
         .select("event_id", "event_type", "ts")
         .orderBy("event_id")
     )
+
+
+# -- MAD robust outliers (round 4) ------------------------------------------
+# Median-absolute-deviation outlier gate: robust where the IQR/moment
+# gates (quality_profile, val_extreme_gate) are themselves skewed by the
+# outliers they hunt. anomaly iff |v - median| > 3 * 1.4826 * MAD (the
+# normal-consistency constant). Exact interpolated medians both engines;
+# the oracle derives MAD from first principles (median of absolute
+# deviations via CTEs) rather than a built-in, so the two derivations are
+# independent.
+#
+# Scale: two grouped exact-percentile passes with a broadcast join of the
+# tiny per-group medians between them -- the same quarantine as the exact
+# quality_profile (oracle-parity surface; the sketch path is
+# quality_profile_scale/approx).
+@register(
+    "val_mad_outliers",
+    oracle=f"""
+WITH ev AS (SELECT event_type, value FROM {EVENTS_SRC} WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM ev e JOIN med m USING (event_type)
+),
+mads AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(max(d.med) * 10000 + 0.5) / 10000 AS median_value,
+       floor(max(s.mad) * 10000 + 0.5) / 10000 AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM dev d JOIN mads s USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+)
+def q_val_mad_outliers(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.max("med") * 10000 + 0.5) / 10000).alias("median_value"),
+            (F.floor(F.max("mad") * 10000 + 0.5) / 10000).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
