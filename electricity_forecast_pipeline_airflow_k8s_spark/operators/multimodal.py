@@ -131,17 +131,20 @@ def sample_frames(
         1,
         max_frames,
     )
+    # sha256 (not sha1): an independent SQL engine can recompute the frame
+    # digests for oracle checks (DuckDB ships sha256 but not sha1)
     return df.select(
         F.col(id_col),
         n.alias("n_bytes"),
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     ).withColumn(
-        "frame_sha1",
-        F.sha1(
+        "frame_sha256",
+        F.sha2(
             F.concat(
-                F.col(id_col).cast("string").cast("binary"),
-                F.lit(":").cast("binary"),
-                F.col("byte_offset").cast("string").cast("binary"),
-            )
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("byte_offset").cast("string"),
+            ),
+            256,
         ),
     )

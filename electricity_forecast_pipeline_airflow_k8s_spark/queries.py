@@ -33,8 +33,8 @@ _REGISTRY: dict[str, Query] = {}
 # 1): the entire round-1 cohort whose last driver green is two rounds old
 # leads, then the oldest round-2 cohort, plus the one query whose semantics
 # changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
-# The 22 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
-# dedup, sim_topk_lsh, domain/extreme gates, ts window/tail/coverage + ks
+# The 23 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
+# dedup, sim_topk_lsh, domain/extreme gates, math functions, ts window/tail/coverage + ks
 # drift, text token-stats/lang-id/fingerprint/length/top-tokens/
 # quality-filter/tfidf, six tpch_*) rotate in next round, bounding
 # driver-evidence age at ~2 rounds for every query.
@@ -76,7 +76,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_dup_rows",
     "ts_moving_avg_1h",
     # round-2 cohort: last driver-green in r2, oldest first
-    "rel_math_functions",
     "stream_windowed_stats",
     "text_quality_score",
     "ts_scaled_values",
@@ -94,6 +93,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "stream_quality_counts",
     "text_para_dedup",
     "val_mad_outliers",
+    "mm_frame_sample",
 )
 
 

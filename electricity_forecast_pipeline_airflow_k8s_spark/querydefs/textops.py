@@ -1471,3 +1471,57 @@ def q_text_para_dedup(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_id")
     )
+
+
+# -- multimodal frame sampling (round 4) -------------------------------------
+# The video-pipeline stride sampler as a driver-checked query: one row per
+# sampled offset (frame_idx, byte_offset, per-frame digest), all native
+# expressions -- sequence + slice + posexplode, no Python. The oracle
+# recomputes offsets from UTF-8 byte lengths and the sha256 digests from
+# the same (media_id, offset) recipe, end-to-end.
+_FRAME_EVERY, _FRAME_MAX = 256, 6
+
+_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, strlen(text) AS n_bytes FROM documents
+  WHERE doc_id < 100
+),
+frames AS (
+  SELECT media_id, n_bytes,
+         unnest(list_slice(range(0, greatest(CAST(n_bytes AS BIGINT), 1), {_FRAME_EVERY}),
+                           1, {_FRAME_MAX})) AS byte_offset,
+         generate_subscripts(list_slice(range(0, greatest(CAST(n_bytes AS BIGINT), 1), {_FRAME_EVERY}),
+                           1, {_FRAME_MAX}), 1) - 1 AS frame_idx
+  FROM m
+)
+SELECT media_id, CAST(n_bytes AS INT) AS n_bytes,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(byte_offset AS BIGINT) AS byte_offset,
+       sha256(CAST(media_id AS VARCHAR) || ':' || CAST(byte_offset AS VARCHAR))
+         AS frame_sha256
+FROM frames ORDER BY media_id, frame_idx
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return (
+        sample_frames(media, every_n_bytes=_FRAME_EVERY, max_frames=_FRAME_MAX)
+        .select(
+            "media_id",
+            F.col("n_bytes").cast("int").alias("n_bytes"),
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("byte_offset").cast("long").alias("byte_offset"),
+            "frame_sha256",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
