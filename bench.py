@@ -60,6 +60,8 @@ HEADLINE = [
     "sample_split_assign",
     "text_para_dedup",
     "val_mad_outliers",
+    "ts_ewma",
+    "rel_ntile_deciles",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -116,6 +118,8 @@ BUDGETS: dict[str, float] = {
     "sample_split_assign": 0.25,
     "text_para_dedup": 1.05,
     "val_mad_outliers": 1.15,
+    "ts_ewma": 1.10,
+    "rel_ntile_deciles": 0.50,
 }
 
 

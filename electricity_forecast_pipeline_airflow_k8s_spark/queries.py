@@ -33,8 +33,9 @@ _REGISTRY: dict[str, Query] = {}
 # 1): the entire round-1 cohort whose last driver green is two rounds old
 # leads, then the oldest round-2 cohort, plus the one query whose semantics
 # changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
-# The 23 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
-# dedup, sim_topk_lsh, domain/extreme gates, math functions, ts window/tail/coverage + ks
+# The 26 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
+# dedup, sim_topk_lsh, domain/extreme gates, math functions, streaming windowed
+# stats, text quality score, scaled values, ts window/tail/coverage + ks
 # drift, text token-stats/lang-id/fingerprint/length/top-tokens/
 # quality-filter/tfidf, six tpch_*) rotate in next round, bounding
 # driver-evidence age at ~2 rounds for every query.
@@ -75,10 +76,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_distinct_groups",
     "val_dup_rows",
     "ts_moving_avg_1h",
-    # round-2 cohort: last driver-green in r2, oldest first
-    "stream_windowed_stats",
-    "text_quality_score",
-    "ts_scaled_values",
     # changed this round: file-source batching pinned (ADVICE r3); new
     # forecast-shape/envelope invariant columns (VERDICT r3 item 5)
     "stream_dedup_counts",
@@ -94,6 +91,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_para_dedup",
     "val_mad_outliers",
     "mm_frame_sample",
+    "ts_ewma",
+    "rel_ntile_deciles",
+    "dedup_semantic_clusters",
 )
 
 

@@ -4,7 +4,7 @@ variants -- rounding out the capability bar of SURVEY §2.3/2.4/2.8."""
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
@@ -330,3 +330,57 @@ def q_salted_skew_stats(spark: SparkSession, sf_dir: str):
         portable_round(F.col("min_value"), 4).alias("min_value"),
         portable_round(F.col("max_value"), 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+# -- NTILE decile report (round 4) ------------------------------------------
+# Equal-frequency binning via ntile(10): per market segment, decile bands
+# of customer balance with per-band stats. The (c_acctbal, c_custkey)
+# total order makes tie placement engine-exact. One shuffle on the
+# segment + the window sort -- rank family, same cost shape as rel_window_rank.
+@register(
+    "rel_ntile_deciles",
+    oracle="""
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, decile,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(min(c_acctbal) * 10000 + 0.5) / 10000 AS lo,
+       floor(max(c_acctbal) * 10000 + 0.5) / 10000 AS hi,
+       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             * 10000 + 0.5) / 10000 AS avg_bal
+FROM t GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+""",
+)
+def q_rel_ntile_deciles(spark: SparkSession, sf_dir: str):
+    c = table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    t = c.select(
+        "c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        t.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.min("c_acctbal") * 10000 + 0.5) / 10000).alias("lo"),
+            (F.floor(F.max("c_acctbal") * 10000 + 0.5) / 10000).alias("hi"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )

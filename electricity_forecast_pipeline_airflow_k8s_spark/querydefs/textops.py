@@ -1525,3 +1525,47 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str):
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# -- semantic dedup clusters (round 4) ---------------------------------------
+# The embedding-space twin of dedup_clusters: cosine near-dup pairs
+# (blocked by label, >= 0.4) feed the iterative connected-components
+# operator; the oracle recomputes the SAME pairs in SQL and resolves
+# components with a recursive CTE -- a fully independent derivation of
+# both the graph and its transitive closure.
+_SEM_CLUSTERS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a_id AS id_a, b_id AS id_b,
+           sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))) AS cosine
+    FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             unnest(a.v) AS av, unnest(b.v) AS bv
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) GROUP BY a_id, b_id
+  ) WHERE cosine >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_SEM_CLUSTERS_ORACLE)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    pairs = SIM.embedding_neardup_pairs(emb, threshold=0.4)
+    return DD.connected_components(pairs, a_col="id_a", b_col="id_b").orderBy(
+        "node"
+    )

@@ -520,3 +520,71 @@ def q_resample_15min(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# -- per-group EWMA (round 4) ------------------------------------------------
+# Exponentially weighted moving average: inherently RECURSIVE
+# (y_i = a*x_i + (1-a)*y_{i-1}), so no window frame can express it -- this
+# is the canonical applyInPandas case (SURVEY §2.10 U2), and unlike most
+# Python-edge operators it still gets a FULL value oracle: DuckDB replays
+# the identical recursion via a recursive CTE. Both sides compute
+# a*x + (1.0 - a)*y in doubles in the same order, so values are
+# bit-identical before the 6-decimal output rounding.
+#
+# Scale: one shuffle on the group key; each group's series streams through
+# one Arrow batch sequence on one executor -- O(n) per group, the same
+# distribution shape as per-group training.
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC} WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+rec(event_type, rn, event_id, y) AS (
+  SELECT event_type, rn, event_id, value FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn, e.event_id,
+         {_EWMA_ALPHA} * e.value + (1.0 - {_EWMA_ALPHA}) * r.y
+  FROM ev e JOIN rec r ON e.event_type = r.event_type AND e.rn = r.rn + 1
+)
+SELECT event_type, event_id,
+       floor(y * 1000000 + 0.5) / 1000000 AS ewma
+FROM rec WHERE event_id % 25 = 0
+ORDER BY event_type, event_id
+"""
+
+
+@register("ts_ewma", oracle=_EWMA_ORACLE)
+def q_ts_ewma(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+    )
+    alpha = _EWMA_ALPHA
+    one_minus = 1.0 - alpha  # same literal subtraction as the oracle
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = pdf["value"].to_numpy()
+        out = []
+        acc = None
+        for v in vals:
+            acc = float(v) if acc is None else alpha * float(v) + one_minus * acc
+            out.append(acc)
+        pdf = pdf.assign(ewma=out)
+        keep = pdf[pdf["event_id"] % 25 == 0]
+        return keep[["event_type", "event_id", "ewma"]]
+
+    out = ev.groupBy("event_type").applyInPandas(
+        ewma, "event_type string, event_id long, ewma double"
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        (F.floor(F.col("ewma") * 1000000 + 0.5) / 1000000).alias("ewma"),
+    ).orderBy("event_type", "event_id")
