@@ -62,6 +62,11 @@ HEADLINE = [
     "val_mad_outliers",
     "ts_ewma",
     "rel_ntile_deciles",
+    "tpch_market_share",
+    "tpch_cust_order_dist",
+    "tpch_discount_revenue",
+    "emb_dim_stats",
+    "dedup_simhash_neardup_pairs",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -120,6 +125,11 @@ BUDGETS: dict[str, float] = {
     "val_mad_outliers": 1.15,
     "ts_ewma": 1.10,
     "rel_ntile_deciles": 0.50,
+    "tpch_market_share": 0.95,
+    "tpch_cust_order_dist": 0.46,
+    "tpch_discount_revenue": 0.18,
+    "emb_dim_stats": 0.43,
+    "dedup_simhash_neardup_pairs": 1.00,
 }
 
 

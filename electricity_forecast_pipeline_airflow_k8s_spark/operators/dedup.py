@@ -432,3 +432,60 @@ def ngram_contamination(
         .otherwise(F.lit(0.0))
         .alias("contaminated_frac"),
     )
+
+
+def simhash_neardup_pairs(
+    codes: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    code_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance via banded
+    equi-join (the web-scale layout: Manku et al., WWW'07).
+
+    Split the code into ``n_bands`` contiguous bit bands and equi-join on
+    (band index, band value): by pigeonhole, any pair within
+    ``max_hamming < n_bands`` differing bits must agree EXACTLY on at
+    least one band, so the banded join has perfect recall vs the O(n^2)
+    brute force while touching only colliding candidates. One explode +
+    one shuffled equi-join on (band, value); the xor/bit_count verify is
+    codegen'd, no UDFs.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"need n_bands > max_hamming for exact recall "
+            f"(got n_bands={n_bands}, max_hamming={max_hamming})"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = codes.select(
+        F.col(id_col),
+        F.col(code_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col(code_col).cast("long"), i * width
+                    ).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col(code_col).alias("code_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col(code_col).alias("code_b"), "band", "band_val"
+    )
+    ham = F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "code_a", "code_b")
+        .distinct()
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -62,12 +62,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_outer_join_counts",
     "rel_pivot_status_priority",
     "rel_grouping_sets",
-    "rel_regex_extract",
-    "rel_union_pages",
-    "rel_promo_share",
-    "rel_part_brand_stats",
-    "rel_window_analytic",
-    "rel_events_by_segment",
     "val_dup_count",
     "val_value_stats",
     "val_summary",
@@ -94,6 +88,16 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_ewma",
     "rel_ntile_deciles",
     "dedup_semantic_clusters",
+    # brand-new this round, never driver-proven: first-proof beats
+    # freshness, so these displace six r1-cohort rows (rel_regex_extract,
+    # rel_union_pages, rel_promo_share, rel_part_brand_stats,
+    # rel_window_analytic, rel_events_by_segment) into next round's rotation
+    "tpch_discount_revenue",
+    "tpch_market_share",
+    "tpch_cust_order_dist",
+    "dedup_simhash_neardup_pairs",
+    "emb_dim_stats",
+    "stream_static_enrich",
 )
 
 

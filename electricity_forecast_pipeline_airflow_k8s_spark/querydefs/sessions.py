@@ -757,3 +757,78 @@ def q_stream_quality_counts(spark: SparkSession, sf_dir: str):
         .select("event_type", "window_start", "n_rows", "n_nulls", "n_negative")
         .orderBy("event_type", "window_start")
     )
+
+
+# -- stream-static enrichment join (round 4) --------------------------------
+# The missing streaming-join surface: a live stream joined to a small
+# static dimension (per-group baseline computed offline), then windowed
+# counts of above-baseline events. Spark broadcasts the static side into
+# every micro-batch (no stream-side state for the join); the oracle is the
+# batch formulation of the same enrichment. Streaming form of the
+# reference's per-region thresholds-computed-offline outlier gate
+# (`core/data_validation.py:176-218`).
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+WITH dim AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+           AS baseline
+  FROM {EVENTS_SRC} GROUP BY event_type
+)
+SELECT e.event_type,
+       date_trunc('hour', e.ts) AS window_start,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN e.value > d.baseline THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM {EVENTS_SRC} e JOIN dim d ON e.event_type = d.event_type
+WHERE e.ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        stream_enrich_counts,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    dim = ev.groupBy("event_type").agg(exact_mean("value").alias("baseline"))
+    src_rows = ev.filter(F.col("ts").isNotNull()).select("event_type", "ts", "value")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        src_rows.write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            # single micro-batch like the other parity queries: batching
+            # must not drop first-arrival rows behind an advanced watermark
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(src)
+        )
+        out = stream_enrich_counts(
+            stream,
+            F.broadcast(dim),
+            group_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            window_duration="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_enrich_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("stream-static enrich query did not finish in 300s")
+    return (
+        spark.table("stream_enrich_out")
+        .select("event_type", "window_start", "n_rows", "n_above")
+        .orderBy("event_type", "window_start")
+    )

@@ -66,7 +66,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _simhash_oracle() -> str:
+def _simhash_codes_sql(limit: int = 50) -> str:
+    """CTE body computing 16-bit simhash codes for doc_id < ``limit``."""
     votes = []
     for j in range(16):
         pos, b = j // 4 + 1, j % 4
@@ -77,17 +78,38 @@ def _simhash_oracle() -> str:
     vote_sql = ",\n         ".join(votes)
     code = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
     return f"""
-WITH tok AS (
+tok AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < {limit}
 ),
 votes AS (
   SELECT doc_id,
          {vote_sql}
   FROM tok GROUP BY doc_id
-)
-SELECT doc_id, CAST({code} AS INT) AS simhash
-FROM votes ORDER BY doc_id
+),
+codes AS (
+  SELECT doc_id, CAST({code} AS INT) AS simhash
+  FROM votes
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH {_simhash_codes_sql(50)}
+SELECT doc_id, simhash FROM codes ORDER BY doc_id
+"""
+
+
+def _simhash_neardup_oracle(limit: int = 200, max_hamming: int = 3) -> str:
+    """Brute-force O(n^2) hamming pairs -- an INDEPENDENT derivation of the
+    Spark side's banded equi-join (perfect-recall check of the banding)."""
+    return f"""
+WITH {_simhash_codes_sql(limit)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -1568,4 +1590,75 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
     pairs = SIM.embedding_neardup_pairs(emb, threshold=0.4)
     return DD.connected_components(pairs, a_col="id_a", b_col="id_b").orderBy(
         "node"
+    )
+
+
+# -- SimHash hamming near-dup pairs (round 4) -------------------------------
+# Spark: banded equi-join with pigeonhole-exact recall (n_bands=4 >
+# max_hamming=3); oracle: brute-force O(n^2) hamming join over the same
+# codes -- the banding's perfect-recall claim is verified, not assumed.
+@register("dedup_simhash_neardup_pairs", oracle=_simhash_neardup_oracle(200, 3))
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    codes = DD.simhash_codes(docs)
+    return DD.simhash_neardup_pairs(codes, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+# -- per-dimension embedding statistics (round 4) ---------------------------
+# Corpus-curation diagnostic: dead / saturated / high-variance embedding
+# dimensions (whitening inputs). Spark: posexplode -> one hash agg keyed by
+# dimension (shuffle bounded by dims x partitions thanks to partial
+# aggregation); oracle: unnest + generate_subscripts. Values quantized to
+# 1e-7 then decimal-summed so every moment is association-order free.
+_EMB_DIM_ORACLE = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000 + 0.5)
+              / 10000000 AS DECIMAL(18,7)) AS qv
+  FROM embeddings
+)
+SELECT dim, count(*) AS n,
+       floor(CAST(sum(qv) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         AS mean_v,
+       CAST(min(qv) AS DOUBLE) AS min_v,
+       CAST(max(qv) AS DOUBLE) AS max_v,
+       floor(CAST(sum(CAST(qv * qv AS DECIMAL(38,14))) AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS sumsq
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+@register("emb_dim_stats", oracle=_EMB_DIM_ORACLE)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    qv = (
+        (F.floor(F.col("v").cast("double") * 10000000 + F.lit(0.5)) / 10000000)
+        .cast("decimal(18,7)")
+    )
+    return (
+        ex.select("dim", qv.alias("qv"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum("qv").cast("double") / F.count(F.lit(1)) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_v"),
+            F.min("qv").cast("double").alias("min_v"),
+            F.max("qv").cast("double").alias("max_v"),
+            (
+                F.floor(
+                    F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,14)"))
+                    .cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("sumsq"),
+        )
+        .orderBy("dim")
     )

@@ -246,3 +246,126 @@ ORDER BY CAST(sum({REV}) AS DOUBLE) DESC, c.c_custkey
 LIMIT 20
 """,
 )
+
+
+# Q6-style: forecasted revenue change from eliminating small discounts.
+# Spark: shipdate range + BETWEEN; oracle: year() extraction with
+# month-grouped partial decimal sums re-totaled -- independent derivations
+# whose decimal arithmetic is exact (association-order free).
+_sql_query(
+    "tpch_discount_revenue",
+    """
+SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    oracle="""
+SELECT floor(CAST(sum(rev) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+       CAST(sum(n) AS BIGINT) AS n_items
+FROM (
+  SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS rev,
+         count(*) AS n
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996
+    AND l_discount >= 0.05 AND l_discount <= 0.07
+    AND l_quantity < 24
+  GROUP BY month(l_shipdate)
+)
+""",
+)
+
+# Q8-style: per-order-year market share of one supplier nation within one
+# customer region. Spark: CASE-sum over a six-table join with the region
+# dimension joined in; oracle: FILTER-clause aggregate with the region
+# restriction pushed into an IN-subquery -- independent derivations.
+_sql_query(
+    "tpch_market_share",
+    f"""
+WITH all_sales AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         {REV} AS volume,
+         s.s_nationkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'AMERICA'
+)
+SELECT o_year,
+       floor(CAST(sum(CASE WHEN s_nationkey = 1 THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS mkt_share
+FROM all_sales
+GROUP BY o_year
+ORDER BY o_year
+""",
+    oracle=f"""
+SELECT year(o.o_orderdate) AS o_year,
+       floor(CAST(coalesce(sum({REV}) FILTER (WHERE s.s_nationkey = 1),
+                           0) AS DOUBLE)
+             / CAST(sum({REV}) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE c.c_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+
+# Q13-style: distribution of per-customer order counts including the
+# zero-order cohort. Spark: LEFT JOIN + double GROUP BY; oracle: grouped
+# counts UNION ALL'd with a NOT-EXISTS zero-cohort count -- independent
+# derivations (the left-join NULL-counting subtlety vs explicit anti-join).
+_sql_query(
+    "tpch_cust_order_dist",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS c_count
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+),
+dist AS (
+  SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+  FROM per_cust GROUP BY c_count
+  UNION ALL
+  SELECT 0 AS c_count, CAST(count(*) AS BIGINT) AS custdist
+  FROM customer c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  )
+  HAVING count(*) > 0
+)
+SELECT c_count, custdist FROM dist
+ORDER BY custdist DESC, c_count DESC
+""",
+)

@@ -161,3 +161,40 @@ def stream_quality_counts(
             "n_negative",
         )
     )
+
+
+def stream_enrich_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    dim_value_col: str = "baseline",
+    watermark: str = "3 hours",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: join each event to a small static
+    dimension keyed on ``group_col`` (Spark broadcasts the static side into
+    every micro-batch -- no state, no shuffle of the stream beyond the
+    windowed agg), then count events above their group's static baseline
+    per tumbling window.
+
+    The streaming form of the reference's per-region outlier gate
+    (`core/data_validation.py:176-218`): thresholds computed offline, the
+    live stream only compares against them. At scale the dim stays
+    broadcast-sized (one row per group) no matter how large the stream."""
+    v = F.col(value_col)
+    enriched = stream.withWatermark(ts_col, watermark).join(dim, group_col)
+    return (
+        enriched.groupBy(F.col(group_col), F.window(ts_col, window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(v > F.col(dim_value_col), 1).otherwise(0)).alias("n_above"),
+        )
+        .select(
+            group_col,
+            F.col("win.start").alias("window_start"),
+            "n_rows",
+            "n_above",
+        )
+    )

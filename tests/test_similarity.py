@@ -173,3 +173,46 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         jsc = sc._jsc.sc()
         none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
         getattr(jsc, "checkpointDir_$eq")(none)
+
+
+def test_simhash_banding_exact_recall_vs_bruteforce(spark):
+    """Pigeonhole guarantee: with 4 bands and max_hamming=3, the banded
+    equi-join must return EXACTLY the brute-force hamming<=3 pair set."""
+    from itertools import combinations
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    codes = [
+        (0, 0b0000000000000000),
+        (1, 0b0000000000000111),  # ham(0,1)=3 -> pair
+        (2, 0b0000000000001111),  # ham(0,2)=4 -> no; ham(1,2)=1 -> pair
+        (3, 0b1111111111111111),
+        (4, 0b1111111111110000),  # ham(3,4)=4 -> no
+        (5, 0b1111111111111110),  # ham(3,5)=1 and ham(4,5)=3 -> both pair
+        (6, 0b0101010101010101),
+    ]
+    df = spark.createDataFrame(codes, "doc_id long, simhash int")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    expect = set()
+    for (ida, ca), (idb, cb) in combinations(codes, 2):
+        h = bin(ca ^ cb).count("1")
+        if h <= 3:
+            expect.add((ida, idb, h))
+    assert got == expect
+
+
+def test_simhash_banding_rejects_bad_band_count(spark):
+    import pytest as _pytest
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([(0, 1)], "doc_id long, simhash int")
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=4, n_bands=4)
