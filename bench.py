@@ -67,6 +67,8 @@ HEADLINE = [
     "tpch_discount_revenue",
     "emb_dim_stats",
     "dedup_simhash_neardup_pairs",
+    "ts_gap_fill_locf",
+    "text_bigram_lm_score",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -130,6 +132,10 @@ BUDGETS: dict[str, float] = {
     "tpch_discount_revenue": 0.18,
     "emb_dim_stats": 0.43,
     "dedup_simhash_neardup_pairs": 1.00,
+    "ts_gap_fill_locf": 0.94,
+    # two full corpus passes by construction (model + score), the repo's
+    # heaviest text op
+    "text_bigram_lm_score": 4.30,
 }
 
 

@@ -443,3 +443,61 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("edit_distance") <= max_distance)
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-bigram language-model score: the corpus
+    itself is the model (self-supervised quality signal -- gibberish and
+    boilerplate both sit far from the corpus-average log-probability).
+
+    score = mean over the doc's char bigrams of log2 P(bigram), with
+    P(bigram) = corpus_count(bigram) / corpus_total.
+
+    Scale layout: the model is bounded by |alphabet|^2 rows no matter the
+    corpus size, so the score join BROADCASTS it -- the exploded bigram
+    stream is never shuffled for the join; the per-doc agg keeps map-side
+    combine. Per-term log2 values are quantized at 1e-9 and decimal-summed
+    so the mean is association-order free (the repo-wide exact-mean
+    convention); log2(total) enters once, after aggregation.
+    """
+    # substring-windowed bigrams (codepoint-based in both Spark and
+    # DuckDB), then an IMMEDIATE (doc, bigram) pre-aggregation: map-side
+    # combine caps every later shuffle/join at doc x distinct-bigrams
+    # (alphabet^2-bounded) instead of total corpus characters.
+    bigrams = F.expr(
+        "transform(sequence(1, length(_t) - 1), i -> substring(_t, i, 2))"
+    )
+    bi = (
+        df.select(F.col(id_col), F.lower(text_col).alias("_t"))
+        .filter(F.length("_t") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = bi.groupBy("bg").agg(F.sum("cnt").alias("n_bg"))
+    total = model.agg(F.sum("n_bg").alias("_total"))
+    qlp = F.floor(F.log2("n_bg") * 1_000_000_000 + 0.5).cast("decimal(38,0)")
+    return (
+        bi.join(F.broadcast(model.select("bg", qlp.alias("_qlp"))), "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("cnt") * F.col("_qlp")).cast("double")
+                        / F.sum("cnt")
+                        / 1_000_000_000
+                        - F.log2(F.first("_total"))
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_log2_prob"),
+        )
+    )

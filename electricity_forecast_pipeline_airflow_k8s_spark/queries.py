@@ -53,8 +53,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_rollup",
     "rel_cube",
     "rel_window_rank",
-    "rel_date_functions",
-    "rel_string_functions",
     "rel_json_extract",
     "rel_range_join",
     "rel_sql_exists_priority",
@@ -89,15 +87,18 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_ntile_deciles",
     "dedup_semantic_clusters",
     # brand-new this round, never driver-proven: first-proof beats
-    # freshness, so these displace six r1-cohort rows (rel_regex_extract,
+    # freshness, so these displace eight r1-cohort rows (rel_regex_extract,
     # rel_union_pages, rel_promo_share, rel_part_brand_stats,
-    # rel_window_analytic, rel_events_by_segment) into next round's rotation
+    # rel_window_analytic, rel_events_by_segment, rel_date_functions,
+    # rel_string_functions) into next round's rotation
     "tpch_discount_revenue",
     "tpch_market_share",
     "tpch_cust_order_dist",
     "dedup_simhash_neardup_pairs",
     "emb_dim_stats",
     "stream_static_enrich",
+    "ts_gap_fill_locf",
+    "text_bigram_lm_score",
 )
 
 

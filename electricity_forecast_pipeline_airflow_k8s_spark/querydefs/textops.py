@@ -1662,3 +1662,87 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str):
         )
         .orderBy("dim")
     )
+
+
+# -- char-bigram LM quality score (round 4) ---------------------------------
+# Self-supervised corpus quality: per-doc mean log2 P(bigram) under the
+# corpus's own bigram distribution. The model is |alphabet|^2-bounded, so
+# Spark broadcasts it; the oracle recomputes model and score from scratch.
+# Per-term log2 quantized at 1e-9 + decimal sums = association-order-free
+# means (repo convention).
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS bg
+  FROM t WHERE length(t) >= 2
+),
+model AS (SELECT bg, count(*) AS n_bg FROM bi GROUP BY bg),
+tot AS (SELECT sum(n_bg) AS total FROM model)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       count(DISTINCT b.bg) AS n_distinct_bigrams,
+       floor((CAST(sum(CAST(floor(log2(m.n_bg) * 1000000000 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+              / count(*) / 1000000000
+              - log2((SELECT total FROM tot))) * 10000 + 0.5) / 10000
+         AS mean_log2_prob
+FROM bi b JOIN model m USING (bg)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    return TX.bigram_lm_score(docs).orderBy("doc_id")
+
+
+# -- int8 embedding quantization (round 4) ----------------------------------
+# Per-dimension min/max affine quantization to int8 codes -- the memory
+# layout ANN indexes ship at scale (4x smaller than float32). Spark: one
+# posexplode pass for dim stats (map-side combined), stats broadcast back
+# onto the exploded stream; all arithmetic is identical IEEE double ops on
+# both engines, so codes are bit-exact without rounding tolerances.
+@register(
+    "emb_quantize_int8",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN st.mx = st.mn THEN 0
+                 ELSE floor((e.v - st.mn) / (st.mx - st.mn) * 255 + 0.5) - 128
+            END AS INT) AS code
+FROM ex e JOIN st USING (dim)
+ORDER BY vec_id, dim
+""",
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_vf")
+    ).select("vec_id", "dim", F.col("_vf").cast("double").alias("v"))
+    st = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+                + F.lit(0.5)
+            )
+            - 128
+        )
+        .cast("int")
+    )
+    return (
+        ex.join(F.broadcast(st), "dim")
+        .select("vec_id", "dim", code.alias("code"))
+        .orderBy("vec_id", "dim")
+    )

@@ -588,3 +588,47 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str):
         "event_id",
         (F.floor(F.col("ewma") * 1000000 + 0.5) / 1000000).alias("ewma"),
     ).orderBy("event_type", "event_id")
+
+
+# -- hourly gap fill with LOCF (round 4) ------------------------------------
+# Spark: the bucket-parallel two-phase carry (operators/timeseries.py::
+# gap_fill_locf) whose parallelism follows (group x day); oracle: the
+# textbook ONE-window IGNORE NULLS form -- the scale restructure is proven
+# row-identical to the reference semantics, not assumed.
+@register(
+    "ts_gap_fill_locf",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               * 10000 + 0.5) / 10000 AS v_obs
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(hour) AS t0, max(hour) AS t1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.t0, s.t1, INTERVAL 1 HOUR)) AS hour
+  FROM span s
+),
+joined AS (
+  SELECT g.event_type, g.hour, o.v_obs
+  FROM grid g LEFT JOIN obs o USING (event_type, hour)
+)
+SELECT event_type, hour,
+       last_value(v_obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       v_obs IS NULL AS is_gap
+FROM joined ORDER BY event_type, hour
+""",
+)
+def q_ts_gap_fill_locf(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    return gap_fill_locf(
+        ev, group_col="event_type", ts_col="ts", value_col="value"
+    ).orderBy("event_type", "hour")

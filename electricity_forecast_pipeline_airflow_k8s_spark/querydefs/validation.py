@@ -463,3 +463,43 @@ def q_val_mad_outliers(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- incremental aggregate maintenance (round 4) ----------------------------
+# Three disjoint ingest batches -> per-batch mergeable partials -> one
+# state merge -> finalize. The oracle recomputes from scratch over ALL
+# rows: merge(state, batch) == full recompute, proved on values. At scale
+# only the newest batch is scanned; the merge is state-sized.
+@register(
+    "inc_agg_merge",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_rows,
+       count(value) AS n_vals,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+             * 10000 + 0.5) / 10000 AS mean_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM {EVENTS_SRC}
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_inc_agg_merge(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.incremental import (
+        finalize_stats,
+        merge_partial_stats,
+        partial_stats,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    cuts = ("2024-01-10", "2024-01-20")
+    b1 = ev.filter(F.col("ts") < cuts[0])
+    b2 = ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]))
+    # null-ts rows must land in exactly one batch or the union drops them
+    b3 = ev.filter((F.col("ts") >= cuts[1]) | F.col("ts").isNull())
+    state = merge_partial_stats(
+        partial_stats(b1, "event_type", "value"),
+        partial_stats(b2, "event_type", "value"),
+        partial_stats(b3, "event_type", "value"),
+    )
+    return finalize_stats(state).orderBy("event_type")

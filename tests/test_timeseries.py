@@ -147,3 +147,81 @@ def test_fill_gaps_hourly(hourly):
     filled = fill_gaps_hourly(gapped)
     assert filled.count() == 800  # full grid restored
     assert filled.filter(F.col("value").isNull()).count() == 5
+
+
+def test_gap_fill_locf_equals_single_window_form(spark):
+    """The bucket-parallel two-phase LOCF must be row-identical to the
+    textbook one-window form, including runs of fully-empty days."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # group "a": obs at hours 0, 1, then a 3-day hole, then hour 73
+    for h in (0, 1, 73):
+        rows.append(("a", base + dt.timedelta(hours=h), float(10 + h)))
+    # group "b": an all-null-value bucket mid-series stays a gap but
+    # carries the prior value
+    rows += [
+        ("b", base, 5.0),
+        ("b", base + dt.timedelta(hours=1), None),
+        ("b", base + dt.timedelta(hours=2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    got = {
+        (r.g, r.hour, r.value_filled, r.is_gap)
+        for r in gap_fill_locf(df, "g", "ts", "value").collect()
+    }
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import exact_mean
+
+    obs = df.groupBy("g", F.date_trunc("hour", "ts").alias("hour")).agg(
+        (F.floor(exact_mean("value") * 10000 + 0.5) / 10000).alias("v_obs")
+    )
+    spans = obs.groupBy("g").agg(F.min("hour").alias("t0"), F.max("hour").alias("t1"))
+    grid = spans.select(
+        "g", F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        grid.join(obs, ["g", "hour"], "left")
+        .select(
+            "g",
+            "hour",
+            F.last("v_obs", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v_obs").isNull().alias("is_gap"),
+        )
+    )
+    expect = {(r.g, r.hour, r.value_filled, r.is_gap) for r in ref.collect()}
+    assert got == expect
+    # the 3-day hole is filled with the hour-1 value
+    assert ("a", base + dt.timedelta(hours=48), 11.0, True) in got
+    # the all-null bucket is flagged gap but carries 5.0
+    assert ("b", base + dt.timedelta(hours=1), 5.0, True) in got
+
+
+def test_bigram_lm_score_small_example(spark):
+    """Hand-checkable corpus: 'ab' repeated docs dominate the model, so a
+    doc of rare bigrams scores strictly lower."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ababab"), (1, "ababab"), (2, "xyz"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert 3 not in out  # single char: no bigrams
+    assert out[0].n_bigrams == 5 and out[0].n_distinct_bigrams == 2
+    assert out[2].n_bigrams == 2 and out[2].n_distinct_bigrams == 2
+    assert out[0].mean_log2_prob > out[2].mean_log2_prob

@@ -175,3 +175,37 @@ def test_quality_profile_scale_matches_exact_on_exact_columns(spark, sf_dir):
         lo, hi = rng[r["event_type"]]["lo"], rng[r["event_type"]]["hi"]
         for c in ("q1", "median_value", "q3"):
             assert lo <= r[c] <= hi, (r["event_type"], c, r[c])
+
+
+def test_incremental_merge_batching_invariant(spark):
+    """merge(partials of any disjoint batching) == single-shot partials,
+    including all-null groups and empty batches."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.incremental import (
+        finalize_stats,
+        merge_partial_stats,
+        partial_stats,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", None), ("b", 5.25), ("b", 5.75),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    whole = finalize_stats(partial_stats(df, "g", "value")).collect()
+    # batching 1: by rows parity; batching 2: one batch empty
+    import pyspark.sql.functions as SF
+
+    b1 = df.filter(SF.col("value").isNull() | (SF.col("value") < 3))
+    b2 = df.filter(SF.col("value") >= 3)
+    empty = df.filter(SF.lit(False))
+    merged = finalize_stats(
+        merge_partial_stats(
+            partial_stats(b1, "g", "value"),
+            partial_stats(b2, "g", "value"),
+            partial_stats(empty, "g", "value"),
+        )
+    ).collect()
+    key = lambda r: r.g  # noqa: E731
+    assert sorted(map(tuple, merged), key=lambda t: t[0]) == sorted(
+        map(tuple, whole), key=lambda t: t[0]
+    )
