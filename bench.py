@@ -69,6 +69,10 @@ HEADLINE = [
     "dedup_simhash_neardup_pairs",
     "ts_gap_fill_locf",
     "text_bigram_lm_score",
+    "ts_cusum_changepoint",
+    "sess_retention_cohorts",
+    "inc_agg_merge",
+    "emb_quantize_int8",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -132,10 +136,14 @@ BUDGETS: dict[str, float] = {
     "tpch_discount_revenue": 0.18,
     "emb_dim_stats": 0.43,
     "dedup_simhash_neardup_pairs": 1.00,
-    "ts_gap_fill_locf": 0.94,
+    "ts_gap_fill_locf": 1.18,
     # two full corpus passes by construction (model + score), the repo's
     # heaviest text op
     "text_bigram_lm_score": 4.30,
+    "ts_cusum_changepoint": 1.59,
+    "sess_retention_cohorts": 1.05,
+    "inc_agg_merge": 0.72,
+    "emb_quantize_int8": 0.80,
 }
 
 

@@ -374,6 +374,7 @@ def gap_fill_locf(
     group_col: str = "respondent",
     ts_col: str = "period",
     value_col: str = "value",
+    scoped_cache: bool | None = None,
 ) -> DataFrame:
     """Hourly densify + last-observation-carried-forward, scale-safe.
 
@@ -397,11 +398,19 @@ def gap_fill_locf(
         exact_mean,
     )
 
+    if scoped_cache is None:
+        import os
+
+        scoped_cache = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
     obs = (
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(F.col(group_col), F.date_trunc("hour", F.col(ts_col)).alias("hour"))
         .agg((F.floor(exact_mean(value_col) * 10000 + 0.5) / 10000).alias("v_obs"))
     )
+    # groups x hours rows -- tiny vs the fact; referenced by the span
+    # calc, the grid join, and the per-day carry, so persist it or every
+    # consumer re-scans the fact (same convention as profile.py's bounds)
+    obs = obs.persist()
     spans = obs.groupBy(group_col).agg(
         F.min("hour").alias("_t0"), F.max("hour").alias("_t1")
     )
@@ -418,12 +427,24 @@ def gap_fill_locf(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = g.withColumn("v_intra", F.last("v_obs", ignorenulls=True).over(w_intra))
-    # last observed value per (group, day), left-joined onto ALL grid days
-    # so runs of fully-empty days still receive a carry
+    # last observed value per (group, day) -- from the cached obs frame,
+    # not from g (avoids recomputing the grid join); left-joined onto ALL
+    # grid days (day sequence from the spans) so runs of fully-empty days
+    # still receive a carry
     day_last = (
-        g.filter(F.col("v_obs").isNotNull())
-        .groupBy(group_col, "day")
+        obs.filter(F.col("v_obs").isNotNull())
+        .groupBy(group_col, F.date_trunc("day", F.col("hour")).alias("day"))
         .agg(F.max_by("v_obs", "hour").alias("day_last"))
+    )
+    days = spans.select(
+        group_col,
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("_t0")),
+                F.date_trunc("day", F.col("_t1")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
     )
     w_carry = (
         Window.partitionBy(group_col)
@@ -431,15 +452,76 @@ def gap_fill_locf(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        g.select(group_col, "day")
-        .distinct()
-        .join(day_last, [group_col, "day"], "left")
+        days.join(day_last, [group_col, "day"], "left")
         .withColumn("carry_in", F.last("day_last", ignorenulls=True).over(w_carry))
         .select(group_col, "day", "carry_in")
     )
-    return g.join(F.broadcast(carry), [group_col, "day"]).select(
+    result = g.join(F.broadcast(carry), [group_col, "day"]).select(
         F.col(group_col),
         F.col("hour"),
         F.coalesce("v_intra", "carry_in").alias("value_filled"),
         F.col("v_obs").isNull().alias("is_gap"),
+    )
+    if scoped_cache:
+        result = result.localCheckpoint(eager=True)
+        obs.unpersist()
+    return result
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str = "respondent",
+    ts_col: str = "period",
+    value_col: str = "value",
+    id_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group CUSUM changepoint: the row where the running cumulative
+    sum of deviations from the group mean peaks in magnitude -- the
+    classic level-shift detector (Page 1954) for series QA.
+
+    Exactness across engines: deviations are quantized at 1e-6 and summed
+    as DECIMAL, so the cumulative sums are association-order free; the
+    group mean is the repo's exact-decimal mean. One (group) shuffle for
+    the running window; the means frame is n_groups rows, broadcast.
+    Ties on |CUSUM| resolve to the earliest row (deterministic argmax via
+    lexicographic struct max on (|cusum|, -id))."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+    )
+
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    base = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+    means = base.groupBy(group_col).agg(exact_mean(value_col).alias("_mu"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qdev = F.floor((F.col(value_col) - F.col("_mu")) * 1_000_000 + 0.5).cast(
+        "decimal(28,0)"
+    )
+    cusum = F.sum(qdev).over(w)
+    scale = 10**round_to
+    scored = base.join(F.broadcast(means), group_col).select(
+        F.col(group_col),
+        F.col(ts_col),
+        *([F.col(id_col)] if id_col else []),
+        F.abs(cusum).alias("_abs_cusum"),
+    )
+    # lexicographic max = (largest |cusum|, then earliest ts, then smallest
+    # id) -- negated keys turn "earliest/smallest wins the tie" into a max
+    ties = [(-F.unix_micros(F.col(ts_col))).alias("t1")] + (
+        [(-F.col(id_col)).alias("t2")] if id_col else []
+    )
+    best = F.max(
+        F.struct(F.col("_abs_cusum").alias("a"), *ties, F.col(ts_col).alias("ts"))
+    )
+    out = scored.groupBy(group_col).agg(best.alias("_b"))
+    return out.select(
+        F.col(group_col),
+        F.col("_b.ts").alias("cp_ts"),
+        (
+            F.floor(F.col("_b.a").cast("double") / 1_000_000 * scale + 0.5) / scale
+        ).alias("max_abs_cusum"),
     )

@@ -48,8 +48,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_nation_revenue",
     "rel_semi_join",
     "rel_anti_join",
-    "rel_topk_orders",
-    "rel_set_ops",
     "rel_rollup",
     "rel_cube",
     "rel_window_rank",
@@ -87,10 +85,11 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_ntile_deciles",
     "dedup_semantic_clusters",
     # brand-new this round, never driver-proven: first-proof beats
-    # freshness, so these displace eight r1-cohort rows (rel_regex_extract,
+    # freshness, so these displace ten r1-cohort rows (rel_regex_extract,
     # rel_union_pages, rel_promo_share, rel_part_brand_stats,
     # rel_window_analytic, rel_events_by_segment, rel_date_functions,
-    # rel_string_functions) into next round's rotation
+    # rel_string_functions, rel_topk_orders, rel_set_ops) into next
+    # round's rotation
     "tpch_discount_revenue",
     "tpch_market_share",
     "tpch_cust_order_dist",
@@ -99,6 +98,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "stream_static_enrich",
     "ts_gap_fill_locf",
     "text_bigram_lm_score",
+    "inc_agg_merge",
+    "emb_quantize_int8",
 )
 
 

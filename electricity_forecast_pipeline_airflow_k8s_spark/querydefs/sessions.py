@@ -832,3 +832,47 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str):
         .select("event_type", "window_start", "n_rows", "n_above")
         .orderBy("event_type", "window_start")
     )
+
+
+# -- daily cohort retention matrix (round 4) --------------------------------
+# Classic product-analytics rollup over the events stream: users grouped
+# by first-seen day, activity counted per day offset. Exact integer
+# counts end-to-end (no float anywhere); two hash aggs + one join, all
+# map-side combinable; the firsts frame is user-count-sized and AQE
+# decides its join strategy.
+@register(
+    "sess_retention_cohorts",
+    oracle="""
+WITH ev AS (
+  -- DuckDB's date_trunc('day') yields DATE (unlike 'hour'); cast back so
+  -- the column is TIMESTAMP like Spark's
+  SELECT user_id, CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS offset_days,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_sess_retention_cohorts(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )

@@ -737,26 +737,36 @@ def q_bpe_token_estimate(spark: SparkSession, sf_dir: str):
 @register(
     "text_winnow_fingerprints",
     oracle=r"""
+-- row-explode + window-min formulation: identical to the per-list
+-- [list_min(hs[i:i+3]) ...] comprehension (frames filtered to full width)
+-- but linear -- the comprehension form measured ~8 min at sf0.01 vs
+-- seconds for this one
 WITH d AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
   FROM documents WHERE doc_id < 200
-), h AS (
-  SELECT doc_id,
-         CASE WHEN length(t) >= 8
-              THEN [md5(substr(t, i, 8)) for i in range(1, length(t) - 8 + 2)]
-              ELSE [] END AS hs
-  FROM d
-), w AS (
-  SELECT doc_id,
-         CASE WHEN len(hs) >= 4
-              THEN list_sort(list_distinct(
-                     [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
-              ELSE CAST([] AS VARCHAR[]) END AS fps
-  FROM h
+), pos AS (
+  SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS i
+    FROM d WHERE length(t) >= 8
+  )
+), wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM pos
+), fp AS (
+  SELECT DISTINCT doc_id, wm FROM wmin WHERE i <= nh - 3
+), agg AS (
+  SELECT doc_id, list_sort(list(wm)) AS fps FROM fp GROUP BY doc_id
 )
-SELECT doc_id, len(fps) AS n_fingerprints,
-       md5(array_to_string(fps, ',')) AS fp_digest
-FROM w ORDER BY doc_id
+SELECT d.doc_id,
+       coalesce(len(a.fps), 0) AS n_fingerprints,
+       md5(array_to_string(coalesce(a.fps, CAST([] AS VARCHAR[])), ','))
+         AS fp_digest
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
 """,
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str):

@@ -632,3 +632,49 @@ def q_ts_gap_fill_locf(spark: SparkSession, sf_dir: str):
     return gap_fill_locf(
         ev, group_col="event_type", ts_col="ts", value_col="value"
     ).orderBy("event_type", "hour")
+
+
+# -- CUSUM changepoint (round 4) --------------------------------------------
+# Level-shift detection per group: argmax |running sum of mean deviations|.
+# Deviations quantized at 1e-6 into DECIMAL cumulative sums =
+# association-order-free; deterministic tie-break (earliest row). Oracle
+# re-derives everything with a window + row_number formulation.
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH base AS (
+  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+mu AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mu
+  FROM base GROUP BY event_type
+),
+cs AS (
+  SELECT b.event_type, b.ts, b.event_id,
+         abs(sum(CAST(floor((b.value - m.mu) * 1000000 + 0.5) AS DECIMAL(28,0)))
+             OVER (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ac
+  FROM base b JOIN mu m USING (event_type)
+),
+ranked AS (
+  SELECT event_type, ts, ac,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ac DESC, ts, event_id) AS rn
+  FROM cs
+)
+SELECT event_type, ts AS cp_ts,
+       floor(CAST(ac AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS max_abs_cusum
+FROM ranked WHERE rn = 1 ORDER BY event_type
+""",
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    return cusum_changepoint(
+        ev, group_col="event_type", ts_col="ts", value_col="value", id_col="event_id"
+    ).orderBy("event_type")
