@@ -131,8 +131,8 @@ BUDGETS: dict[str, float] = {
     "val_mad_outliers": 1.15,
     "ts_ewma": 1.10,
     "rel_ntile_deciles": 0.50,
-    "tpch_market_share": 0.95,
-    "tpch_cust_order_dist": 0.46,
+    "tpch_market_share": 1.10,
+    "tpch_cust_order_dist": 0.58,
     "tpch_discount_revenue": 0.18,
     "emb_dim_stats": 0.43,
     "dedup_simhash_neardup_pairs": 1.00,

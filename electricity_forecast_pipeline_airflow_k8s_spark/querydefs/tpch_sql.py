@@ -76,8 +76,20 @@ SELECT l_partkey, floor((value) * 10000 + 0.5) / 10000 AS value
 FROM part_value
 -- threshold from the exact decimal total (summing the double part values
 -- would be association-order dependent across engines)
-WHERE value > (SELECT CAST(sum({REV}) AS DOUBLE) * 0.001 FROM lineitem)
+WHERE value > (SELECT CAST(sum({REV}) AS DOUBLE) * 0.0008 FROM lineitem)
 ORDER BY value DESC, l_partkey
+""",
+    oracle=f"""
+-- window-total formulation (vs Spark's scalar subquery): the corpus total
+-- comes from an exact DECIMAL window sum over the grouped partials
+SELECT l_partkey, floor(CAST(value_dec AS DOUBLE) * 10000 + 0.5) / 10000 AS value
+FROM (
+  SELECT l_partkey, sum({REV}) AS value_dec,
+         sum(sum({REV})) OVER () AS total_dec
+  FROM lineitem GROUP BY l_partkey
+)
+WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.0008
+ORDER BY CAST(value_dec AS DOUBLE) DESC, l_partkey
 """,
 )
 
@@ -158,6 +170,17 @@ WHERE p.p_size >= 20
 GROUP BY p.p_brand, p.p_type
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
 """,
+    oracle="""
+-- explicit-dedup-then-count (vs Spark's count(DISTINCT ...))
+SELECT p_brand, p_type, count(*) AS supplier_cnt
+FROM (
+  SELECT DISTINCT p.p_brand, p.p_type, l.l_suppkey
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  WHERE p.p_size >= 20
+)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""",
 )
 
 # Q7-style: shipping volume between two nations by year
@@ -181,6 +204,29 @@ FROM (
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 HAVING count(*) >= 3
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    oracle=f"""
+-- aggregate on nation KEYS first, join names and apply the name-order
+-- filter after (vs Spark's pre-join name filter + name grouping)
+WITH vol AS (
+  SELECT s.s_nationkey AS sk, c.c_nationkey AS ck,
+         CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+         sum({REV}) AS volume_dec, count(*) AS n
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate <= TIMESTAMP '1996-12-31'
+  GROUP BY 1, 2, 3
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
+       CAST(volume_dec AS DOUBLE) AS revenue
+FROM vol
+JOIN nation n1 ON n1.n_nationkey = vol.sk
+JOIN nation n2 ON n2.n_nationkey = vol.ck
+WHERE n1.n_name < n2.n_name AND vol.n >= 3
 ORDER BY supp_nation, cust_nation, l_year
 """,
 )
@@ -208,6 +254,26 @@ FROM (
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """,
+    oracle="""
+-- difference-of-sums (vs Spark's sum-of-differences): exact DECIMAL
+-- arithmetic makes the reassociation value-identical
+SELECT n.n_name AS nation,
+       CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+            - sum(CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(0.1 AS DECIMAL(3,1)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
 )
 
 # Q22-style: customers with above-average balance and no orders
@@ -221,9 +287,33 @@ FROM customer c
 WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                             / count(c_acctbal)
                      FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
+""",
+    oracle="""
+-- CTE average + LEFT-JOIN-IS-NULL anti join (vs Spark's correlated
+-- scalar subquery + NOT EXISTS)
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(c_acctbal) AS ab
+  FROM customer WHERE c_acctbal > 0
+),
+no_orders AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+    ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NULL
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       floor(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS totacctbal
+FROM no_orders c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+GROUP BY 1 ORDER BY 1
 """,
 )
 
@@ -244,6 +334,24 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY CAST(sum({REV}) AS DOUBLE) DESC, c.c_custkey
 LIMIT 20
+""",
+    oracle=f"""
+-- aggregate on custkey BEFORE joining dimensions, QUALIFY row_number
+-- cut (vs Spark's post-join grouping + LIMIT)
+WITH rev AS (
+  SELECT o.o_custkey, sum({REV}) AS rev_dec, count(*) AS n_items
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       floor(CAST(rev_dec AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+       n_items
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY row_number() OVER (ORDER BY CAST(rev_dec AS DOUBLE) DESC, c.c_custkey) <= 20
+ORDER BY CAST(rev_dec AS DOUBLE) DESC, c.c_custkey
 """,
 )
 
