@@ -384,3 +384,40 @@ def q_rel_ntile_deciles(spark: SparkSession, sf_dir: str):
         )
         .orderBy("c_mktsegment", "decile")
     )
+
+
+# -- VARIANT ingestion of semi-structured props (round 4) -------------------
+# Spark 4's VARIANT type: parse once into the binary variant encoding,
+# extract with variant_get -- the scale path for JSON columns (parse cost
+# paid once per row, shredded access after; vs get_json_object re-parsing
+# per extraction). Oracle: DuckDB JSON path functions. Integer-exact.
+@register(
+    "rel_variant_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE props IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_rel_variant_props(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("props").isNotNull() & F.col("event_type").isNotNull()
+    )
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -179,3 +179,29 @@ def test_stratified_topk_truncates_in_window_group_limit(spark, sf_dir):
     q = registry()["sample_stratified_topk"].build(spark, sf_dir)
     plan = explain_str(q, "simple")
     assert plan.count("WindowGroupLimit") == 2, plan[:2000]
+
+
+def test_ivf_cluster_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The IVF scale story pinned (SCALING.md): with the corpus WRITTEN
+    partitioned by assigned centroid, probing n_probe clusters is
+    partition pruning at the scan -- directories for unprobed clusters are
+    never read."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = centroid_assign(emb).select(
+        "vec_id", F.col("assigned_label").alias("cluster")
+    )
+    corpus = emb.join(assigned, "vec_id")
+    path = str(tmp_path / "ivf_corpus")
+    corpus.write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cluster").isin(0, 1))
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan
+    # pruned read returns exactly the probed clusters' rows
+    want = corpus.filter(F.col("cluster").isin(0, 1)).count()
+    assert probe.count() == want
+    assert want > 0

@@ -147,3 +147,44 @@ def test_windowed_stats_invariant_to_arrival_order(
     got = {tuple(r[k] for k in key): (r["n"], r["avg_value"], r["min_value"], r["max_value"]) for r in out.collect()}
     want = {tuple(r[k] for k in key): (r["n"], r["avg_value"], r["min_value"], r["max_value"]) for r in batch.collect()}
     assert got == want
+
+
+@given(events=events_strategy, seed=st.randoms(use_true_random=False))
+@_settings
+def test_stream_static_enrich_invariant_to_arrival_order(
+    spark, tmp_path_factory, events, seed
+):
+    """Stream-static enrichment counts must equal the same function run in
+    batch mode for any arrival permutation within the watermark: the
+    broadcast static dim must not interact with micro-batch boundaries."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        stream_enrich_counts,
+    )
+
+    rows = _rows(events)
+    tmpdir = str(tmp_path_factory.mktemp("slp"))
+    schema = "respondent string, period timestamp, value double"
+    dim = (
+        spark.createDataFrame(rows, schema)
+        .groupBy("respondent")
+        .agg(F.avg("value").alias("baseline"))
+    )
+
+    def enrich(s):
+        return stream_enrich_counts(
+            s,
+            F.broadcast(dim),
+            group_col="respondent",
+            ts_col="period",
+            value_col="value",
+            dim_value_col="baseline",
+            watermark="2 hours",
+            window_duration="30 minutes",
+        )
+
+    out = _stream_to_df(spark, tmpdir, rows, seed, n_files=4, transform=enrich)
+    batch = enrich(spark.createDataFrame(rows, schema))
+    key = lambda r: (r["respondent"], r["window_start"])  # noqa: E731
+    got = {key(r): (r["n_rows"], r["n_above"]) for r in out.collect()}
+    want = {key(r): (r["n_rows"], r["n_above"]) for r in batch.collect()}
+    assert got == want
