@@ -163,3 +163,136 @@ def test_salted_stats_equals_plain_agg(spark, sizes):
         assert salted[g]["mean_value"] == plain[g]["mean_value"]
         assert salted[g]["min_value"] == plain[g]["min_value"]
         assert salted[g]["max_value"] == plain[g]["max_value"]
+
+
+@given(
+    codes=st.lists(
+        st.tuples(st.integers(0, 65535)), min_size=2, max_size=30, unique=True
+    )
+)
+@_settings
+def test_simhash_banding_recall_property(spark, codes):
+    """For ANY set of 16-bit codes, the banded equi-join must return
+    EXACTLY the brute-force hamming<=3 pair set (pigeonhole recall is a
+    theorem; this checks the implementation, including band extraction and
+    the distinct over multi-band collisions)."""
+    from itertools import combinations
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    rows = [(i, c[0]) for i, c in enumerate(codes)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash int")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    expect = {
+        (ia, ib, bin(ca ^ cb).count("1"))
+        for (ia, ca), (ib, cb) in combinations(rows, 2)
+        if bin(ca ^ cb).count("1") <= 3
+    }
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # group
+            st.integers(0, 80),                     # hour offset (sparse)
+            st.one_of(st.none(), st.integers(-100, 100)),  # value or null
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_settings
+def test_gap_fill_locf_equals_one_window_form_property(spark, rows):
+    """The bucket-parallel two-phase LOCF must equal the textbook
+    one-window form for ANY sparse series shape (multi-day holes,
+    all-null buckets, duplicate hours)."""
+    import datetime as dt2
+
+    from pyspark.sql import Window
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    base = dt2.datetime(2024, 2, 1)
+    data = [
+        (f"g{g}", base + dt2.timedelta(hours=h), float(v) if v is not None else None)
+        for g, h, v in rows
+    ]
+    df = spark.createDataFrame(data, "g string, ts timestamp, value double")
+    got = {
+        (r.g, r.hour, r.value_filled, r.is_gap)
+        for r in gap_fill_locf(df, "g", "ts", "value").collect()
+    }
+    obs = df.groupBy("g", F.date_trunc("hour", "ts").alias("hour")).agg(
+        (F.floor(exact_mean("value") * 10000 + 0.5) / 10000).alias("v_obs")
+    )
+    spans = obs.groupBy("g").agg(F.min("hour").alias("t0"), F.max("hour").alias("t1"))
+    grid = spans.select(
+        "g", F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = grid.join(obs, ["g", "hour"], "left").select(
+        "g",
+        "hour",
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v_obs").isNull().alias("is_gap"),
+    )
+    expect = {(r.g, r.hour, r.value_filled, r.is_gap) for r in ref.collect()}
+    assert got == expect
+
+
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cut=st.integers(1, 49),
+)
+@_settings
+def test_incremental_merge_equals_recompute_property(spark, values, cut):
+    """merge(partials(batch A), partials(batch B)) == partials(A ∪ B) for
+    ANY split point, value distribution, and null placement."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.incremental import (
+        finalize_stats,
+        merge_partial_stats,
+        partial_stats,
+    )
+
+    data = [
+        (f"g{g}", float(v) / 4 if v is not None else None) for g, v in values
+    ]
+    df = spark.createDataFrame(data, "g string, value double")
+    a = spark.createDataFrame(data[:cut] or [("_empty", None)], "g string, value double").filter(
+        F.lit(len(data[:cut]) > 0)
+    )
+    b = spark.createDataFrame(data[cut:] or [("_empty", None)], "g string, value double").filter(
+        F.lit(len(data[cut:]) > 0)
+    )
+    whole = {tuple(r) for r in finalize_stats(partial_stats(df, "g", "value")).collect()}
+    merged = {
+        tuple(r)
+        for r in finalize_stats(
+            merge_partial_stats(
+                partial_stats(a, "g", "value"), partial_stats(b, "g", "value")
+            )
+        ).collect()
+    }
+    assert merged == whole
