@@ -421,3 +421,72 @@ def q_rel_variant_props(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- LATERAL VIEW / table-valued explode in SQL (round 4) -------------------
+# The SQL-surface form of array explosion (HiveQL LATERAL VIEW, kept in
+# Spark SQL): per order, explode the words of its priority label and
+# count. Trivial data, real surface: the parser/planner path differs from
+# the DataFrame explode() API. Oracle: unnest over string_split.
+@register(
+    "rel_lateral_explode",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(string_split(o_orderpriority, '-')) AS word
+  FROM orders
+)
+GROUP BY word ORDER BY word
+""",
+)
+def q_rel_lateral_explode(spark: SparkSession, sf_dir: str):
+    table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT word, count(*) AS n
+        FROM orders
+        LATERAL VIEW explode(split(o_orderpriority, '-')) t AS word
+        GROUP BY word ORDER BY word
+        """
+    )
+
+
+# -- null-safe equality join (round 4) --------------------------------------
+# <=> (IS NOT DISTINCT FROM): NULL keys MATCH each other instead of
+# dropping -- the semantics dimension joins need when the key is
+# optional. Exercised on events.value IS NULL buckets joined to a tiny
+# derived dim keyed by nullable value-sign.
+@register(
+    "rel_null_safe_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value >= 0 THEN 'pos' ELSE 'neg' END AS sign
+  FROM events
+),
+dim AS (
+  SELECT * FROM (VALUES ('pos', 1), ('neg', -1), (NULL, 0)) AS t(sign, factor)
+)
+SELECT d.factor, count(e.event_id) AS n
+FROM ev e JOIN dim d ON e.sign IS NOT DISTINCT FROM d.sign
+GROUP BY d.factor ORDER BY d.factor
+""",
+)
+def q_rel_null_safe_join(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).select(
+        "event_id",
+        F.when(F.col("value").isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") >= 0, "pos")
+        .otherwise("neg")
+        .alias("sign"),
+    )
+    dim = table(spark, "events", sf_dir).sparkSession.createDataFrame(
+        [("pos", 1), ("neg", -1), (None, 0)], "sign string, factor int"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["sign"].eqNullSafe(dim["sign"]))
+        .groupBy("factor")
+        .agg(F.count("event_id").alias("n"))
+        .orderBy("factor")
+    )

@@ -678,3 +678,164 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str):
     return cusum_changepoint(
         ev, group_col="event_type", ts_col="ts", value_col="value", id_col="event_id"
     ).orderBy("event_type")
+
+
+# -- recursive CTE week spine (round 4) ------------------------------------
+# Spark 4's WITH RECURSIVE (UNION ALL + terminating predicate -- Spark
+# does not yet support UNION inside recursion, so only acyclic/linear
+# recursions are expressible; cyclic closure stays on the iterative CC
+# operator). A per-group week spine densified from each group's span,
+# with zero-event weeks preserved -- the recursive twin of the
+# sequence()-explode grid in gap_fill_locf, run as real recursion on BOTH
+# engines.
+@register(
+    "ts_week_spine_rcte",
+    oracle="""
+WITH RECURSIVE spans AS (
+  SELECT event_type,
+         CAST(date_trunc('week', min(ts::TIMESTAMP)) AS TIMESTAMP) AS m0,
+         CAST(date_trunc('week', max(ts::TIMESTAMP)) AS TIMESTAMP) AS m1
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+spine(event_type, week, m1) AS (
+  SELECT event_type, m0, m1 FROM spans
+  UNION ALL
+  SELECT event_type, week + INTERVAL 7 DAY, m1
+  FROM spine WHERE week < m1
+),
+counts AS (
+  SELECT event_type, CAST(date_trunc('week', ts::TIMESTAMP) AS TIMESTAMP) AS week,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT s.event_type, s.week, coalesce(c.n, 0) AS n_events
+FROM spine s LEFT JOIN counts c USING (event_type, week)
+ORDER BY s.event_type, s.week
+""",
+)
+def q_ts_week_spine_rcte(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir)
+    ev.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).createOrReplaceTempView("events_rcte_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE spans AS (
+          SELECT event_type,
+                 date_trunc('week', min(ts)) AS m0,
+                 date_trunc('week', max(ts)) AS m1
+          FROM events_rcte_src GROUP BY event_type
+        ),
+        spine(event_type, week, m1) AS (
+          SELECT event_type, m0, m1 FROM spans
+          UNION ALL
+          SELECT event_type, week + INTERVAL 7 DAY, m1
+          FROM spine WHERE week < m1
+        ),
+        counts AS (
+          SELECT event_type, date_trunc('week', ts) AS week, count(*) AS n
+          FROM events_rcte_src GROUP BY 1, 2
+        )
+        SELECT s.event_type, s.week, coalesce(c.n, 0) AS n_events
+        FROM spine s LEFT JOIN counts c USING (event_type, week)
+        ORDER BY s.event_type, s.week
+        """
+    )
+
+
+# -- seasonal-naive forecast error (round 4) --------------------------------
+# The reference's RMSE / MAPE evaluation targets (`README.md:733-734`) as
+# pure relational aggregates against the canonical baseline every
+# forecaster must beat: predict value(t) = value(t - 24h). Hourly exact
+# means, self-join on the shifted hour, per-term quantized decimal error
+# sums (association-order free), sqrt/round at the edge.
+@register(
+    "ts_seasonal_naive_error",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               * 10000 + 0.5) / 10000 AS v
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type, a.v AS actual, p.v AS pred
+  FROM hourly a
+  JOIN hourly p ON p.event_type = a.event_type
+                AND p.hour = a.hour - INTERVAL 24 HOUR
+  WHERE a.v IS NOT NULL AND p.v IS NOT NULL
+),
+terms AS (
+  SELECT event_type,
+         CAST(floor(abs(actual - pred) / abs(actual) * 100000000 + 0.5)
+              AS DECIMAL(38,0)) AS qape,
+         CAST(floor((actual - pred) * (actual - pred) * 10000 + 0.5)
+              AS DECIMAL(38,0)) AS qse
+  FROM paired WHERE actual <> 0
+)
+SELECT event_type,
+       count(*) AS n_pairs,
+       floor(CAST(sum(qape) AS DOUBLE) / count(*) / 100000000 * 1000000 + 0.5)
+         / 1000000 AS mape,
+       floor(sqrt(CAST(sum(qse) AS DOUBLE) / count(*) / 10000) * 10000 + 0.5)
+         / 10000 AS rmse
+FROM terms GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_ts_seasonal_naive_error(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg((F.floor(exact_mean("value") * 10000 + 0.5) / 10000).alias("v"))
+    a = hourly.select("event_type", "hour", F.col("v").alias("actual"))
+    p = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr("INTERVAL 24 HOUR")).alias("hour"),
+        F.col("v").alias("pred"),
+    )
+    paired = (
+        a.join(p, ["event_type", "hour"])
+        .filter(F.col("actual").isNotNull() & F.col("pred").isNotNull())
+        .filter(F.col("actual") != 0)
+    )
+    qape = F.floor(
+        F.abs(F.col("actual") - F.col("pred")) / F.abs(F.col("actual")) * 100000000
+        + 0.5
+    ).cast("decimal(38,0)")
+    qse = F.floor(
+        (F.col("actual") - F.col("pred")) * (F.col("actual") - F.col("pred")) * 10000
+        + 0.5
+    ).cast("decimal(38,0)")
+    return (
+        paired.select("event_type", qape.alias("qape"), qse.alias("qse"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum("qape").cast("double")
+                    / F.count(F.lit(1))
+                    / 100000000
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("mape"),
+            (
+                F.floor(
+                    F.sqrt(F.sum("qse").cast("double") / F.count(F.lit(1)) / 10000)
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )

@@ -503,3 +503,54 @@ def q_inc_agg_merge(spark: SparkSession, sf_dir: str):
         partial_stats(b3, "event_type", "value"),
     )
     return finalize_stats(state).orderBy("event_type")
+
+
+# -- order-independent checksum reconciliation (round 4) --------------------
+# "Did the 100 TB copy lose rows?" -- per-group row count + content
+# checksum that any engine can recompute: md5 of the key columns folded
+# to a 60-bit integer, decimal-summed (order/partitioning independent,
+# duplicate-sensitive -- unlike XOR folding, which cancels row pairs),
+# reduced mod 1e18 to fit BIGINT. String/integer columns only: float
+# formatting differs across engines.
+@register(
+    "val_checksum_reconciliation",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substr(
+              md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                                 CAST(user_id AS VARCHAR))), 1, 15)
+            AS UBIGINT) AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
+         AS checksum
+FROM {EVENTS_SRC}
+WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_val_checksum_reconciliation(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("event_type").isNotNull())
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(h60), F.lit(10**18).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("event_type")
+    )

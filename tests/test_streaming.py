@@ -191,3 +191,38 @@ def test_quality_counts(spark, stream_dir, tmp_path):
     )
     neg = sum(r["n_negative"] for r in out.collect())
     assert neg == 1
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restart semantics: a NEW query started on the SAME checkpoint after
+    more files landed must process ONLY the new files -- the already-
+    committed batch is never re-emitted (file-source offsets + sink commit
+    log = exactly-once continuation across restarts/crashes)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, value double"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    batch_a = [(i, float(i)) for i in range(10)]
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    batch_b = [(i, float(i)) for i in range(10, 20)]
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(20)), got
