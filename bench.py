@@ -73,6 +73,9 @@ HEADLINE = [
     "sess_retention_cohorts",
     "inc_agg_merge",
     "emb_quantize_int8",
+    "rel_variant_props",
+    "val_checksum_reconciliation",
+    "ts_seasonal_naive_error",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -144,6 +147,9 @@ BUDGETS: dict[str, float] = {
     "sess_retention_cohorts": 1.05,
     "inc_agg_merge": 0.72,
     "emb_quantize_int8": 0.80,
+    "rel_variant_props": 0.71,
+    "val_checksum_reconciliation": 0.68,
+    "ts_seasonal_naive_error": 1.00,
 }
 
 
