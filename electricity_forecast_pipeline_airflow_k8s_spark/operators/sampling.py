@@ -104,3 +104,20 @@ def stratified_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample_key(seed: str, weight_col, *cols) -> Column:
+    """Efraimidis-Spirakis (A-ES) weighted-sampling key: keep the K rows
+    with the SMALLEST -ln(u)/w (u uniform from the row's md5) for an
+    exact weighted-without-replacement sample.
+
+    Deterministic and engine-portable like :func:`sample_key`: u derives
+    from the same md5 construction ((int(hex8) + 0.5) / 16^8, never 0 or
+    1), so the same seed reproduces the same sample on any engine, any
+    partitioning. Selection is a rank-truncating window (WindowGroupLimit:
+    per-task top-K before the exchange), never a global sort."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(sample_key(seed, *cols), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_HEX_SPACE))
+    return -F.log(u) / w

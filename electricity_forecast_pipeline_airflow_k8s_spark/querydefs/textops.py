@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
@@ -1756,3 +1756,88 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str):
         .select("vec_id", "dim", code.alias("code"))
         .orderBy("vec_id", "dim")
     )
+
+
+# -- A-ES weighted sampling (round 4b) --------------------------------------
+# Exact weighted-without-replacement sampling (Efraimidis-Spirakis): keep
+# the K smallest -ln(u)/w per stratum, u md5-derived so the sample is
+# deterministic and engine-portable. Longer docs (weight = n_chars) are
+# proportionally likelier to be kept -- the quality-weighted corpus
+# down-mix. Selection is a rank-truncating window (WindowGroupLimit).
+_WSAMP_K = 5
+
+_WSAMP_ORACLE = f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY -ln((CAST('0x' || substr(md5('wsamp' || chr(31)
+                          || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 0.5)
+                        / 4294967296.0)
+                    / greatest(n_chars, 1),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_WSAMP_K}
+ORDER BY source, doc_id
+"""
+
+
+@register("sample_weighted_topk", oracle=_WSAMP_ORACLE)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import sampling as SP
+
+    docs = table(spark, "documents", sf_dir)
+    key = SP.weighted_sample_key(
+        "wsamp", F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _WSAMP_K)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+# -- concat-and-chunk packing assignment (round 4b) -------------------------
+# The packing ASSIGNMENT itself (text_packing_estimate only counts): docs
+# concatenated per source in doc_id order, cut at seq_len boundaries;
+# each doc is assigned the chunk containing its first token. One
+# per-source cumulative-sum window over integer-exact token estimates --
+# deterministic, and append-only inputs never reassign existing chunks.
+_PACK_CHUNK_ORACLE = f"""
+WITH est AS (
+  SELECT source, doc_id,
+         CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+              p -> (length(p) + 3) // 4)), 0) AS BIGINT) AS est_tokens
+  FROM documents
+)
+SELECT source, doc_id, est_tokens,
+       CAST((sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - est_tokens) // {_PACK_SEQ_LEN} AS BIGINT) AS chunk_id
+FROM est
+ORDER BY source, doc_id
+"""
+
+
+@register("text_pack_chunks", oracle=_PACK_CHUNK_ORACLE)
+def q_text_pack_chunks(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    est = TX.bpe_token_estimate(docs).select("doc_id", "est_bpe_tokens")
+    joined = docs.select("source", "doc_id").join(est, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("est_bpe_tokens").over(w) - F.col("est_bpe_tokens")
+    return joined.select(
+        "source",
+        "doc_id",
+        F.col("est_bpe_tokens").alias("est_tokens"),
+        F.floor(start / _PACK_SEQ_LEN).alias("chunk_id"),
+    ).orderBy("source", "doc_id")
