@@ -100,6 +100,12 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_bigram_lm_score",
     "inc_agg_merge",
     "emb_quantize_int8",
+    # Round-5 rotation TODO: lead with the 10 late-round-4 queries that
+    # missed this window (ts_cusum_changepoint, sess_retention_cohorts,
+    # rel_variant_props, rel_lateral_explode, rel_null_safe_join,
+    # ts_week_spine_rcte, val_checksum_reconciliation,
+    # ts_seasonal_naive_error, sample_weighted_topk, text_pack_chunks),
+    # then the displaced r1 cohort above, then the r2 cohort.
 )
 
 

@@ -67,3 +67,26 @@ def apply_retention(
     for ts in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{prefix}/run_ts={ts}"), True)
     return doomed
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> dict[str, list]:
+    """Schema diff between two snapshots: added / dropped / type-changed
+    columns -- the check a weekly ingest runs BEFORE processing so an
+    upstream contract change (EIA adding a facet column, a type widening)
+    surfaces as a report instead of a mid-job cast error. The reference's
+    permissive Pandera schema (`core/data_validation.py:28-70`,
+    strict=False + coerce) tolerates drift silently; at 100 TB silent
+    drift means a corrupted backfill, so surface it.
+
+    Metadata-only: reads both schemas, touches zero data rows."""
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    return {
+        "added": sorted(n for n in new_t if n not in old_t),
+        "dropped": sorted(n for n in old_t if n not in new_t),
+        "type_changed": sorted(
+            (n, old_t[n], new_t[n])
+            for n in old_t.keys() & new_t.keys()
+            if old_t[n] != new_t[n]
+        ),
+    }

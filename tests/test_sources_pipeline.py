@@ -221,3 +221,49 @@ def test_run_training_end_to_end(spark, readings):
     # periodic signal, ridge AR: near-perfect fit, inverse-scaled to MW range
     assert res.metrics["rmse"] < 0.05
     assert all(19000 < r["predicted_load"] < 22000 for r in fc)
+
+
+def test_schema_drift_detects_adds_drops_and_type_changes(spark):
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.snapshots import (
+        schema_drift,
+    )
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2, True)], "id long, name string, v int, flag boolean")
+    d = schema_drift(old, new)
+    assert d["added"] == ["flag"]
+    assert d["dropped"] == []
+    assert d["type_changed"] == [("v", "double", "int")]
+    # identical schemas -> empty report
+    clean = schema_drift(old, old)
+    assert clean == {"added": [], "dropped": [], "type_changed": []}
+
+
+def test_observe_metrics_single_pass_equal_separate_aggregates(spark, sf_dir):
+    """df.observe collects validation counters DURING a write pass -- the
+    zero-extra-scan form of the quality counters (at 100 TB a separate
+    metrics aggregation is a second full read)."""
+    from pyspark.sql import Observation
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_value"] == want["n_null_value"]
+    assert got["n_negative"] == want["n_negative"]
