@@ -28,84 +28,85 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Rounds 1-3 proved every oracle query green
-# at least once; round 4's window is pure ledger freshness (VERDICT r3 item
-# 1): the entire round-1 cohort whose last driver green is two rounds old
-# leads, then the oldest round-2 cohort, plus the one query whose semantics
-# changed this round (stream_dedup_counts: explicit maxFilesPerTrigger).
-# The 26 remaining round-2-green queries (ngram-jaccard, tokenset/simhash
-# dedup, sim_topk_lsh, domain/extreme gates, math functions, streaming windowed
-# stats, text quality score, scaled values, ts window/tail/coverage + ks
-# drift, text token-stats/lang-id/fingerprint/length/top-tokens/
-# quality-filter/tfidf, six tpch_*) rotate in next round, bounding
-# driver-evidence age at ~2 rounds for every query.
+# registration order per round). Round-5 window, by evidence priority:
+# (a) new round-5 queries (never driver-proven — first-proof beats
+# freshness; prepended as they land), (b) the 10 late-round-4 queries that
+# missed the r4 window (also never proven), (c) the 10 queries whose last
+# driver green is r1 (displaced from the r4 window by first-proof items),
+# (d) as much of the 28-query r2-evidence cohort as fits. Whatever r2
+# cohort overflows leads round 6, keeping every query's driver-evidence
+# age bounded at ~3 rounds.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    # round-1 cohort: last driver-green in r1
-    "ml_train_eval_metrics",
-    "ml_hpo_best_trials",
-    "ml_forecast_next",
-    "rel_shipping_priority",
-    "rel_nation_revenue",
-    "rel_semi_join",
-    "rel_anti_join",
-    "rel_rollup",
-    "rel_cube",
-    "rel_window_rank",
-    "rel_json_extract",
-    "rel_range_join",
-    "rel_sql_exists_priority",
-    "rel_sql_above_nation_avg",
-    "rel_outer_join_counts",
-    "rel_pivot_status_priority",
-    "rel_grouping_sets",
-    "val_dup_count",
-    "val_value_stats",
-    "val_summary",
-    "val_grouped_stats",
-    "val_top_group",
-    "val_distinct_groups",
-    "val_dup_rows",
-    "ts_moving_avg_1h",
-    # changed this round: file-source batching pinned (ADVICE r3); new
-    # forecast-shape/envelope invariant columns (VERDICT r3 item 5)
-    "stream_dedup_counts",
-    "ml_invariants",
-    # new operators this round (round 4)
-    "text_pii_redaction",
-    "emb_norm_stats",
-    "sample_stratified_topk",
-    "text_packing_estimate",
-    "text_ngram_novelty",
-    "sample_split_assign",
-    "stream_quality_counts",
-    "text_para_dedup",
-    "val_mad_outliers",
-    "mm_frame_sample",
-    "ts_ewma",
-    "rel_ntile_deciles",
-    "dedup_semantic_clusters",
-    # brand-new this round, never driver-proven: first-proof beats
-    # freshness, so these displace ten r1-cohort rows (rel_regex_extract,
-    # rel_union_pages, rel_promo_share, rel_part_brand_stats,
-    # rel_window_analytic, rel_events_by_segment, rel_date_functions,
-    # rel_string_functions, rel_topk_orders, rel_set_ops) into next
-    # round's rotation
-    "tpch_discount_revenue",
-    "tpch_market_share",
-    "tpch_cust_order_dist",
-    "dedup_simhash_neardup_pairs",
-    "emb_dim_stats",
-    "stream_static_enrich",
-    "ts_gap_fill_locf",
-    "text_bigram_lm_score",
-    "inc_agg_merge",
-    "emb_quantize_int8",
-    # Round-5 rotation TODO: lead with the 10 late-round-4 queries that
-    # missed this window (ts_cusum_changepoint, sess_retention_cohorts,
-    # rel_variant_props, rel_lateral_explode, rel_null_safe_join,
-    # ts_week_spine_rcte, val_checksum_reconciliation,
-    # ts_seasonal_naive_error, sample_weighted_topk, text_pack_chunks),
-    # then the displaced r1 cohort above, then the r2 cohort.
+    # (a) new in round 5 — never driver-proven
+    "tpch_small_qty_revenue",
+    "tpch_disjunctive_revenue",
+    "tpch_sole_supplier_orders",
+    "ts_acf",
+    "ts_rolling_z_anomaly",
+    "ts_value_histogram",
+    "ts_stl_seasonal",
+    "rel_window_count_distinct",
+    "rel_corr_covar",
+    "rel_merge_upsert",
+    "sim_recall_eval",
+    "text_bm25_topk",
+    "stream_stream_join",
+    "val_benford_digits",
+    "rel_skyline_pareto",
+    "sess_markov_transitions",
+    "text_zipf_slope",
+    "sample_poisson_bootstrap",
+    # (b) late round-4 additions that missed the r4 window — never proven
+    "ts_cusum_changepoint",
+    "sess_retention_cohorts",
+    "rel_variant_props",
+    "rel_lateral_explode",
+    "rel_null_safe_join",
+    "ts_week_spine_rcte",
+    "val_checksum_reconciliation",
+    "ts_seasonal_naive_error",
+    "sample_weighted_topk",
+    "text_pack_chunks",
+    # (c) last driver-green in r1
+    "rel_date_functions",
+    "rel_events_by_segment",
+    "rel_part_brand_stats",
+    "rel_promo_share",
+    "rel_regex_extract",
+    "rel_set_ops",
+    "rel_string_functions",
+    "rel_topk_orders",
+    "rel_union_pages",
+    "rel_window_analytic",
+    # (d) last driver-green in r2
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_codes",
+    "dedup_tokenset_groups",
+    "rel_math_functions",
+    "sim_topk_lsh",
+    "stream_windowed_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_profile",
+    "text_quality_filter_stats",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_tokens",
+    "tpch_idle_rich_customers",
+    "tpch_min_balance_supplier",
+    "tpch_nation_volume",
+    "tpch_part_supplier_counts",
+    "tpch_significant_parts",
+    "tpch_top_supplier",
+    "ts_hour_coverage",
+    "ts_ks_drift",
+    "ts_scaled_values",
+    "ts_scaler_params",
+    "ts_tail_window",
+    "ts_window_counts",
+    "val_domain_violations",
+    "val_extreme_gate",
 )
 
 

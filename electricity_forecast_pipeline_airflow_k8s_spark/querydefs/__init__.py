@@ -5,9 +5,12 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     mlops,
     relational,
     relational2,
+    relational3,
     sessions,
+    stats5,
     textops,
     tpch_sql,
     timeseries,
+    timeseries2,
     validation,
 )

@@ -1,0 +1,237 @@
+"""Round-5 relational breadth: cumulative count-distinct over time,
+bivariate statistics (corr / covariance / regression slope), and
+MERGE-style batch upsert semantics expressed as a full outer join.
+
+Reference parity: the reference's relational surface is SQL-over-frames
+(core/data_validation.py aggregates, core/feature_engineering.py joins);
+these add the remaining analytic-SQL shapes a warehouse user expects —
+distinct-over-window (which neither Spark nor DuckDB supports natively in
+a window, so both sides derive it differently), the REGR_*/covar family,
+and the upsert merge every incremental pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+
+
+# -- cumulative distinct users per (event_type, day) ------------------------
+# COUNT(DISTINCT) OVER a running window is unsupported in both engines, so
+# each side derives it independently: Spark reduces each user to their
+# FIRST day per type (one shuffle on (type, user), then a tiny cumulative
+# window over (type, day) partials — the layout that scales: the window
+# runs over ~days rows, never over raw events); the oracle brute-forces an
+# inequality self-join + count(distinct) per day (O(days x events),
+# oracle-scale only).
+@register(
+    "rel_window_count_distinct",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS d, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT event_type, d FROM ev)
+SELECT days.event_type, days.d AS day,
+       count(DISTINCT e.user_id) AS cum_distinct_users
+FROM days JOIN ev e
+  ON e.event_type = days.event_type AND e.d <= days.d
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_rel_window_count_distinct(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("d"), "user_id")
+    )
+    days = ev.select("event_type", "d").distinct()
+    new_users = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("first_day"))
+        .groupBy("event_type", F.col("first_day").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        days.join(new_users, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.sum("n_new").over(w).alias("cum_distinct_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# -- bivariate statistics per group -----------------------------------------
+# Spark: the built-in corr/covar_samp/covar_pop/regr_slope aggregates
+# (each engine's own streaming co-moment accumulation); oracle: the same
+# statistics re-derived from exact DECIMAL power sums (prices have 2
+# decimals, quantities are integral, so sum-xy/sum-x2 are order-free
+# exact). Agreement through the 1e-4 grid is a genuine cross-check of
+# Spark's co-moment path against exact arithmetic.
+@register(
+    "rel_corr_covar",
+    oracle="""
+WITH sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor((sxy - sx * sy / n) / (n - 1) * 10000 + 0.5) / 10000
+         AS covar_samp,
+       floor((sxy - sx * sy / n) / n * 10000 + 0.5) / 10000 AS covar_pop,
+       floor((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             * 10000 + 0.5) / 10000 AS corr_qty_price,
+       floor((sxy - sx * sy / n) / (sxx - sx * sx / n) * 10000 + 0.5) / 10000
+         AS slope_price_per_qty
+FROM sums
+ORDER BY l_returnflag
+""",
+)
+def q_rel_corr_covar(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_samp"
+            ),
+            portable_round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_pop"
+            ),
+            portable_round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            portable_round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope_price_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# -- MERGE-style batch upsert -----------------------------------------------
+# A deterministic changeset derived from the orders table itself:
+# urgent orders get a corrected price (matched -> UPDATE), high-priority
+# orders re-arrive under a shifted key (not matched -> INSERT). Spark
+# applies the merge as ONE full outer join + coalesce (the scalable
+# shuffle-once layout Delta/Iceberg MERGE compiles to); the oracle
+# derives the same post-merge table as anti-join UNION ALL branches —
+# independent derivations of MERGE semantics.
+@register(
+    "rel_merge_upsert",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey,
+         CAST('U' AS VARCHAR) AS o_orderstatus,
+         floor(o_totalprice * 1.05 * 100 + 0.5) / 100 AS o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey,
+         CAST('N' AS VARCHAR) AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+merged AS (
+  SELECT b.o_orderstatus, b.o_totalprice
+  FROM orders b
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT c.o_orderstatus, c.o_totalprice FROM changes c
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS total_price
+FROM merged
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_rel_merge_upsert(spark: SparkSession, sf_dir: str):
+    base = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.join(
+        table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey"),
+        "o_orderkey",
+        "left_semi",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.floor(F.col("o_totalprice") * 1.05 * 100 + 0.5) / 100).alias(
+            "o_totalprice"
+        ),
+    )
+    inserts = (
+        table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    changes = updates.unionByName(inserts)
+    # one shuffle on the merge key: full outer join, change side wins
+    merged = base.alias("b").join(
+        changes.alias("c"), on="o_orderkey", how="full_outer"
+    ).select(
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.floor(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -876,3 +876,100 @@ def q_sess_retention_cohorts(spark: SparkSession, sf_dir: str):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "offset_days")
     )
+
+
+# -- stream-stream interval join (round 5) ----------------------------------
+# Click->purchase attribution as a REAL stream-stream inner join: both
+# sides watermarked, event time bounded on both inputs so join state
+# expires. availableNow + maxFilesPerTrigger keeps all files in one
+# micro-batch (house convention: batching must not drop first-arrival
+# rows behind an advanced watermark). The joined pairs land append-mode
+# in a memory sink; the per-user rollup is batch over that table. Oracle:
+# the same attribution computed as a plain SQL interval join.
+@register(
+    "stream_stream_join",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM ev WHERE event_type = 'click'),
+purchases AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+              FROM ev WHERE event_type = 'purchase')
+SELECT c.user_id, count(*) AS n_pairs,
+       count(DISTINCT c.click_id) AS n_clicks_attributed,
+       count(DISTINCT p.purchase_id) AS n_purchases_attributed
+FROM clicks c JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 4 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        lsrc, rsrc = f"{tmp}/clicks", f"{tmp}/purchases"
+        clicks.write.parquet(lsrc)
+        purchases.write.parquet(rsrc)
+        lstream = (
+            spark.readStream.schema(
+                "l_user_id bigint, click_id long, click_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(lsrc)
+        )
+        rstream = (
+            spark.readStream.schema(
+                "r_user_id bigint, purchase_id long, purchase_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(rsrc)
+        )
+        pairs = stream_stream_interval_join(
+            lstream,
+            rstream,
+            key_col="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            watermark="4 hours",
+            max_gap="4 hours",
+        )
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("stream_ss_join_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("stream-stream join query did not finish in 300s")
+    return (
+        spark.table("stream_ss_join_out")
+        .groupBy(F.col("l_user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("click_id").alias("n_clicks_attributed"),
+            F.count_distinct("purchase_id").alias("n_purchases_attributed"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,341 @@
+"""Round-5 statistical / analytical operators: Benford first-digit audit,
+Pareto skyline, Markov transition matrix, Zipf rank-frequency fit, and a
+deterministic Poisson bootstrap. All exact-integer or
+exact-decimal-derived math; doubles only at the final derived-ratio edge,
+rounded through the repo's portable grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
+)
+
+
+# -- Benford first-digit audit ----------------------------------------------
+# Fraud/quality screen on a money column: observed first-significant-digit
+# shares vs Benford's log10(1 + 1/d) expectation. The digit comes from
+# exact integer/string ops (no log10 on data, so no float-boundary risk);
+# the oracle derives it arithmetically (pow/floor) instead of textually —
+# independent derivations.
+@register(
+    "val_benford_digits",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, count(*) AS n_orders,
+       floor(count(*) * 1.0 / sum(count(*)) OVER () * 10000 + 0.5) / 10000
+         AS obs_share,
+       floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) / 10000
+         AS benford_share
+FROM digits
+GROUP BY digit
+ORDER BY digit
+""",
+)
+def q_val_benford_digits(spark: SparkSession, sf_dir: str):
+    o = (
+        table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            portable_round(F.col("n_orders") * 1.0 / F.col("total"), 4).alias(
+                "obs_share"
+            ),
+            portable_round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias(
+                "benford_share"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# -- Pareto skyline ----------------------------------------------------------
+# Orders not dominated on (earlier-or-equal date, strictly higher price).
+# Spark: collapse to per-date maxima FIRST (one hash aggregate), run the
+# cumulative max over the date-level table (a window over #dates rows,
+# never the fact — a global single-partition window over raw orders would
+# be the classic scale-killer), then broadcast the date→threshold map
+# back onto the fact scan. Oracle: the textbook NOT EXISTS anti-join —
+# independent derivations.
+@register(
+    "rel_skyline_pareto",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate::TIMESTAMP AS o_orderdate,
+       floor(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_orderdate <= o.o_orderdate
+    AND o2.o_totalprice > o.o_totalprice
+)
+ORDER BY o.o_orderdate, o.o_orderkey
+""",
+)
+def q_rel_skyline_pareto(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    per_date = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("date_max")
+    )
+    w = (
+        Window.orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thresholds = per_date.select(
+        "o_orderdate", F.max("date_max").over(w).alias("cummax_price")
+    )
+    return (
+        o.join(F.broadcast(thresholds), "o_orderdate")
+        .filter(F.col("o_totalprice") >= F.col("cummax_price"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+# -- Markov transition matrix ------------------------------------------------
+# Per-user event-type bigram counts and conditional probabilities. Spark:
+# lead() over the per-user total order (one shuffle on user_id); oracle:
+# row_number + rn+1 self-join — independent derivations of the same
+# transitions. Probabilities are exact-count ratios.
+@register(
+    "sess_markov_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.event_type AS from_type, b.event_type AS to_type
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+)
+SELECT from_type, to_type, count(*) AS n_transitions,
+       floor(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY from_type)
+             * 10000 + 0.5) / 10000 AS p_transition
+FROM pairs
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_sess_markov_transitions(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p_transition",
+            portable_round(
+                F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow),
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# -- Zipf rank-frequency fit -------------------------------------------------
+# Corpus-level token frequencies: the log-log slope of frequency vs rank
+# over the top 100 terms (Zipf exponent ~ -1 for natural text; a strong
+# deviation flags synthetic/templated corpora — a standard LLM-corpus
+# diagnostic). Spark: built-in regr_slope/regr_intercept aggregates;
+# oracle: the closed-form least-squares from power sums — independent
+# derivations over identical exact (rank, count) points.
+@register(
+    "text_zipf_slope",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS token
+  FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM freq
+  QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100
+),
+sums AS (
+  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM ranked
+)
+SELECT m AS n_terms,
+       floor((m * sxy - sx * sy) / (m * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS zipf_slope,
+       floor((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m
+             * 10000 + 0.5) / 10000 AS zipf_intercept
+FROM sums
+""",
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+
+    docs = table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), "token").limit(100)
+    w = Window.orderBy(F.desc("n"), "token")
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        portable_round(F.expr("regr_slope(y, x)"), 4).alias("zipf_slope"),
+        portable_round(F.expr("regr_intercept(y, x)"), 4).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# -- Deterministic Poisson bootstrap -----------------------------------------
+# Poisson(1) bootstrap over the events value column: each (row, replicate)
+# draws k ~ Poisson(1) via the inverse CDF applied to the row's md5-hash
+# uniform — deterministic, partition-independent, engine-portable (the
+# repo's hash-sampling primitive), so resamples are reproducible on any
+# cluster and the oracle recomputes them bit-identically. Weighted sums
+# use exact DECIMAL arithmetic (k is an integer, values have 2 decimals).
+# This is how a 100 TB pipeline gets confidence intervals in ONE pass: no
+# data duplication, R extra integer columns instead of R copies.
+_BOOT_REPS = 5
+# cumulative Poisson(1) CDF: P(X <= k) for k = 0..5 (exact double
+# literals, identical text in both engines)
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _pois_k_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def _boot_oracle() -> str:
+    reps = ", ".join(str(r) for r in range(_BOOT_REPS))
+    u = (
+        "(CAST(CAST('0x' || substr(md5('boot' || CAST(rep AS VARCHAR) || chr(31)"
+        " || CAST(event_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)"
+        " / 4294967296.0)"
+    )
+    return f"""
+WITH drawn AS (
+  SELECT rep, {_pois_k_sql(u)} AS k, value
+  FROM {EVENTS_SRC}
+  CROSS JOIN (SELECT unnest([{reps}]) AS rep)
+  WHERE value IS NOT NULL
+)
+SELECT rep,
+       CAST(sum(k) AS BIGINT) AS n_drawn,
+       floor(CAST(sum(k * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / sum(k) * 10000 + 0.5) / 10000 AS boot_mean
+FROM drawn
+GROUP BY rep
+ORDER BY rep
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_boot_oracle())
+def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    reps = spark.range(_BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("rep").cast("string"),
+                        F.lit("\x1f"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    k = F.lit(6)
+    for kk in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(u < float(_POIS_CDF[kk]), F.lit(kk)).otherwise(k)
+    drawn = ev.crossJoin(F.broadcast(reps)).select(
+        "rep", k.alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    return (
+        drawn.groupBy("rep")
+        .agg(
+            F.sum("k").cast("long").alias("n_drawn"),
+            (
+                F.floor(
+                    F.sum(F.col("k") * F.col("v")).cast("double")
+                    / F.sum("k")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("boot_mean"),
+        )
+        .orderBy("rep")
+    )

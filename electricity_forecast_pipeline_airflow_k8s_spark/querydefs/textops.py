@@ -1841,3 +1841,171 @@ def q_text_pack_chunks(spark: SparkSession, sf_dir: str):
         F.col("est_bpe_tokens").alias("est_tokens"),
         F.floor(start / _PACK_SEQ_LEN).alias("chunk_id"),
     ).orderBy("source", "doc_id")
+
+
+# -- ANN recall evaluation: IVF vs exact brute force (round 5) --------------
+# The eval loop every ANN deployment needs: per query, what fraction of
+# the TRUE cosine top-5 does the IVF probe path recover? Spark runs both
+# paths (two corpus scans, broadcast query side) and left-joins truth to
+# candidates; the oracle recomputes BOTH paths in SQL from first
+# principles (the existing independently-formulated IVF/brute oracles as
+# CTEs). At 100 TB the truth side is computed once on a small held-out
+# query sample -- the join is query-sample-sized, never corpus-sized.
+_RECALL_ORACLE = f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+{_COSINE_PAIR}
+    )
+  ) WHERE rank <= 5
+),
+ivf AS ({_IVF_ORACLE.replace("ORDER BY query_id, rank", "")})
+SELECT bf.query_id,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS n_matched,
+       count(*) AS k,
+       floor(count(ivf.neighbor_id) * 1.0 / count(*) * 10000 + 0.5) / 10000
+         AS recall_at_5
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""
+
+
+@register("sim_recall_eval", oracle=_RECALL_ORACLE)
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = SIM.brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("bq"), F.col("neighbor_id").alias("bn")
+    )
+    ivf = SIM.ivf_topk(emb, queries, k=5, n_probe=3).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
+    )
+    joined = bf.join(
+        ivf, (F.col("iq") == F.col("bq")) & (F.col("in_") == F.col("bn")), "left"
+    )
+    return (
+        joined.groupBy(F.col("bq").alias("query_id"))
+        .agg(
+            F.count("in_").alias("n_matched"),
+            F.count(F.lit(1)).alias("k"),
+            portable_round(F.count("in_") / F.count(F.lit(1)), 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# -- BM25 keyword relevance (round 5) ---------------------------------------
+# Classic lexical retrieval over the corpus for a fixed query. All
+# integer inputs (tf, df, dl) are exact in both engines; idf/score are
+# then identical double arithmetic, rounded through the repo's 1e-4 grid.
+# Spark: one tokenization pass computes (dl, tf_t); a single global
+# aggregate yields (N, total_dl, df_t) broadcast back as scalars -- two
+# passes over per-doc partials, no shuffle of raw text. Oracle: window
+# sums OVER () instead of the aggregate-join -- independent structure.
+_BM25_TERMS = ("spark", "join", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    score_terms = " + ".join(
+        f"""(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)
+           * tf_{i} * ({_BM25_K1} + 1.0)
+           / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) OVER () AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM toks
+),
+with_corpus AS (
+  SELECT *,
+         count(*) OVER () AS n_docs,
+         sum(dl) OVER () * 1.0 / count(*) OVER () AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id,
+         floor(({score_terms}) * 10000 + 0.5) / 10000 AS bm25
+  FROM with_corpus
+  WHERE tf_0 + tf_1 + tf_2 > 0
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 50
+ORDER BY rank
+"""
+
+
+def _eq_term(term: str):
+    return lambda x: x == F.lit(term)
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    per_doc = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[
+            F.size(F.filter("t", _eq_term(term))).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    w = F.col("n_docs")
+    avgdl = F.col("total_dl") * 1.0 / w
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (w - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        term_score = (
+            idf
+            * tf
+            * (_BM25_K1 + 1.0)
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+        )
+        score = term_score if score is None else score + term_score
+    scored = (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .filter((F.col("tf_0") + F.col("tf_1") + F.col("tf_2")) > 0)
+        .select("doc_id", portable_round(score, 4).alias("bm25"))
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank only the 50
+    # survivors -- no global single-partition window over the corpus
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(50)
+    ww = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(ww).cast("long")).orderBy(
+        "rank"
+    )

@@ -1,0 +1,342 @@
+"""Round-5 time-series statistics on the events table: autocorrelation,
+rolling z-score anomaly detection, equi-width histograms, and an STL-lite
+seasonal decomposition. All heavy math stays in native Spark expressions
+(whole-stage codegen); cross-engine float determinism follows the repo
+conventions — DECIMAL partial sums for order-free totals, double ratios
+derived from exact inputs, portable_round at the edge.
+
+Reference parity: the reference's validation/profiling stack
+(core/data_validation.py) computes moment stats and outlier gates; these
+queries extend that family with the classical diagnostics a forecasting
+pipeline runs before model fit (ACF for seasonality order selection,
+rolling-z for anomaly masking, histograms for drift binning, seasonal
+means for STL-style decomposition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
+)
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+# Exact hourly mean: DECIMAL(18,2) sum (order-free) over 2-decimal values,
+# divided by the count — the same double in any engine.
+_HOURLY_MEAN_SQL = f"""
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS hv
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+# -- ACF at fixed lags over the hourly-mean series --------------------------
+# Spark: range-frame window (RANGE BETWEEN -k AND -k on hour_idx) pulls the
+# value exactly k hours earlier iff that hour exists — no join, one shuffle
+# on event_type, and intermediate gaps do NOT break the pairing (unlike a
+# row-based lag). Oracle: equi-join on hour_idx = hour_idx + k with a
+# manual co-moment corr formula — an independent derivation of the same
+# pairs. corr is computed by each engine's own accumulation; |acf| <= 1 so
+# the 1e-4 rounding grid sits far above ulp noise.
+@register(
+    "ts_acf",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_MEAN_SQL}),
+lags(lag) AS (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}])),
+pairs AS (
+  SELECT a.event_type, l.lag, a.hv AS x, b.hv AS y
+  FROM hourly a
+  JOIN lags l ON true
+  JOIN hourly b
+    ON b.event_type = a.event_type AND a.hour_idx = b.hour_idx + l.lag
+)
+SELECT event_type, lag, count(*) AS n_pairs,
+       floor((count(*) * sum(x * y) - sum(x) * sum(y))
+             / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                    * (count(*) * sum(y * y) - sum(y) * sum(y)))
+             * 10000 + 0.5) / 10000 AS acf
+FROM pairs
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY event_type, lag
+""",
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    lagged = ev
+    for k in _ACF_LAGS:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("hour_idx")
+            .rangeBetween(-k, -k)
+        )
+        lagged = lagged.withColumn(f"hv_lag{k}", F.first("hv").over(w))
+    stacked = lagged.select(
+        "event_type",
+        "hv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"hv_lag{k}").alias("y")
+                    )
+                    for k in _ACF_LAGS
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.lag").alias("lag"), F.col("hv").alias("x"), "p.y")
+    out = (
+        stacked.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            portable_round(F.corr("x", "y"), 4).alias("acf"),
+        )
+        .filter(F.col("n_pairs") >= 2)
+    )
+    return out.orderBy("event_type", "lag")
+
+
+# -- Rolling z-score anomalies ---------------------------------------------
+# Spark: one window (ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING) per
+# event_type ordered by (ts, event_id) — a total order, so frames are
+# identical across engines. Moments come from DECIMAL partial sums
+# (order-free); mean/var/std are then the same double arithmetic on both
+# sides. Oracle: row_number + self-join on the rn range — an independent
+# derivation of the same frames (O(48n), oracle-scale only; the Spark
+# window is the scale path).
+@register(
+    "ts_rolling_z_anomaly",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+frames AS (
+  SELECT a.event_type, a.rn, a.value,
+         count(b.value) AS n_w,
+         CAST(sum(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(b.value AS DECIMAL(18,2))
+                  * CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+  FROM base a
+  JOIN base b
+    ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - 48 AND a.rn - 1
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT event_type, value, n_w,
+         s / n_w AS m,
+         sqrt(greatest((ssq - n_w * (s / n_w) * (s / n_w)) / (n_w - 1), 0.0))
+           AS sd
+  FROM frames WHERE n_w >= 20
+)
+SELECT event_type,
+       count(*) AS n_evaluated,
+       CAST(count(*) FILTER (WHERE sd > 0 AND abs(value - m) > 3 * sd)
+            AS BIGINT) AS n_anomalies,
+       floor(max(CASE WHEN sd > 0 THEN abs(value - m) / sd ELSE 0.0 END)
+             * 10000 + 0.5) / 10000 AS max_abs_z
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_ts_rolling_z_anomaly(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-48, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    framed = ev.select(
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n_w"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ssq"),
+    ).filter(F.col("n_w") >= 20)
+    m = F.col("s") / F.col("n_w")
+    var = F.greatest(
+        (F.col("ssq") - F.col("n_w") * m * m) / (F.col("n_w") - 1), F.lit(0.0)
+    )
+    scored = framed.select(
+        "event_type", "value", m.alias("m"), F.sqrt(var).alias("sd")
+    )
+    is_anom = (F.col("sd") > 0) & (
+        F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd")
+    )
+    z = F.when(
+        F.col("sd") > 0, F.abs(F.col("value") - F.col("m")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_evaluated"),
+            F.sum(is_anom.cast("long")).alias("n_anomalies"),
+            portable_round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- Equi-width histogram --------------------------------------------------
+# Spark: per-type min/max aggregate broadcast back onto the rows (two
+# passes over an aggregated side, no window over the full fact). Oracle:
+# window min/max over the partition — independent derivation. Bucket math
+# ((v-mn)/width, floor, clamp to 9) is identical double arithmetic from
+# identical exact inputs in both engines.
+@register(
+    "ts_value_histogram",
+    oracle=f"""
+WITH spanned AS (
+  SELECT event_type, value,
+         min(value) OVER (PARTITION BY event_type) AS mn,
+         max(value) OVER (PARTITION BY event_type) AS mx
+  FROM {EVENTS_SRC}
+  WHERE value IS NOT NULL
+),
+bucketed AS (
+  SELECT event_type, mn, mx,
+         least(CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+           AS bucket
+  FROM spanned WHERE mx > mn
+)
+SELECT event_type, bucket,
+       count(*) AS n_rows,
+       floor((mn + bucket * ((mx - mn) / 10.0)) * 10000 + 0.5) / 10000
+         AS bucket_lo,
+       floor((mn + (bucket + 1) * ((mx - mn) / 10.0)) * 10000 + 0.5) / 10000
+         AS bucket_hi
+FROM bucketed
+GROUP BY event_type, bucket, mn, mx
+ORDER BY event_type, bucket
+""",
+)
+def q_ts_value_histogram(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bucketed = (
+        ev.join(F.broadcast(spans), "event_type")
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "event_type",
+            "mn",
+            "mx",
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("event_type", "bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "event_type",
+            "bucket",
+            "n_rows",
+            portable_round(F.col("mn") + F.col("bucket") * width, 4).alias(
+                "bucket_lo"
+            ),
+            portable_round(F.col("mn") + (F.col("bucket") + 1) * width, 4).alias(
+                "bucket_hi"
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# -- STL-lite seasonal profile ---------------------------------------------
+# Decomposition with a per-day trend proxy: day_mean (exact decimal ratio)
+# as trend, hour-of-day mean deviation as the seasonal component. Spark:
+# window-avg over the (type, date) partition; oracle: grouped day-mean CTE
+# joined back — independent derivations. The deviation sum is a ~80-term
+# double sum, ulp-noisy only, far below the 1e-4 grid.
+@register(
+    "ts_stl_seasonal",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(extract(hour FROM ts) AS INT) AS hod, value
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+day_means AS (
+  SELECT event_type, d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+           AS dm
+  FROM base GROUP BY 1, 2
+)
+SELECT b.event_type, b.hod, count(*) AS n_rows,
+       floor(avg(b.value - m.dm) * 10000 + 0.5) / 10000 AS seasonal_mean
+FROM base b JOIN day_means m ON b.event_type = m.event_type AND b.d = m.d
+GROUP BY 1, 2
+ORDER BY b.event_type, b.hod
+""",
+)
+def q_ts_stl_seasonal(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("int").alias("hod"),
+            "value",
+        )
+    )
+    wd = Window.partitionBy("event_type", "d")
+    detrended = ev.select(
+        "event_type",
+        "hod",
+        (
+            F.col("value")
+            - F.sum(F.col("value").cast("decimal(18,2)")).over(wd).cast("double")
+            / F.count("value").over(wd)
+        ).alias("resid"),
+    )
+    return (
+        detrended.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            portable_round(F.avg("resid"), 4).alias("seasonal_mean"),
+        )
+        .orderBy("event_type", "hod")
+    )

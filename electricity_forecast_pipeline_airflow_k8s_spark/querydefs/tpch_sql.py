@@ -436,6 +436,121 @@ ORDER BY 1
 """,
 )
 
+# Q17-style: revenue from lineitems well below their part's average
+# quantity. Spark: correlated scalar-avg subquery (Catalyst decorrelates
+# to an aggregate join); oracle: window-avg formulation -- independent
+# derivations. l_quantity is integral in the testdata, so the per-part
+# average is an exact double in both engines (sum of small ints / count)
+# and the 0.5x threshold comparison cannot flip on summation order.
+_sql_query(
+    "tpch_small_qty_revenue",
+    """
+SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+""",
+    oracle="""
+WITH flagged AS (
+  SELECT l_partkey, l_extendedprice, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg
+  FROM lineitem
+)
+SELECT floor(CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly,
+       count(*) AS n_items
+FROM flagged f JOIN part p ON p.p_partkey = f.l_partkey
+WHERE p.p_brand = 'Brand#23' AND f.l_quantity < 0.5 * f.part_avg
+""",
+)
+
+# Q19-style: disjunctive brand/size/quantity predicate ANDed onto the
+# equi-join (Catalyst must still extract the p_partkey equi-key and treat
+# the OR-of-ANDs as a post-join filter). Oracle: the three disjuncts are
+# brand-disjoint, so a UNION ALL of per-brand partials re-totaled is an
+# independent double-count-free derivation.
+_sql_query(
+    "tpch_disjunctive_revenue",
+    f"""
+SELECT floor(CAST(sum({REV}) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p
+  ON p.p_partkey = l.l_partkey
+ AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40))
+""",
+    oracle=f"""
+SELECT floor(CAST(sum(rev) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue,
+       CAST(sum(n) AS BIGINT) AS n_items
+FROM (
+  SELECT sum({REV}) AS rev, count(*) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+    AND l.l_quantity BETWEEN 1 AND 20
+  UNION ALL
+  SELECT sum({REV}), count(*)
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+    AND l.l_quantity BETWEEN 10 AND 30
+  UNION ALL
+  SELECT sum({REV}), count(*)
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+    AND l.l_quantity BETWEEN 20 AND 40
+)
+""",
+)
+
+# Q21-style (adapted: no commit/receipt dates in the testdata): suppliers
+# who are the SOLE returned-goods supplier on multi-supplier orders.
+# Spark: correlated EXISTS + NOT EXISTS over lineitem self-references
+# (nested-subquery decorrelation); oracle: one grouped pass computing
+# per-order supplier/return-supplier distinct counts -- independent
+# derivations. ORDER BY (numwait DESC, s_name) is total (names unique),
+# so the LIMIT cut is deterministic in both engines.
+_sql_query(
+    "tpch_sole_supplier_orders",
+    """
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+           AS n_r_supp,
+         min(l_suppkey) FILTER (WHERE l_returnflag = 'R') AS r_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.r_supp
+WHERE p.n_supp >= 2 AND p.n_r_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+
 # Q13-style: distribution of per-customer order counts including the
 # zero-order cohort. Spark: LEFT JOIN + double GROUP BY; oracle: grouped
 # counts UNION ALL'd with a NOT-EXISTS zero-cohort count -- independent

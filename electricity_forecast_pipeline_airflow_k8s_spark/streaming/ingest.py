@@ -198,3 +198,34 @@ def stream_enrich_counts(
             "n_above",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "4 hours",
+    max_gap: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join on a key plus an event-time interval:
+    right rows within (left_ts, left_ts + max_gap]. Both sides carry
+    watermarks and the join condition bounds event time on BOTH inputs, so
+    Spark can expire join state -- per-side state is O(rows inside the
+    watermark horizon), not unbounded. This is the streaming form of the
+    reference pipeline's click->purchase attribution window; at 100 TB/day
+    the state bound (watermark x arrival rate) is what makes it runnable.
+
+    The key equality keeps the join co-partitioned on ``key_col`` (one
+    shuffle per side); the interval predicate is evaluated within matching
+    key partitions only.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner")
