@@ -78,6 +78,28 @@ HEADLINE = [
     "ts_seasonal_naive_error",
     "sample_weighted_topk",
     "text_pack_chunks",
+    # round-5 additions
+    "tpch_small_qty_revenue",
+    "tpch_disjunctive_revenue",
+    "tpch_sole_supplier_orders",
+    "ts_acf",
+    "ts_rolling_z_anomaly",
+    "ts_value_histogram",
+    "ts_stl_seasonal",
+    "rel_window_count_distinct",
+    "rel_corr_covar",
+    "rel_merge_upsert",
+    "sim_recall_eval",
+    "text_bm25_topk",
+    "val_benford_digits",
+    "rel_skyline_pareto",
+    "sess_markov_transitions",
+    "text_zipf_slope",
+    "sample_poisson_bootstrap",
+    "ts_holt_winters",
+    "sess_path_topk",
+    "sample_class_balance",
+    "rel_hll_mergeable",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -156,6 +178,28 @@ BUDGETS: dict[str, float] = {
     "ts_seasonal_naive_error": 1.00,
     "sample_weighted_topk": 0.50,
     "text_pack_chunks": 0.84,
+    # round-5 additions: 1.5x idle-machine best-of-3 (2026-08-14)
+    "tpch_small_qty_revenue": 0.60,
+    "tpch_disjunctive_revenue": 0.42,
+    "tpch_sole_supplier_orders": 1.30,
+    "ts_acf": 0.86,
+    "ts_rolling_z_anomaly": 2.45,
+    "ts_value_histogram": 0.66,
+    "ts_stl_seasonal": 0.76,
+    "rel_window_count_distinct": 0.82,
+    "rel_corr_covar": 0.57,
+    "rel_merge_upsert": 0.77,
+    "sim_recall_eval": 1.66,
+    "text_bm25_topk": 0.88,
+    "val_benford_digits": 0.47,
+    "rel_skyline_pareto": 0.63,
+    "sess_markov_transitions": 0.77,
+    "text_zipf_slope": 0.43,
+    "sample_poisson_bootstrap": 1.92,
+    "ts_holt_winters": 1.25,
+    "sess_path_topk": 0.65,
+    "sample_class_balance": 0.62,
+    "rel_hll_mergeable": 0.50,
 }
 
 

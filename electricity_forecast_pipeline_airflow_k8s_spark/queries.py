@@ -56,6 +56,10 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sess_markov_transitions",
     "text_zipf_slope",
     "sample_poisson_bootstrap",
+    "ts_holt_winters",
+    "sess_path_topk",
+    "sample_class_balance",
+    "rel_hll_mergeable",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

@@ -182,12 +182,9 @@ def q_rel_merge_upsert(spark: SparkSession, sf_dir: str):
     base = table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    updates = base.join(
+    updates = (
         table(spark, "orders", sf_dir)
         .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey"),
-        "o_orderkey",
-        "left_semi",
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -234,4 +231,62 @@ def q_rel_merge_upsert(spark: SparkSession, sf_dir: str):
             ).alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# -- mergeable HLL distinct-count rollup (round 5) ---------------------------
+# The 100 TB rollup pattern: per-source HLL sketches built in one pass,
+# then MERGED (hll_union_agg) for the global figure — distinct counts
+# compose across partitions/sources without rescanning, which exact
+# count(DISTINCT) cannot do. Error-envelope contract like
+# approx_distinct_and_quantiles: the output carries exact counts plus a
+# boolean asserting every HLL estimate lands within +/-5% of exact; the
+# oracle recomputes the exact counts and expects the booleans true, so a
+# sketch drifting out of tolerance fails the hash match.
+@register(
+    "rel_hll_mergeable",
+    oracle="""
+WITH per_source AS (
+  SELECT source, count(DISTINCT n_chars) AS exact_distinct
+  FROM documents GROUP BY source
+),
+global_d AS (SELECT count(DISTINCT n_chars) AS g FROM documents)
+SELECT source, exact_distinct,
+       true AS hll_within_5pct,
+       (SELECT g FROM global_d) AS global_exact,
+       true AS global_hll_within_5pct
+FROM per_source
+ORDER BY source
+""",
+)
+def q_rel_hll_mergeable(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).select("source", "n_chars")
+    sketches = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(n_chars, 12)").alias("sk"),
+        F.count_distinct("n_chars").alias("exact_distinct"),
+    )
+    merged = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("global_est")
+    )
+    globals_exact = docs.agg(
+        F.count_distinct("n_chars").alias("global_exact")
+    )
+    est = F.expr("hll_sketch_estimate(sk)")
+    return (
+        sketches.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(globals_exact))
+        .select(
+            "source",
+            "exact_distinct",
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+            "global_exact",
+            (
+                F.abs(F.col("global_est") - F.col("global_exact"))
+                <= 0.05 * F.col("global_exact")
+            ).alias("global_hll_within_5pct"),
+        )
+        .orderBy("source")
     )

@@ -339,3 +339,113 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str):
         )
         .orderBy("rep")
     )
+
+
+# -- top user paths (round 5) ------------------------------------------------
+# The first five event types per user, joined into a path string; top 20
+# paths by user count. Spark: rank-filter to the first 5 events (one
+# window shuffle on user_id), sort_array over (rn, type) structs for a
+# deterministic intra-user order, then a hash aggregate on the path and a
+# distributed top-k cut. Oracle: string_agg with ORDER BY over the same
+# rank filter — independent assembly of the same paths.
+@register(
+    "sess_path_topk",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 5
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n_users,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT) AS rank
+FROM paths
+GROUP BY path
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+)
+def q_sess_path_topk(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.desc("n_users"), "path").limit(20)
+    ww = Window.orderBy(F.desc("n_users"), "path")
+    return top.withColumn("rank", F.row_number().over(ww).cast("long")).orderBy(
+        "rank"
+    )
+
+
+# -- class-balanced downsample (round 5) ------------------------------------
+# Balance the documents corpus across languages: every class is cut to
+# the minority-class size, members chosen by deterministic md5-hash order
+# (partition-independent, reproducible on any cluster — df.sample is
+# neither). One window shuffle on lang for the rank, one scalar broadcast
+# for the minority size; the id_checksum pins the EXACT surviving sample,
+# not just its size. Oracle: the same hash order ranked by row_number.
+@register(
+    "sample_class_balance",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('bal' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id) AS rnk
+  FROM documents
+),
+minsize AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked, minsize
+WHERE rnk <= minsize.m
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_sample_class_balance(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
+        stable_hash,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("lang", "doc_id")
+    key = F.substring(stable_hash(F.lit("bal"), F.col("doc_id")), 1, 8)
+    w = Window.partitionBy("lang").orderBy(key.alias("k"), "doc_id")
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    minsize = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(minsize))
+        .filter(F.col("rnk") <= F.col("m"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

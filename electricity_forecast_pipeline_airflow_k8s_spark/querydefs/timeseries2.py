@@ -340,3 +340,77 @@ def q_ts_stl_seasonal(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "hod")
     )
+
+
+# -- Holt-Winters double exponential smoothing (round 5) --------------------
+# Level + trend recursion (the reference's forecasting stack smooths
+# before fit; this is the classical non-seasonal Holt form). Inherently
+# sequential per group -> applyInPandas with one Arrow batch per group
+# (parallelism = #groups, the same contract as ts_ewma); the oracle runs
+# the SAME recursion as a recursive CTE carrying (level, trend). Both
+# sides execute identical double ops in identical order, so values match
+# bit-for-bit before the 1e-6 edge rounding.
+_HW_ALPHA, _HW_BETA = 0.3, 0.1
+
+_HW_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC} WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+rec(event_type, rn, event_id, l, b) AS (
+  SELECT event_type, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE) FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn, e.event_id,
+         {_HW_ALPHA} * e.value + {1.0 - _HW_ALPHA} * (r.l + r.b),
+         {_HW_BETA} * (({_HW_ALPHA} * e.value + {1.0 - _HW_ALPHA} * (r.l + r.b)) - r.l)
+           + {1.0 - _HW_BETA} * r.b
+  FROM ev e JOIN rec r ON e.event_type = r.event_type AND e.rn = r.rn + 1
+)
+SELECT event_type, event_id,
+       floor(l * 1000000 + 0.5) / 1000000 AS hw_level,
+       floor(b * 1000000 + 0.5) / 1000000 AS hw_trend
+FROM rec WHERE event_id % 25 = 0
+ORDER BY event_type, event_id
+"""
+
+
+@register("ts_holt_winters", oracle=_HW_ORACLE)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+    )
+    alpha, beta = _HW_ALPHA, _HW_BETA
+    one_minus_a, one_minus_b = 1.0 - alpha, 1.0 - beta
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = pdf["value"].to_numpy()
+        levels, trends = [], []
+        l = b = None
+        for v in vals:
+            if l is None:
+                l, b = float(v), 0.0
+            else:
+                l_new = alpha * float(v) + one_minus_a * (l + b)
+                b = beta * (l_new - l) + one_minus_b * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf.assign(hw_level=levels, hw_trend=trends)
+        keep = pdf[pdf["event_id"] % 25 == 0]
+        return keep[["event_type", "event_id", "hw_level", "hw_trend"]]
+
+    out = ev.groupBy("event_type").applyInPandas(
+        hw, "event_type string, event_id long, hw_level double, hw_trend double"
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        (F.floor(F.col("hw_level") * 1000000 + 0.5) / 1000000).alias("hw_level"),
+        (F.floor(F.col("hw_trend") * 1000000 + 0.5) / 1000000).alias("hw_trend"),
+    ).orderBy("event_type", "event_id")
