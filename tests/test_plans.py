@@ -205,3 +205,43 @@ def test_ivf_cluster_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     want = corpus.filter(F.col("cluster").isin(0, 1)).count()
     assert probe.count() == want
     assert want > 0
+
+
+def test_histogram_broadcasts_span_map(spark, sf_dir):
+    """ts_value_histogram joins per-type (min,max) back onto the fact scan
+    -- the span side is group-count-sized and must broadcast, never
+    shuffle the fact."""
+    q = registry()["ts_value_histogram"].build(spark, sf_dir)
+    assert has_broadcast_join(q)
+
+
+def test_skyline_windows_only_date_level_rows(spark, sf_dir):
+    """rel_skyline_pareto's cumulative max must run over the per-date
+    aggregate (#dates rows), never a global single-partition window over
+    raw orders: the Window node sits above a date-level HashAggregate and
+    the threshold map broadcasts back onto the fact."""
+    q = registry()["rel_skyline_pareto"].build(spark, sf_dir)
+    plan = explain_str(q)
+    tree = plan.split("\n\n")[0]
+    assert has_broadcast_join(q)
+    win = tree.find("Window")
+    agg_below = tree.find("HashAggregate", win)
+    assert win != -1 and agg_below != -1, tree
+
+
+def test_bm25_topk_is_distributed_take_ordered(spark, sf_dir):
+    """The corpus-wide rank cut must compile to TakeOrderedAndProject (a
+    distributed top-k), not a single-partition global sort of every scored
+    document."""
+    q = registry()["text_bm25_topk"].build(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(q)
+
+
+def test_merge_upsert_single_merge_join(spark, sf_dir):
+    """The MERGE layout is ONE join on the merge key (full outer), with
+    the changeset derived by filters -- no extra joins to build it."""
+    q = registry()["rel_merge_upsert"].build(spark, sf_dir)
+    plan = explain_str(q)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1
+    assert "FullOuter" in plan
