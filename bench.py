@@ -100,6 +100,8 @@ HEADLINE = [
     "sess_path_topk",
     "sample_class_balance",
     "rel_hll_mergeable",
+    "rel_tombstone_read",
+    "ts_hierarchical_reconcile",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -200,6 +202,8 @@ BUDGETS: dict[str, float] = {
     "sess_path_topk": 0.65,
     "sample_class_balance": 0.62,
     "rel_hll_mergeable": 0.50,
+    "rel_tombstone_read": 0.64,
+    "ts_hierarchical_reconcile": 0.82,
 }
 
 

@@ -60,6 +60,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sess_path_topk",
     "sample_class_balance",
     "rel_hll_mergeable",
+    "rel_tombstone_read",
+    "ts_hierarchical_reconcile",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

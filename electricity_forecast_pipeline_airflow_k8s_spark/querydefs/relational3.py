@@ -290,3 +290,52 @@ def q_rel_hll_mergeable(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# -- tombstone (soft-delete) read (round 5) ----------------------------------
+# The deletion-vector pattern every GDPR-capable lake needs: the base
+# table is immutable, deletes land as a small tombstone key set, reads
+# anti-join the tombstones. Deterministic tombstone set derived from the
+# data (urgent 'F' orders). Spark: LEFT ANTI join (broadcast — the
+# tombstone side is deletes-sized, never fact-sized); oracle: NOT IN with
+# null-safe guard — independent derivations of read-after-delete.
+@register(
+    "rel_tombstone_read",
+    oracle="""
+WITH tombstones AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+)
+SELECT o_orderstatus, count(*) AS n_visible,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS visible_total
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tombstones)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_rel_tombstone_read(spark: SparkSession, sf_dir: str):
+    base = table(spark, "orders", sf_dir)
+    tombstones = base.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+    visible = base.join(F.broadcast(tombstones), "o_orderkey", "left_anti")
+    return (
+        visible.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            (
+                F.floor(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("visible_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

