@@ -102,6 +102,8 @@ HEADLINE = [
     "rel_hll_mergeable",
     "rel_tombstone_read",
     "ts_hierarchical_reconcile",
+    "rel_salted_skew_join",
+    "sim_halfdim_overlap",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD
@@ -204,6 +206,8 @@ BUDGETS: dict[str, float] = {
     "rel_hll_mergeable": 0.50,
     "rel_tombstone_read": 0.64,
     "ts_hierarchical_reconcile": 0.82,
+    "rel_salted_skew_join": 0.58,
+    "sim_halfdim_overlap": 0.98,
 }
 
 

@@ -67,3 +67,30 @@ def salted_stats(
         F.min("_mn").alias("min_value"),
         F.max("_mx").alias("max_value"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Manual skew-join mitigation: replicate the SMALL side across
+    ``n_salts`` salt values (explode on a literal range) and join on
+    (key, salt), so a hot key's fact rows spread over n_salts reducers
+    instead of one. The replicated dim costs n_salts x |dim| rows --
+    affordable exactly when the dim is broadcast-sized but the engine
+    chose a shuffle join (e.g. the dim exceeds the broadcast threshold
+    while the fact is wildly skewed). AQE's runtime skew splitting
+    (session.py default) usually makes this unnecessary; this operator is
+    the explicit fallback for engines/paths where it doesn't engage
+    (cartesian-range salt replication is plan-stable, AQE is adaptive)."""
+    fact_s = fact.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    )
+    dim_s = dim.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, [*key_cols, salt_col]).drop(salt_col)

@@ -62,6 +62,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_hll_mergeable",
     "rel_tombstone_read",
     "ts_hierarchical_reconcile",
+    "rel_salted_skew_join",
+    "sim_halfdim_overlap",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

@@ -449,3 +449,53 @@ def q_sample_class_balance(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+# -- salted skew JOIN proven value-identical (round 5) -----------------------
+# The events->per-type-baseline join has a 5-value join key: the classic
+# hot-key shape. The query runs it through the explicit salted-join
+# mitigation (plans/skew.py::salted_join — small side replicated x8,
+# fact salted per-row, join on (key, salt)) and the oracle computes the
+# SAME result with a plain join: the mitigation is proven to change the
+# execution layout, never the values (the same contract as
+# rel_salted_skew_stats for aggregations).
+@register(
+    "rel_salted_skew_join",
+    oracle=f"""
+WITH dim AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+           AS baseline
+  FROM {EVENTS_SRC} GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_rows,
+       CAST(sum(CASE WHEN e.value > d.baseline THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM {EVENTS_SRC} e JOIN dim d ON d.event_type = e.event_type
+WHERE e.value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_rel_salted_skew_join(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        exact_mean,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.plans.skew import salted_join
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    dim = ev.groupBy("event_type").agg(exact_mean("value").alias("baseline"))
+    joined = salted_join(ev, dim, ["event_type"], n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("value") > F.col("baseline")).cast("long")
+            ).alias("n_above"),
+        )
+        .orderBy("event_type")
+    )

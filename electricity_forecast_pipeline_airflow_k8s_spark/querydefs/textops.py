@@ -2009,3 +2009,79 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str):
     return top.withColumn("rank", F.row_number().over(ww).cast("long")).orderBy(
         "rank"
     )
+
+
+# -- Matryoshka half-dimension retrieval overlap (round 5) -------------------
+# Modern embedding stacks truncate vectors (Matryoshka / MRL) to cut ANN
+# cost; this measures what that truncation does to retrieval: per query,
+# the overlap between the full-64-dim cosine top-5 and the first-32-dims
+# top-5. Spark: two brute-force passes (broadcast query side, sliced
+# arrays); oracle: both rankings recomputed in SQL over list slices. At
+# scale the truncated pass scans half the bytes — the overlap metric is
+# the evidence that the saving is affordable.
+_HALFDIM_PAIR = """
+  SELECT query_id, neighbor_id,
+         floor((sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))) * 1000000 + 0.5) / 1000000
+           AS cosine
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           unnest(list_transform(q.embedding[1:32], x -> CAST(x AS DOUBLE))) AS qv,
+           unnest(list_transform(c.embedding[1:32], x -> CAST(x AS DOUBLE))) AS cv
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN embeddings c
+    WHERE c.vec_id != q.vec_id
+  ) GROUP BY query_id, neighbor_id
+"""
+
+_HALFDIM_ORACLE = f"""
+WITH full_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ({_COSINE_PAIR})
+  ) WHERE rank <= 5
+),
+half_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ({_HALFDIM_PAIR})
+  ) WHERE rank <= 5
+)
+SELECT f.query_id,
+       CAST(count(h.neighbor_id) AS BIGINT) AS n_overlap,
+       count(*) AS k
+FROM full_top f LEFT JOIN half_top h
+  ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register("sim_halfdim_overlap", oracle=_HALFDIM_ORACLE)
+def q_sim_halfdim_overlap(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    half = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding"), "label"
+    )
+    full_top = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        F.col("query_id").alias("fq"), F.col("neighbor_id").alias("fn")
+    )
+    half_top = SIM.brute_force_topk(
+        half, half.filter(F.col("vec_id") < 10), k=5
+    ).select(F.col("query_id").alias("hq"), F.col("neighbor_id").alias("hn"))
+    joined = full_top.join(
+        half_top,
+        (F.col("hq") == F.col("fq")) & (F.col("hn") == F.col("fn")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("fq").alias("query_id"))
+        .agg(
+            F.count("hn").alias("n_overlap"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .orderBy("query_id")
+    )
