@@ -106,6 +106,10 @@ HEADLINE = [
     "sim_halfdim_overlap",
 ]
 
+# Streaming queries run sinks + checkpoints inside the query builder, so
+# they are timed nowhere in the headline lane (same policy as rounds 2-4:
+# the streaming parity queries measure correctness, not throughput).
+
 # The iterative connected-components queries materialize during plan BUILD
 # (lineage-capping checkpoints), so the noop-write bracket above would
 # underreport them. This lane times build+materialize WALL-CLOCK instead —

@@ -64,6 +64,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_hierarchical_reconcile",
     "rel_salted_skew_join",
     "sim_halfdim_overlap",
+    "stream_join_windowed_attribution",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

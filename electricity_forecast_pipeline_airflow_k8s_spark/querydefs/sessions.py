@@ -973,3 +973,109 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str):
         )
         .orderBy("user_id")
     )
+
+
+# -- chained stateful streaming: join THEN windowed agg (round 5) -----------
+# Two stateful operators in ONE streaming query (Spark 4 watermark
+# propagation): the stream-stream attribution join feeds a daily tumbling
+# aggregation, append mode end-to-end. Append-mode aggs only EMIT windows
+# whose end <= the final watermark (min of the two inputs' max event time
+# minus the delay) — that boundary is part of the semantics, so BOTH the
+# Spark output and the batch oracle filter to it explicitly rather than
+# relying on the emission subtlety.
+@register(
+    "stream_join_windowed_attribution",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+clicks AS (SELECT user_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(click_ts) FROM clicks),
+               (SELECT max(purchase_ts) FROM purchases))
+         - INTERVAL 4 HOUR AS w
+),
+pairs AS (
+  SELECT date_trunc('day', p.purchase_ts) AS window_start
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts > c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 4 HOUR
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       count(*) AS n_pairs
+FROM pairs, wm
+WHERE window_start + INTERVAL 1 DAY <= wm.w
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_stream_join_windowed_attribution(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    wm_row = clicks.agg(F.max("click_ts").alias("mc")).crossJoin(
+        purchases.agg(F.max("purchase_ts").alias("mp"))
+    ).select(
+        (F.least("mc", "mp") - F.expr("interval 4 hours")).alias("w")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        lsrc, rsrc = f"{tmp}/clicks", f"{tmp}/purchases"
+        clicks.write.parquet(lsrc)
+        purchases.write.parquet(rsrc)
+        lstream = (
+            spark.readStream.schema("l_user_id bigint, click_ts timestamp")
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(lsrc)
+        )
+        rstream = (
+            spark.readStream.schema("r_user_id bigint, purchase_ts timestamp")
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(rsrc)
+        )
+        pairs = stream_stream_interval_join(
+            lstream,
+            rstream,
+            key_col="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            watermark="4 hours",
+            max_gap="4 hours",
+        )
+        agg = pairs.groupBy(F.window("purchase_ts", "1 day").alias("win")).agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_join_win_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("chained stateful query did not finish in 300s")
+    return (
+        spark.table("stream_join_win_out")
+        .crossJoin(F.broadcast(wm_row))
+        .filter(F.col("win.end") <= F.col("w"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_pairs",
+        )
+        .orderBy("window_start")
+    )
+

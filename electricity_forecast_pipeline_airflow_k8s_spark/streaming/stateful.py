@@ -98,3 +98,82 @@ def running_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- transformWithState (Spark 4 arbitrary-state API) ------------------------
+# The successor API to applyInPandasWithState: typed per-group state
+# handles (ValueState here), explicit init/close lifecycle, timers. The
+# processor keeps (count, cent-exact sum, max) per group across
+# micro-batches and emits the running totals each batch; integer cents
+# make the accumulation exact and therefore independent of the order in
+# which the file source serves batches.
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-group running (n, sum, max) with ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("cents", T.LongType()),
+                        T.StructField("mx", T.DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, cents, mx = (
+                self._state.get() if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += int(len(vals))
+                # 2-decimal values -> exact integer cents, so cross-batch
+                # accumulation order cannot change the total
+                cents += int((vals * 100).round().astype("int64").sum())
+                if len(vals):
+                    batch_max = float(vals.max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_seen": [n],
+                    "total_value": [cents / 100.0],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pyspark < 4.0
+    RunningStatsProcessor = None  # type: ignore[assignment]
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def running_stats_tws(stream: DataFrame) -> DataFrame:
+    """Apply the transformWithState running-stats processor per
+    event_type. Caller picks sink/trigger; state is O(3 scalars) per
+    group regardless of stream length."""
+    return stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningStatsProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -226,3 +226,70 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == list(range(20)), got
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithState (arbitrary typed state, the
+    applyInPandasWithState successor): per-group ValueState carrying
+    (n, cent-exact sum, max) across 4 single-file micro-batches must
+    reproduce the batch aggregates exactly. ENV-GATED: the API's driver
+    worker needs google.protobuf, absent in this container -- skips like
+    the torch parity surfaces (SCALING.md "Environment-gated surfaces")."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.functions as F
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.stateful import (
+        running_stats_tws,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_test_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    final = (
+        spark.table("tws_test_out")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_seen", "total_value", "max_value")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    expected = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_seen"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")).alias(
+                "total_value"
+            ),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (final["n_seen"] == expected["n_seen"]).all()
+    assert (final["max_value"] == expected["max_value"]).all()
+    assert ((final["total_value"] - expected["total_value"]).abs() < 1e-6).all()
