@@ -104,6 +104,9 @@ HEADLINE = [
     "ts_hierarchical_reconcile",
     "rel_salted_skew_join",
     "sim_halfdim_overlap",
+    "val_referential_integrity",
+    "val_pk_uniqueness",
+    "emb_mahalanobis_outliers",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -212,6 +215,9 @@ BUDGETS: dict[str, float] = {
     "ts_hierarchical_reconcile": 0.82,
     "rel_salted_skew_join": 0.58,
     "sim_halfdim_overlap": 0.98,
+    "val_referential_integrity": 0.93,
+    "val_pk_uniqueness": 1.01,
+    "emb_mahalanobis_outliers": 1.11,
 }
 
 

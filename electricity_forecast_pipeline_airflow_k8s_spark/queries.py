@@ -65,6 +65,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_salted_skew_join",
     "sim_halfdim_overlap",
     "stream_join_windowed_attribution",
+    "val_referential_integrity",
+    "val_pk_uniqueness",
+    "emb_mahalanobis_outliers",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

@@ -2085,3 +2085,89 @@ def q_sim_halfdim_overlap(spark: SparkSession, sf_dir: str):
         )
         .orderBy("query_id")
     )
+
+
+# -- diagonal-Mahalanobis embedding outliers (round 5) -----------------------
+# Embedding-quality gate: per label, distance = sum_d (v_d - mu_d)^2 /
+# var_d against the label's own per-dimension statistics; top-10 per
+# label are the candidate mislabels/corruptions. Floats are quantized at
+# 1e-7 into DECIMAL (the emb_dim_stats convention) so mu/var derive from
+# exact sums; each distance term is quantized at 1e-9 before the per-
+# vector sum (the bigram-LM convention) so the 64-term reduction is
+# association-order-free. The (label x dim) stats table is k x 64 rows —
+# broadcast, never a window over the vector stream.
+_MAHA_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) / 10000000
+              AS DECIMAL(18,7)) AS qv
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+stats AS (
+  SELECT label, dim, count(*) AS n,
+         CAST(sum(qv) AS DOUBLE) AS s,
+         CAST(sum(CAST(qv * qv AS DECIMAL(38,14))) AS DOUBLE) AS ssq
+  FROM ex GROUP BY 1, 2
+),
+terms AS (
+  SELECT e.vec_id, e.label,
+         CAST(floor(
+           power(CAST(e.qv AS DOUBLE) - st.s / st.n, 2)
+           / ((st.ssq - st.n * (st.s / st.n) * (st.s / st.n)) / (st.n - 1))
+           * 1000000000 + 0.5) AS DECIMAL(38,0)) AS term_q
+  FROM ex e JOIN stats st ON st.label = e.label AND st.dim = e.dim
+),
+dist AS (
+  SELECT vec_id, label,
+         floor(CAST(sum(term_q) AS DOUBLE) / 1000000000 * 10000 + 0.5) / 10000
+           AS maha_dist
+  FROM terms GROUP BY 1, 2
+)
+SELECT vec_id, label, maha_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label
+                                    ORDER BY maha_dist DESC, vec_id) AS BIGINT)
+              AS rank
+  FROM dist
+) WHERE rank <= 10
+ORDER BY label, rank
+"""
+
+
+@register("emb_mahalanobis_outliers", oracle=_MAHA_ORACLE)
+def q_emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    qv = (
+        F.floor(F.col("v").cast("double") * 10000000 + F.lit(0.5)) / 10000000
+    ).cast("decimal(18,7)")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", qv.alias("qv"))
+    stats = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("double").alias("s"),
+        F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,14)"))
+        .cast("double")
+        .alias("ssq"),
+    )
+    m = F.col("s") / F.col("n")
+    var = (F.col("ssq") - F.col("n") * m * m) / (F.col("n") - 1)
+    term_q = F.floor(
+        F.pow(F.col("qv").cast("double") - m, F.lit(2)) / var * 1000000000
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    terms = ex.join(F.broadcast(stats), ["label", "dim"]).select(
+        "vec_id", "label", term_q.alias("term_q")
+    )
+    dist = terms.groupBy("vec_id", "label").agg(
+        (
+            F.floor(F.sum("term_q").cast("double") / 1000000000 * 10000 + 0.5)
+            / 10000
+        ).alias("maha_dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("maha_dist"), "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "label", "maha_dist", "rank")
+        .orderBy("label", "rank")
+    )

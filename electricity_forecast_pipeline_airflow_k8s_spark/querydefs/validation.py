@@ -554,3 +554,108 @@ def q_val_checksum_reconciliation(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- referential integrity report (round 5) ----------------------------------
+# One row per FK edge of the star schema with parent/child row counts and
+# orphan-child counts — the cross-table contract check the reference
+# applies per-frame (core/data_validation.py) lifted to the whole schema.
+# Spark: a LEFT ANTI join per edge, unioned (each anti-join broadcasts
+# the parent keys when small, AQE decides); oracle: NOT IN per edge.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ref_integrity_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+  SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+         (SELECT count(*) FROM {child}) AS n_child_rows,
+         (SELECT count(*) FROM {parent}) AS n_parent_rows,
+         (SELECT count(*) FROM {child}
+          WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans""")
+    return "SELECT * FROM (" + "\n  UNION ALL\n".join(parts) + ") ORDER BY fk_edge"
+
+
+@register("val_referential_integrity", oracle=_ref_integrity_oracle())
+def q_val_referential_integrity(spark: SparkSession, sf_dir: str):
+    from functools import reduce
+
+    reports = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = table(spark, child, sf_dir)
+        p = table(spark, parent, sf_dir)
+        orphans = c.join(
+            p.select(F.col(pk).alias(ck)), ck, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        counts = (
+            c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_parent_rows")))
+            .crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                "n_parent_rows",
+                "n_orphans",
+            )
+        )
+        reports.append(counts)
+    return reduce(lambda a, b: a.unionByName(b), reports).orderBy("fk_edge")
+
+
+# -- primary-key uniqueness report (round 5) ---------------------------------
+# One row per table: row count vs distinct-PK count and the uniqueness
+# verdict. Spark: per-table aggregates unioned; oracle: the same report
+# derived per table with count(DISTINCT).
+_PK_COLS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def _pk_unique_oracle() -> str:
+    parts = [
+        f"""
+  SELECT '{t}' AS table_name, count(*) AS n_rows,
+         count(DISTINCT {pk}) AS n_distinct_pk,
+         count(*) = count(DISTINCT {pk}) AS pk_unique
+  FROM {t}"""
+        for t, pk in _PK_COLS
+    ]
+    return "SELECT * FROM (" + "\n  UNION ALL\n".join(parts) + ") ORDER BY table_name"
+
+
+@register("val_pk_uniqueness", oracle=_pk_unique_oracle())
+def q_val_pk_uniqueness(spark: SparkSession, sf_dir: str):
+    from functools import reduce
+
+    reports = []
+    for t, pk in _PK_COLS:
+        df = table(spark, t, sf_dir)
+        reports.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(pk)).alias("n_distinct_pk"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "n_distinct_pk",
+                (F.col("n_rows") == F.col("n_distinct_pk")).alias("pk_unique"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports).orderBy("table_name")

@@ -267,3 +267,49 @@ def test_observe_metrics_single_pass_equal_separate_aggregates(spark, sf_dir):
     assert got["n_rows"] == want["n_rows"]
     assert got["n_null_value"] == want["n_null_value"]
     assert got["n_negative"] == want["n_negative"]
+
+
+def test_python_udtf_lateral_chunking(spark):
+    """Spark 4 Python UDTF as a SQL table function: chunk text via a
+    LATERAL join and agree exactly with the native substring+sequence
+    equivalent. API-surface pin only -- UDTFs are row-at-a-time Python,
+    so per repo policy (zero Python in hot paths) production chunking
+    stays on the native text_pack_chunks operators; this guards that the
+    registration/lateral plumbing works when a user brings their own."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, piece: string")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            t = text or ""
+            for i in range(0, len(t), size):
+                yield (i // size, t[i : i + size])
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "klmno"), (3, "")], "doc_id int, text string"
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.piece
+        FROM udtf_docs d, LATERAL chunk_text(d.text, 4) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    ).collect()
+    native = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(length(text)/4.0)) - 1),"
+                    " i -> substring(text, i * 4 + 1, 4))"
+                )
+            ).alias("chunk_id", "piece"),
+        )
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in native]
