@@ -107,6 +107,9 @@ HEADLINE = [
     "val_referential_integrity",
     "val_pk_uniqueness",
     "emb_mahalanobis_outliers",
+    "rel_asof_nearest",
+    "ts_permutation_entropy",
+    "text_sparse_cosine_pairs",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -218,6 +221,9 @@ BUDGETS: dict[str, float] = {
     "val_referential_integrity": 0.93,
     "val_pk_uniqueness": 1.01,
     "emb_mahalanobis_outliers": 1.11,
+    "rel_asof_nearest": 0.81,
+    "ts_permutation_entropy": 0.88,
+    "text_sparse_cosine_pairs": 1.27,
 }
 
 

@@ -68,6 +68,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_referential_integrity",
     "val_pk_uniqueness",
     "emb_mahalanobis_outliers",
+    "rel_asof_nearest",
+    "ts_permutation_entropy",
+    "text_sparse_cosine_pairs",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

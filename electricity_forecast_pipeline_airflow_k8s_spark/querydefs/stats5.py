@@ -499,3 +499,72 @@ def q_rel_salted_skew_join(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- nearest-neighbor as-of join (round 5) -----------------------------------
+# Bidirectional as-of: each purchase matches its CLOSEST click by the
+# same user (before or after), ties to the earlier one. Spark: one
+# window pass computes both the backward max and forward min click time,
+# then picks the smaller absolute gap — no join at all; oracle: the
+# same via min_by over an inequality self-join (brute force,
+# oracle-scale only). The backward-only form is rel_asof_click_before_
+# purchase; this adds the nearest-direction semantics a sensor-fusion
+# pipeline needs.
+@register(
+    "rel_asof_nearest",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+            FROM events WHERE ts IS NOT NULL),
+purchases AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+SELECT event_id, user_id, ts, c_ts AS nearest_click_ts FROM (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS c_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(date_diff('microsecond', c.ts, p.ts)), c.ts) AS rn
+  FROM purchases p LEFT JOIN clicks c ON c.user_id = p.user_id
+) WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def q_rel_asof_nearest(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # same-timestamp clicks (gap 0) belong in the backward candidate: the
+    # frames above exclude the current row only, and a click row never IS
+    # a purchase row, so include same-ts clicks backward via <= ordering
+    wb_incl = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(wb_incl).alias("back_ts"),
+        F.min(click_ts).over(wf).alias("fwd_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    back_gap = F.col("ts").cast("long") - F.col("back_ts").cast("long")
+    fwd_gap = F.col("fwd_ts").cast("long") - F.col("ts").cast("long")
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        # ties go to the EARLIER (backward) click
+        .when(back_gap <= fwd_gap, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return flagged.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    ).orderBy("event_id")

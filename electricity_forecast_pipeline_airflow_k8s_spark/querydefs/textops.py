@@ -2171,3 +2171,122 @@ def q_emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str):
         .select("vec_id", "label", "maha_dist", "rank")
         .orderBy("label", "rank")
     )
+
+
+# -- sparse TF-vector cosine pairs (round 5) ---------------------------------
+# Document similarity over SPARSE term-frequency vectors (the lexical
+# complement to the dense-embedding cosine family): within-source pairs
+# scored as dot(tf_a, tf_b)/(|tf_a||tf_b|) via a token-level equi-join —
+# the inverted-index layout (never materializes dense vectors, pairs
+# only share tokens). On natural corpora df << N bounds each posting
+# list; THIS corpus is the degenerate worst case (a ~40-word vocabulary
+# where every token is df~N, i.e. all stop words), where the layout
+# devolves to all-pairs — so the query scores a deterministic 20%
+# md5-hash doc sample (the repo's hash-threshold primitive; a modulo
+# would correlate with the round-robin source assignment), mirroring how
+# production engines cap hot posting lists. Integer dots and norms are exact; top-5 pairs per
+# source by rounded cosine.
+@register(
+    "text_sparse_cosine_pairs",
+    oracle=rf"""
+WITH tf AS (
+  SELECT d.doc_id, d.source, t.token, count(*) AS tf
+  FROM (SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+        WHERE substr(md5('sparse' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '33333333') AS t
+  JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+norms AS (
+  SELECT doc_id, sum(tf * tf) AS nsq FROM tf GROUP BY 1
+),
+dots AS (
+  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b
+    ON b.source = a.source AND b.token = a.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.source, d.doc_a, d.doc_b,
+         floor(d.dot / sqrt(na.nsq * nb.nsq) * 1000000 + 0.5) / 1000000
+           AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+)
+SELECT source, doc_a, doc_b, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY cosine DESC, doc_a, doc_b)
+                 AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+def q_text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
+        stable_hash,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.substring(stable_hash(F.lit("sparse"), F.col("doc_id")), 1, 8)
+        < "33333333"
+    )
+    tf = (
+        docs.select(
+            "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
+    a = tf.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("token"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = tf.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("token").alias("token_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("source_b") == F.col("source"))
+            & (F.col("token_b") == F.col("token"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("source", "doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nsq_b"))
+    scored = (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("dot")
+                    / F.sqrt(F.col("nsq_a") * F.col("nsq_b"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cosine"), "doc_a", "doc_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_a", "doc_b", "cosine", "rank")
+        .orderBy("source", "rank")
+    )

@@ -508,3 +508,84 @@ def q_ts_hierarchical_reconcile(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- permutation entropy (round 5) -------------------------------------------
+# Ordinal-pattern complexity per series (Bandt-Pompe): consecutive value
+# triples encode to one of 6 order patterns via three strict comparisons
+# (bit-exact in any engine, ties resolve identically); the pattern
+# distribution's Shannon entropy separates noise (high) from trends/
+# oscillations (low). Spark: two lead() windows, one agg; oracle: rn+1 /
+# rn+2 self-joins — independent derivations. Entropy derives from exact
+# integer counts.
+@register(
+    "ts_permutation_entropy",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+triples AS (
+  SELECT a.event_type,
+         (CASE WHEN a.value > b.value THEN 4 ELSE 0 END
+          + CASE WHEN a.value > c.value THEN 2 ELSE 0 END
+          + CASE WHEN b.value > c.value THEN 1 ELSE 0 END) AS pattern_id
+  FROM base a
+  JOIN base b ON b.event_type = a.event_type AND b.rn = a.rn + 1
+  JOIN base c ON c.event_type = a.event_type AND c.rn = a.rn + 2
+),
+counts AS (
+  SELECT event_type, pattern_id, count(*) AS n_triples
+  FROM triples GROUP BY 1, 2
+),
+shares AS (
+  SELECT event_type, pattern_id, n_triples,
+         n_triples * 1.0 / sum(n_triples) OVER (PARTITION BY event_type)
+           AS share_raw
+  FROM counts
+)
+SELECT event_type, pattern_id, n_triples,
+       floor(share_raw * 10000 + 0.5) / 10000 AS share,
+       floor(-sum(share_raw * ln(share_raw)) OVER (PARTITION BY event_type)
+             * 10000 + 0.5) / 10000 AS perm_entropy
+FROM shares
+ORDER BY event_type, pattern_id
+""",
+)
+def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    trip = (
+        ev.withColumn("b", F.lead("value", 1).over(w))
+        .withColumn("c", F.lead("value", 2).over(w))
+        .filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            "event_type",
+            (
+                (F.col("value") > F.col("b")).cast("int") * 4
+                + (F.col("value") > F.col("c")).cast("int") * 2
+                + (F.col("b") > F.col("c")).cast("int")
+            ).alias("pattern_id"),
+        )
+    )
+    counts = trip.groupBy("event_type", "pattern_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    wt = Window.partitionBy("event_type")
+    share_raw = F.col("n_triples") * 1.0 / F.sum("n_triples").over(wt)
+    return (
+        counts.withColumn("share", portable_round(share_raw, 4))
+        .withColumn(
+            "perm_entropy",
+            portable_round(
+                -F.sum(share_raw * F.log(share_raw)).over(wt), 4
+            ),
+        )
+        .orderBy("event_type", "pattern_id")
+    )
