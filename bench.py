@@ -110,6 +110,8 @@ HEADLINE = [
     "rel_asof_nearest",
     "ts_permutation_entropy",
     "text_sparse_cosine_pairs",
+    "ts_xcorr_click_purchase",
+    "val_outlier_consensus",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -224,6 +226,8 @@ BUDGETS: dict[str, float] = {
     "rel_asof_nearest": 0.81,
     "ts_permutation_entropy": 0.88,
     "text_sparse_cosine_pairs": 1.27,
+    "ts_xcorr_click_purchase": 0.91,
+    "val_outlier_consensus": 1.43,
 }
 
 

@@ -71,6 +71,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_asof_nearest",
     "ts_permutation_entropy",
     "text_sparse_cosine_pairs",
+    "ts_xcorr_click_purchase",
+    "val_outlier_consensus",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

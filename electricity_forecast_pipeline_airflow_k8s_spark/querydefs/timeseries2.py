@@ -589,3 +589,77 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "pattern_id")
     )
+
+
+# -- cross-correlation between two series (round 5) -------------------------
+# Lead-lag structure between click and purchase hourly means: xcorr at
+# lag k pairs click(t-k) with purchase(t) over the shared hour index.
+# Positive-lag peaks mean clicks LEAD purchases — the attribution-window
+# diagnostic for choosing the stream-stream join bound. Same exact-
+# hourly-mean base and RANGE(-k,-k) pairing as ts_acf; oracle = equi-join
+# + closed-form corr.
+_XCORR_LAGS = (0, 1, 2, 3, 6, 12)
+
+
+@register(
+    "ts_xcorr_click_purchase",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_MEAN_SQL}),
+clicks AS (SELECT hour_idx, hv FROM hourly WHERE event_type = 'click'),
+purchases AS (SELECT hour_idx, hv FROM hourly WHERE event_type = 'purchase'),
+lags(lag) AS (SELECT unnest([{", ".join(str(k) for k in _XCORR_LAGS)}])),
+pairs AS (
+  SELECT l.lag, c.hv AS x, p.hv AS y
+  FROM purchases p
+  JOIN lags l ON true
+  JOIN clicks c ON c.hour_idx = p.hour_idx - l.lag
+)
+SELECT lag, count(*) AS n_pairs,
+       floor((count(*) * sum(x * y) - sum(x) * sum(y))
+             / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                    * (count(*) * sum(y * y) - sum(y) * sum(y)))
+             * 10000 + 0.5) / 10000 AS xcorr
+FROM pairs
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY lag
+""",
+)
+def q_ts_xcorr_click_purchase(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "hour_idx", F.col("hv").alias("x")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "hour_idx", F.col("hv").alias("y")
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in _XCORR_LAGS], "lag int"
+    )
+    pairs = purchases.crossJoin(F.broadcast(lags)).join(
+        clicks.withColumnRenamed("hour_idx", "c_idx"),
+        F.col("c_idx") == F.col("hour_idx") - F.col("lag"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            portable_round(F.corr("x", "y"), 4).alias("xcorr"),
+        )
+        .filter(F.col("n_pairs") >= 2)
+        .orderBy("lag")
+    )

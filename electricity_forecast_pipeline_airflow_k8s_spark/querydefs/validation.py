@@ -659,3 +659,131 @@ def q_val_pk_uniqueness(spark: SparkSession, sf_dir: str):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), reports).orderBy("table_name")
+
+
+# -- multi-detector outlier consensus (round 5) ------------------------------
+# Three detectors over the same grouped pass — IQR fences (exact
+# quantiles), z-score vs group moments, MAD-median distance — and the
+# consensus verdict (flagged by >= 2 of 3). Single-detector counts ship
+# alongside so threshold drift in any one detector is visible. One scan,
+# one shuffle on the group key (all thresholds ride a shared window);
+# exact percentile/median keep both engines bit-identical, z uses
+# decimal-derived moments.
+@register(
+    "val_outlier_consensus",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value FROM {EVENTS_SRC} WHERE value IS NOT NULL
+),
+thresholds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS m,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssq,
+         count(*) AS n,
+         median(value) AS med
+  FROM base GROUP BY 1
+),
+mads AS (
+  SELECT b.event_type, median(abs(b.value - t.med)) AS mad
+  FROM base b JOIN thresholds t USING (event_type)
+  GROUP BY 1
+),
+flagged AS (
+  SELECT b.event_type,
+         CASE WHEN b.value < t.q1 - 1.5 * (t.q3 - t.q1)
+                OR b.value > t.q3 + 1.5 * (t.q3 - t.q1) THEN 1 ELSE 0 END
+           AS f_iqr,
+         CASE WHEN sqrt(greatest((t.ssq - t.n * t.m * t.m) / (t.n - 1), 0.0)) > 0
+               AND abs(b.value - t.m)
+                   / sqrt(greatest((t.ssq - t.n * t.m * t.m) / (t.n - 1), 0.0)) > 3
+              THEN 1 ELSE 0 END AS f_z,
+         CASE WHEN m2.mad > 0
+               AND abs(b.value - t.med) / (1.4826 * m2.mad) > 3.5
+              THEN 1 ELSE 0 END AS f_mad
+  FROM base b
+  JOIN thresholds t USING (event_type)
+  JOIN mads m2 USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(f_iqr) AS BIGINT) AS n_iqr,
+       CAST(sum(f_z) AS BIGINT) AS n_z,
+       CAST(sum(f_mad) AS BIGINT) AS n_mad,
+       CAST(sum(CASE WHEN f_iqr + f_z + f_mad >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_consensus
+FROM flagged
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_val_outlier_consensus(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    w = Window.partitionBy("event_type")
+    dec = F.col("value").cast("decimal(18,2)")
+    enriched = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.25)").over(w).alias("q1"),
+        F.expr("percentile(value, 0.75)").over(w).alias("q3"),
+        (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "m"
+        ),
+        F.sum(dec * dec).over(w).cast("double").alias("ssq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.expr("percentile(value, 0.5)").over(w).alias("med"),
+    )
+    mad = (
+        enriched.select(
+            "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    j = enriched.join(F.broadcast(mad), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("ssq") - F.col("n") * F.col("m") * F.col("m"))
+            / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    f_iqr = (
+        (F.col("value") < F.col("q1") - 1.5 * iqr)
+        | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    ).cast("int")
+    f_z = ((sd > 0) & (F.abs(F.col("value") - F.col("m")) / sd > 3)).cast("int")
+    f_mad = (
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.5)
+    ).cast("int")
+    return (
+        j.select(
+            "event_type",
+            f_iqr.alias("f_iqr"),
+            f_z.alias("f_z"),
+            f_mad.alias("f_mad"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("f_iqr").cast("long").alias("n_iqr"),
+            F.sum("f_z").cast("long").alias("n_z"),
+            F.sum("f_mad").cast("long").alias("n_mad"),
+            F.sum(
+                (
+                    (F.col("f_iqr") + F.col("f_z") + F.col("f_mad")) >= 2
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_consensus"),
+        )
+        .orderBy("event_type")
+    )

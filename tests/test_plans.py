@@ -245,3 +245,22 @@ def test_merge_upsert_single_merge_join(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1
     assert "FullOuter" in plan
+
+
+def test_mahalanobis_broadcasts_stats(spark, sf_dir):
+    """The (label x dim) stats table is k x 64 rows and must broadcast
+    onto the exploded vector stream -- a shuffle join there would shuffle
+    corpus x 64 rows."""
+    q = registry()["emb_mahalanobis_outliers"].build(spark, sf_dir)
+    assert has_broadcast_join(q)
+
+
+def test_asof_nearest_is_join_free(spark, sf_dir):
+    """Nearest-click attribution rides ONE window pass (backward max +
+    forward min in the same sort); the inequality join is the oracle's
+    brute force, never the Spark plan."""
+    q = registry()["rel_asof_nearest"].build(spark, sf_dir)
+    plan = explain_str(q)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange hashpartitioning") <= 1, tree
