@@ -461,3 +461,37 @@ def test_tombstone_read_row_accounting(spark, sf_dir):
     ).count()
     out = registry()["rel_tombstone_read"].build(spark, sf_dir).toPandas()
     assert out["n_visible"].sum() == n_base - n_tomb
+
+
+def test_histogram_buckets_account_for_all_rows(spark, sf_dir):
+    """Equi-width histogram: per type, bucket counts sum to the non-null
+    row count (given mx > mn, true for every fixture type) and bucket ids
+    stay in [0, 9]."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    out = registry()["ts_value_histogram"].build(spark, sf_dir).toPandas()
+    assert out["bucket"].between(0, 9).all()
+    expected = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    got = out.groupby("event_type")["n_rows"].sum()
+    assert (got.sort_index() == expected.sort_index()).all()
+
+
+def test_merge_upsert_row_accounting(spark, sf_dir):
+    """Post-merge row count == base rows + insert-branch rows (updates
+    replace in place, inserts append under shifted keys)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    base = load_table(spark, "orders", sf_dir)
+    n_base = base.count()
+    n_inserts = base.filter(F.col("o_orderpriority") == "2-HIGH").count()
+    out = registry()["rel_merge_upsert"].build(spark, sf_dir).toPandas()
+    assert out["n_orders"].sum() == n_base + n_inserts
