@@ -112,6 +112,8 @@ HEADLINE = [
     "text_sparse_cosine_pairs",
     "ts_xcorr_click_purchase",
     "val_outlier_consensus",
+    "sess_conversion_latency",
+    "ts_peak_stats",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -228,6 +230,8 @@ BUDGETS: dict[str, float] = {
     "text_sparse_cosine_pairs": 1.27,
     "ts_xcorr_click_purchase": 0.91,
     "val_outlier_consensus": 1.43,
+    "sess_conversion_latency": 0.35,
+    "ts_peak_stats": 0.78,
 }
 
 

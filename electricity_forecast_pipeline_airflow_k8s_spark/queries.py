@@ -73,6 +73,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_sparse_cosine_pairs",
     "ts_xcorr_click_purchase",
     "val_outlier_consensus",
+    "sess_conversion_latency",
+    "ts_peak_stats",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",

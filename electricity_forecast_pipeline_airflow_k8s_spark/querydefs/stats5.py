@@ -556,8 +556,11 @@ def q_rel_asof_nearest(spark: SparkSession, sf_dir: str):
         F.max(click_ts).over(wb_incl).alias("back_ts"),
         F.min(click_ts).over(wf).alias("fwd_ts"),
     ).filter(F.col("event_type") == "purchase")
-    back_gap = F.col("ts").cast("long") - F.col("back_ts").cast("long")
-    fwd_gap = F.col("fwd_ts").cast("long") - F.col("ts").cast("long")
+    # microsecond gaps (cast-to-long on timestamps is SECONDS in Spark --
+    # sub-second ties would then resolve differently than the oracle's
+    # microsecond argmin)
+    back_gap = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_gap = F.unix_micros("fwd_ts") - F.unix_micros("ts")
     nearest = (
         F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
         .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
@@ -568,3 +571,70 @@ def q_rel_asof_nearest(spark: SparkSession, sf_dir: str):
     return flagged.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
     ).orderBy("event_id")
+
+
+# -- conversion latency percentiles (round 5) --------------------------------
+# Funnel latency: per user, first click -> first subsequent purchase;
+# latency distribution summarized with exact percentiles over integer
+# microsecond gaps (bit-identical in both engines). Spark: two tiny
+# per-user aggregates joined; oracle: the same via FILTER-min aggregates
+# — the conditional-aggregate formulation.
+@register(
+    "sess_conversion_latency",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+lat AS (
+  SELECT date_diff('microsecond', first_click, first_purchase) AS gap_us
+  FROM firsts
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_click
+)
+SELECT count(*) AS n_converted,
+       floor(quantile_cont(gap_us, 0.5) / 1000000 * 10000 + 0.5) / 10000
+         AS p50_sec,
+       floor(quantile_cont(gap_us, 0.9) / 1000000 * 10000 + 0.5) / 10000
+         AS p90_sec,
+       floor(max(gap_us) / 1000000 * 10000 + 0.5) / 10000 AS max_sec
+FROM lat
+""",
+)
+def q_sess_conversion_latency(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_click")
+        ).alias("gap_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        portable_round(F.expr("percentile(gap_us, 0.5)") / 1000000, 4).alias(
+            "p50_sec"
+        ),
+        portable_round(F.expr("percentile(gap_us, 0.9)") / 1000000, 4).alias(
+            "p90_sec"
+        ),
+        portable_round(F.max("gap_us") / 1000000, 4).alias("max_sec"),
+    )

@@ -663,3 +663,78 @@ def q_ts_xcorr_click_purchase(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_pairs") >= 2)
         .orderBy("lag")
     )
+
+
+# -- peak detection over the hourly series (round 5) -------------------------
+# Local maxima of the hourly mean: hv strictly above BOTH neighbors and
+# above the series mean (exact decimal base values, so the comparisons
+# are bit-identical cross-engine). The electricity-domain "peak hours"
+# count the reference's capacity analysis needs. Spark: lag/lead windows
+# over the hourly aggregate; oracle: hour-index self-joins — independent
+# derivations.
+@register(
+    "ts_peak_stats",
+    oracle=f"""
+WITH hourly AS ({_HOURLY_MEAN_SQL}),
+means AS (
+  SELECT event_type, avg(hv) AS mean_hv FROM hourly GROUP BY 1
+),
+peaks AS (
+  SELECT a.event_type, a.hv
+  FROM hourly a
+  JOIN hourly p ON p.event_type = a.event_type AND p.hour_idx = a.hour_idx - 1
+  JOIN hourly n ON n.event_type = a.event_type AND n.hour_idx = a.hour_idx + 1
+  JOIN means m ON m.event_type = a.event_type
+  WHERE a.hv > p.hv AND a.hv > n.hv AND a.hv > m.mean_hv
+)
+SELECT event_type, count(*) AS n_peaks,
+       floor(avg(hv) * 10000 + 0.5) / 10000 AS avg_peak_value,
+       floor(max(hv) * 10000 + 0.5) / 10000 AS max_peak_value
+FROM peaks
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_ts_peak_stats(spark: SparkSession, sf_dir: str):
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    wp = w.rangeBetween(-1, -1)
+    wn = w.rangeBetween(1, 1)
+    means = hourly.groupBy("event_type").agg(F.avg("hv").alias("mean_hv"))
+    flagged = (
+        hourly.select(
+            "event_type",
+            "hv",
+            F.first("hv").over(wp).alias("prev_hv"),
+            F.first("hv").over(wn).alias("next_hv"),
+        )
+        .join(F.broadcast(means), "event_type")
+        .filter(
+            F.col("prev_hv").isNotNull()
+            & F.col("next_hv").isNotNull()
+            & (F.col("hv") > F.col("prev_hv"))
+            & (F.col("hv") > F.col("next_hv"))
+            & (F.col("hv") > F.col("mean_hv"))
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_peaks"),
+            portable_round(F.avg("hv"), 4).alias("avg_peak_value"),
+            portable_round(F.max("hv"), 4).alias("max_peak_value"),
+        )
+        .orderBy("event_type")
+    )
