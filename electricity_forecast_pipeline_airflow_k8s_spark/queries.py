@@ -126,14 +126,14 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 35 round-5 queries fill the r5 window's
-    # first-proof slots, pushing everything from "rel_set_ops" (r1 cohort
-    # position 6/10) onward past the driver's 50-query cut. Round 6
-    # should lead with any never-proven round-6 queries, then the
-    # displaced r1 tail (rel_set_ops, rel_string_functions,
-    # rel_topk_orders, rel_union_pages, rel_window_analytic), then the
-    # full 28-query r2 cohort above, then start re-proving the oldest r3
-    # greens.
+    # Round-6 rotation TODO: the 37 round-5 queries fill the r5 window's
+    # first-proof slots, pushing everything from "rel_promo_share" (r1
+    # cohort position 4/10) onward past the driver's 50-query cut. Round
+    # 6 should lead with any never-proven round-6 queries, then the
+    # displaced r1 tail (rel_promo_share, rel_regex_extract, rel_set_ops,
+    # rel_string_functions, rel_topk_orders, rel_union_pages,
+    # rel_window_analytic), then the full 28-query r2 cohort above, then
+    # start re-proving the oldest r3 greens.
 )
 
 
