@@ -114,6 +114,8 @@ HEADLINE = [
     "val_outlier_consensus",
     "sess_conversion_latency",
     "ts_peak_stats",
+    "ts_load_factor",
+    "rel_order_value_gini",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -232,6 +234,8 @@ BUDGETS: dict[str, float] = {
     "val_outlier_consensus": 1.43,
     "sess_conversion_latency": 0.35,
     "ts_peak_stats": 0.78,
+    "ts_load_factor": 0.44,
+    "rel_order_value_gini": 1.16,
 }
 
 

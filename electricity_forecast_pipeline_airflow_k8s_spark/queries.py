@@ -75,6 +75,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_outlier_consensus",
     "sess_conversion_latency",
     "ts_peak_stats",
+    "ts_load_factor",
+    "rel_order_value_gini",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",
@@ -126,14 +128,13 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 37 round-5 queries fill the r5 window's
-    # first-proof slots, pushing everything from "rel_promo_share" (r1
-    # cohort position 4/10) onward past the driver's 50-query cut. Round
-    # 6 should lead with any never-proven round-6 queries, then the
-    # displaced r1 tail (rel_promo_share, rel_regex_extract, rel_set_ops,
-    # rel_string_functions, rel_topk_orders, rel_union_pages,
-    # rel_window_analytic), then the full 28-query r2 cohort above, then
-    # start re-proving the oldest r3 greens.
+    # Round-6 rotation TODO: the 39 round-5 queries fill the r5 window's
+    # first-proof slots; with the 10 late-r4 entries, only ONE r1-cohort
+    # row (rel_date_functions) makes the driver's 50-query cut. Round 6
+    # should lead with any never-proven round-6 queries, then the
+    # displaced r1 tail (rel_events_by_segment onward — 9 rows), then
+    # the full 28-query r2 cohort above, then start re-proving the
+    # oldest r3 greens.
 )
 
 

@@ -638,3 +638,56 @@ def q_sess_conversion_latency(spark: SparkSession, sf_dir: str):
         ),
         portable_round(F.max("gap_us") / 1000000, 4).alias("max_sec"),
     )
+
+
+# -- Gini coefficient of order values (round 5) ------------------------------
+# Revenue-concentration per order status via the rank formulation
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over values sorted
+# ascending (ties broken by key, so ranks are identical cross-engine).
+# sum(i * x_i) is DECIMAL x integer — exact; the final expression is one
+# deterministic double op chain. Spark: row_number window per status +
+# one agg; oracle: the same formulation in SQL (rank assembly differs:
+# window in a CTE vs inline QUALIFY-free subquery).
+@register(
+    "rel_order_value_gini",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS i
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       floor((2.0 * CAST(sum(i * x) AS DOUBLE)
+              / (count(*) * CAST(sum(x) AS DOUBLE))
+              - (count(*) + 1.0) / count(*)) * 10000 + 0.5) / 10000 AS gini
+FROM ranked
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_rel_order_value_gini(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n_orders"),
+            portable_round(
+                2.0
+                * F.sum(F.col("i") * F.col("x")).cast("double")
+                / (n * F.sum("x").cast("double"))
+                - (n + 1.0) / n,
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -738,3 +738,46 @@ def q_ts_peak_stats(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- daily load factor (round 5) ---------------------------------------------
+# The capacity-planning ratio the electricity reference reports per
+# region: avg/peak per (type, day). Exact decimal means over 2-decimal
+# values; the ratio is a deterministic double. Spark: one hash agg;
+# oracle: identical aggregate shapes (this one is a straightforward
+# cross-engine agreement check).
+@register(
+    "ts_load_factor",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(value) AS n_rows,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+             / max(value) * 10000 + 0.5) / 10000 AS load_factor,
+       max(value) AS peak_value
+FROM {EVENTS_SRC}
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_ts_load_factor(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.count("value").alias("n_rows"),
+            portable_round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+                / F.max("value"),
+                4,
+            ).alias("load_factor"),
+            F.max("value").alias("peak_value"),
+        )
+        .orderBy("event_type", "day")
+    )
