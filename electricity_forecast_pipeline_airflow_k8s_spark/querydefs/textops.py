@@ -2290,3 +2290,74 @@ def q_text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str):
         .select("source", "doc_a", "doc_b", "cosine", "rank")
         .orderBy("source", "rank")
     )
+
+
+# -- LSH bucket-size histogram (round 5) -------------------------------------
+# The skew diagnostic for the MinHash-LSH dedup path: per band, the
+# distribution of bucket sizes. Candidate-pair cost is sum over buckets
+# of C(size, 2), so one hot bucket IS the dedup job's straggler — this
+# query is what you run before raising bands/rows at 100 TB. Spark:
+# reuses the production signature+banding operators, two hash aggs;
+# oracle: recomputes signatures/bands from first principles in SQL.
+def _lsh_bucket_histogram_oracle() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({parts}) AS h FROM sigs".format(
+            b=b, parts=" || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs WHERE len(t) >= 3),
+sigs AS (SELECT doc_id, sh, {sig_cols} FROM shingled),
+bands AS (
+{band_rows}
+),
+buckets AS (
+  SELECT band, h, count(*) AS bucket_size FROM bands GROUP BY 1, 2
+)
+SELECT band, bucket_size, count(*) AS n_buckets,
+       CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+         AS n_candidate_pairs
+FROM buckets
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_lsh_bucket_histogram", oracle=_lsh_bucket_histogram_oracle())
+def q_dedup_lsh_bucket_histogram(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    sigs = DD.minhash_signature(docs, k=MINHASH_K)
+    rows = MINHASH_K // MINHASH_BANDS
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("h")
+            ).alias(f"b{b}")
+        )
+    bands = sigs.select(
+        F.explode(F.array(*band_cols)).alias("bh")
+    ).select(F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    buckets = bands.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        buckets.groupBy("band", "bucket_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+            )
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("band", "bucket_size")
+    )

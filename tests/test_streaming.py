@@ -293,3 +293,68 @@ def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
     assert (final["n_seen"] == expected["n_seen"]).all()
     assert (final["max_value"] == expected["max_value"]).all()
     assert ((final["total_value"] - expected["total_value"]).abs() < 1e-6).all()
+
+
+def test_watermark_drop_metric_counts_late_rows(spark, tmp_path):
+    """Late-data handling is observable, not just implied: rows arriving
+    in a later micro-batch with event time far behind the advanced
+    watermark must be counted in numRowsDroppedByWatermark (the metric an
+    operator watches to tune the delay at 100 TB/day)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    fresh = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), float(m)) for m in range(0, 60, 5)],
+        "ts timestamp, value double",
+    )
+    fresh.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_drop_out")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # wait until the first batch committed and the watermark advanced
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 1 and p.get("eventTime", {}).get("watermark"):
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("watermark never advanced")
+        # rows 2 HOURS behind the fresh data — far past the 10-min delay
+        late = spark.createDataFrame(
+            [(base - dt.timedelta(hours=2), 1.0), (base - dt.timedelta(hours=3), 2.0)],
+            "ts timestamp, value double",
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 120
+        dropped = 0
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p:
+                for op in p.get("stateOperators", []):
+                    dropped = max(dropped, op.get("numRowsDroppedByWatermark", 0))
+            if dropped >= 2:
+                break
+            time.sleep(0.5)
+        assert dropped >= 2, f"late rows not counted as dropped (got {dropped})"
+    finally:
+        q.stop()
