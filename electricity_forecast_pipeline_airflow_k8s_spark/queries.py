@@ -77,6 +77,12 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_peak_stats",
     "ts_load_factor",
     "rel_order_value_gini",
+    "dedup_lsh_bucket_histogram",
+    "dedup_lsh_recall_eval",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "layout_zorder_locality",
+    "rel_equidepth_histogram",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",
@@ -128,13 +134,15 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 39 round-5 queries fill the r5 window's
-    # first-proof slots; with the 10 late-r4 entries, only ONE r1-cohort
-    # row (rel_date_functions) makes the driver's 50-query cut. Round 6
-    # should lead with any never-proven round-6 queries, then the
-    # displaced r1 tail (rel_events_by_segment onward — 9 rows), then
-    # the full 28-query r2 cohort above, then start re-proving the
-    # oldest r3 greens.
+    # Round-6 rotation TODO: the 45 round-5 queries fill the r5 window's
+    # first-proof slots; the driver's 50-query cut then covers only the
+    # first 5 late-r4 entries (through rel_null_safe_join). Round 6
+    # should lead with any never-proven round-6 queries, then the 5
+    # displaced late-r4 rows (ts_week_spine_rcte,
+    # val_checksum_reconciliation, ts_seasonal_naive_error,
+    # sample_weighted_topk, text_pack_chunks), then the displaced r1
+    # cohort (rel_date_functions onward — 10 rows), then the 28-query
+    # r2 cohort above, then start re-proving the oldest r3 greens.
 )
 
 

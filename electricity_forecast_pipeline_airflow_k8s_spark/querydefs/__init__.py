@@ -2,6 +2,8 @@
 package registers every query into the registry."""
 
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa: F401
+    graph,
+    layout,
     mlops,
     relational,
     relational2,

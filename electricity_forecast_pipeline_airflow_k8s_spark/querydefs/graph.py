@@ -1,0 +1,304 @@
+"""Graph analytics over the event-transition graph (round 5).
+
+The events table induces a directed graph: nodes are event types, edges
+are per-user consecutive-event transitions (the same bigrams as
+`sess_markov_transitions`). PageRank over that graph ranks event types by
+steady-state visit probability — the classic "which page matters"
+primitive, here exercised as the repo's iterative-graph surface with an
+exactly-checkable oracle.
+
+Determinism design: PageRank in doubles is order-sensitive (parallel sums
+compound across iterations), so every quantity lives on a fixed-point
+integer grid — transition weights at scale 1e6, ranks at scale 1e9, all
+products/divisions as exact integer ops (`div` / `//`), per-term
+quantization BEFORE summation. Integer sums are associative, so the
+Spark result is bit-identical to the DuckDB oracle's three unrolled
+CTE iterations regardless of partitioning.
+
+Scale story (100 TB): the single events-sized pass is the bigram
+window + edge aggregation (one shuffle on user_id, one on the edge
+key). Every iteration then touches only node/edge-sized tables: ranks
+(nodes) broadcast into the edges join, inflow re-aggregated per node.
+Node count rides along as a 1-row aggregate (crossJoin), never a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
+)
+
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact ratio
+_P_SCALE = 10**6  # transition-probability fixed-point scale
+_R_SCALE = 10**9  # rank fixed-point scale
+_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+edges AS (
+  SELECT a.event_type AS u, b.event_type AS v, count(*) AS c
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2
+),
+outdeg AS (SELECT u, sum(c) AS tot FROM edges GROUP BY 1),
+w AS (
+  SELECT e.u, e.v, (e.c * {_P_SCALE}) // o.tot AS p_fp
+  FROM edges e JOIN outdeg o ON o.u = e.u
+),
+nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, (SELECT {_R_SCALE} // n FROM nn) AS r_fp FROM nodes)"""
+    ]
+    for i in range(1, _ITERS + 1):
+        parts.append(
+            f""",
+inflow{i} AS (
+  SELECT w.v AS node, sum((w.p_fp * r.r_fp) // {_P_SCALE}) AS s
+  FROM w JOIN r{i - 1} r ON r.node = w.u GROUP BY 1
+),
+dang{i} AS (
+  SELECT coalesce(sum(r.r_fp), 0) AS m
+  FROM r{i - 1} r LEFT JOIN outdeg o ON o.u = r.node WHERE o.u IS NULL
+),
+r{i} AS (
+  SELECT n.node,
+         ({(_D_DEN - _D_NUM) * _R_SCALE} // ({_D_DEN} * nn.n))
+         + ({_D_NUM} * (coalesce(f.s, 0) + (d.m // nn.n))) // {_D_DEN} AS r_fp
+  FROM nodes n CROSS JOIN nn CROSS JOIN dang{i} d
+  LEFT JOIN inflow{i} f ON f.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(r_fp AS BIGINT) AS pagerank_fp,
+       floor(r_fp * 1.0 / 1000 + 0.5) / 1000000 AS pagerank
+FROM r{_ITERS}
+ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str):
+    import os
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("v", F.lead("event_type").over(wseq))
+        .filter(F.col("v").isNotNull())
+        .groupBy(F.col("event_type").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # the edge list is node^2-bounded; persisting it caps the whole
+    # iteration pipeline at ONE events-sized pass (every downstream
+    # table — outdeg, weights, nodes, dangling, the 3 rank iterations —
+    # re-derives from this tiny table, not the fact scan). Bench mode
+    # (SPARK_GRAFT_SCOPED_CACHE=0) keeps the plan fully lazy so the
+    # timer brackets the complete recompute.
+    if scoped:
+        edges = edges.persist()
+    outdeg = edges.groupBy("u").agg(F.sum("c").alias("tot"))
+    w = edges.join(outdeg, "u").select(
+        "u", "v", F.expr(f"(c * {_P_SCALE}) div tot").alias("p_fp")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    dangling = nodes.join(outdeg, nodes.node == outdeg.u, "left_anti")
+    ranks = nodes.crossJoin(nn).select(
+        "node", F.expr(f"CAST({_R_SCALE} AS BIGINT) div n").alias("r_fp")
+    )
+    for _ in range(_ITERS):
+        inflow = (
+            w.join(ranks, w.u == ranks.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr(f"(p_fp * r_fp) div {_P_SCALE}")).alias("s"))
+        )
+        dang = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.coalesce(F.sum("r_fp"), F.lit(0)).alias("m"))
+        )
+        ranks = (
+            nodes.crossJoin(nn)
+            .crossJoin(dang)
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(({_D_DEN - _D_NUM} * CAST({_R_SCALE} AS BIGINT))"
+                    f" div ({_D_DEN} * n))"
+                    f" + ({_D_NUM} * (coalesce(s, CAST(0 AS BIGINT))"
+                    f" + (m div n))) div {_D_DEN}"
+                ).alias("r_fp"),
+            )
+        )
+    out = ranks.select(
+        "node",
+        F.col("r_fp").alias("pagerank_fp"),
+        (F.floor(F.col("r_fp") * 1.0 / 1000 + 0.5) / 1000000).alias("pagerank"),
+    ).orderBy("node")
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out
+
+
+# -- Triangle count / clustering coefficient ---------------------------------
+# Users co-occurring on "error" events in the same hour form an undirected
+# graph; count its triangles and global clustering coefficient. Spark uses
+# the DEGREE-ORDERED orientation (each edge directed toward the
+# higher-(degree, id) endpoint, wedges enumerated only from each node's
+# oriented out-list) — the standard trick that bounds wedge enumeration by
+# arboricity instead of max-degree, which is what survives hub nodes at
+# 100 TB. The oracle counts the same triangles by brute-force three-way
+# self-join on id-ordered edges (a<b<c) — an independent derivation;
+# triangle count is orientation-invariant.
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+nodes AS (SELECT ua AS n FROM e UNION SELECT ub FROM e),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT ua AS n FROM e UNION ALL SELECT ub FROM e) GROUP BY 1
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.ua = e1.ub
+  JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+),
+wed AS (SELECT coalesce(sum((d * (d - 1)) // 2), 0) AS w FROM deg)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       CAST((SELECT w FROM wed) AS BIGINT) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       floor(3.0 * (SELECT t FROM tri)
+             / nullif((SELECT w FROM wed), 0) * 10000 + 0.5) / 10000
+         AS clustering_coeff
+""",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
+    import os
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, c = ev.alias("a"), ev.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .distinct()
+    )
+    # the distinct edge list feeds degree, orientation (both wedge sides),
+    # the closing join, and the edge count — persist it so the expensive
+    # co-occurrence self-join runs ONCE (lazy in bench mode, as above)
+    if scoped:
+        edges = edges.persist()
+    deg = (
+        edges.select(F.col("ua").alias("n"))
+        .union(edges.select(F.col("ub").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge toward the higher-(degree, id) endpoint, carrying
+    # the destination's rank for the wedge ordering below
+    da = deg.withColumnsRenamed({"n": "ua", "d": "d_a"})
+    db = deg.withColumnsRenamed({"n": "ub", "d": "d_b"})
+    ranked = edges.join(da, "ua").join(db, "ub")
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.dst_d") < F.col("y.dst_d"))
+            | (
+                (F.col("x.dst_d") == F.col("y.dst_d"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
+    tri = wedges.join(
+        oriented.select("src", "dst"), ["src", "dst"], "inner"
+    ).agg(F.count(F.lit(1)).alias("t"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges")
+    )
+    out = (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(tri.withColumnRenamed("t", "n_triangles"))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.floor(
+                    F.try_divide(3.0 * F.col("n_triangles"), F.col("n_wedges"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("clustering_coeff"),
+        )
+    )
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out

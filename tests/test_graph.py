@@ -1,0 +1,55 @@
+"""Structural invariants for the graph operators (querydefs/graph.py) —
+properties the DuckDB oracle can't see because they hold by construction
+on BOTH engines: probability-mass conservation, recall bounds, and the
+wedge/triangle counting inequalities."""
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Fixed-point PageRank loses at most a few grid units per node per
+    iteration to integer floor-division; total mass must stay within that
+    envelope of exactly 1.0 (1e9 on the rank grid). A wrong dangling-mass
+    or damping term would drift by orders of magnitude more."""
+    rows = registry()["graph_pagerank"].build(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 2
+    total_fp = sum(r["pagerank_fp"] for r in rows)
+    # floor-only arithmetic can LOSE mass but never create it ...
+    assert total_fp <= 10**9, (total_fp, n)
+    # ... and the loss is bounded: each of the <= n^2 edge weights
+    # truncates up to R_SCALE/P_SCALE = 1e3 rank units per iteration
+    # (p_fp = (c*1e6)//tot), plus one unit per edge product and a few
+    # per-node divisions. A wrong dangling-mass or damping term would
+    # overshoot this envelope by orders of magnitude.
+    tolerance = 3 * (n * n * (10**3 + 1) + 3 * n)
+    assert 10**9 - total_fp <= tolerance, (total_fp, n)
+    assert all(r["pagerank_fp"] > 0 for r in rows)
+
+
+def test_lsh_recall_bounds(spark, sf_dir):
+    """verified pairs are exact-Jaccard-filtered candidates, so
+    verified <= candidates AND verified <= truth (every verified pair IS
+    a truth pair); recall and precision live in [0, 1]."""
+    row = registry()["dedup_lsh_recall_eval"].build(spark, sf_dir).collect()[0]
+    assert row["n_verified_pairs"] <= row["n_candidate_pairs"]
+    assert row["n_verified_pairs"] <= row["n_truth_pairs"]
+    if row["n_truth_pairs"]:
+        assert 0.0 <= row["recall"] <= 1.0
+    if row["n_candidate_pairs"]:
+        assert 0.0 <= row["candidate_precision"] <= 1.0
+
+
+def test_triangle_wedge_inequality(spark, sf_dir):
+    """Every triangle closes exactly 3 wedges, so 3*triangles <= wedges
+    (the clustering coefficient is a true ratio in [0, 1]); the handshake
+    bound ties wedges to edges."""
+    row = registry()["graph_triangle_count"].build(spark, sf_dir).collect()[0]
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    if row["n_wedges"]:
+        assert 0.0 <= row["clustering_coeff"] <= 1.0
+    # handshake: sum of degrees = 2 * edges, so wedges > 0 iff some node
+    # has degree >= 2; with edges present wedges can only vanish on a
+    # perfect matching
+    if row["n_edges"] >= row["n_nodes"]:
+        assert row["n_wedges"] > 0
