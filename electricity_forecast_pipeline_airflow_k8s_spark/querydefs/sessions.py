@@ -1079,3 +1079,74 @@ def q_stream_join_windowed_attribution(spark: SparkSession, sf_dir: str):
         .orderBy("window_start")
     )
 
+
+
+# -- streaming upsert sink: replay-safe keyed state (round 5) ---------------
+# Drives the foreachBatch idempotent upsert sink end-to-end: a 4-file
+# source processed one file per micro-batch in update mode, state landed
+# per batch_id (overwrite), then the LAST batch deliberately re-landed —
+# the at-least-once replay a crash between sink-write and checkpoint-
+# commit produces. The reconstructed latest-per-key state must still
+# equal plain batch SQL over one copy of the data. This is the streaming
+# counterpart of rel_merge_upsert: same MERGE semantics, arrived
+# incrementally, provably replay-immune.
+@register(
+    "stream_upsert_replay_state",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM {EVENTS_SRC} WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_stream_upsert_replay_state(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        idempotent_upsert_sink,
+        read_upsert_state,
+    )
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        root = f"{tmp}/upsert"
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        q, land = idempotent_upsert_sink(
+            agg, root, key_cols=["event_type"], checkpoint=f"{tmp}/ckpt"
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("upsert sink query did not finish in 300s")
+        # at-least-once replay of the final batch (identical content+id)
+        import glob
+
+        dirs = sorted(
+            glob.glob(f"{root}/batch_id=*"),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        last = dirs[-1]
+        land(
+            spark.read.parquet(last).localCheckpoint(eager=True),
+            int(last.rsplit("=", 1)[1]),
+        )
+        state = read_upsert_state(spark, root, ["event_type"]).orderBy(
+            "event_type"
+        )
+        # materialize before the tmp dir (the state's backing files) vanishes
+        return state.localCheckpoint(eager=True)

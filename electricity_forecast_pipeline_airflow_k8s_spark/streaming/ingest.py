@@ -229,3 +229,61 @@ def stream_stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {max_gap}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def idempotent_upsert_sink(
+    stream: DataFrame,
+    root: str,
+    key_cols: list[str] | None = None,
+    checkpoint: str | None = None,
+):
+    """Replay-safe keyed upsert sink for update-mode aggregates.
+
+    foreachBatch is documented AT-LEAST-ONCE: after a failure between the
+    sink write and the checkpoint commit, the next run REPLAYS the batch
+    with the SAME batch_id. The standard defense (Structured Streaming
+    programming guide, foreachBatch idempotence note) is to make the
+    write a deterministic function of (batch_id, data): each batch lands
+    under ``root/batch_id=N`` with mode=overwrite, so a replay rewrites
+    the same files instead of double-appending. Readers reconstruct the
+    current table as latest-batch-per-key (`read_upsert_state`), which is
+    insensitive to replays by construction.
+
+    At 100 TB/day this layout is also the compaction-friendly one: the
+    per-batch dirs are an ordered change log; a periodic job folds
+    batches <= B into a base snapshot and drops the dirs (same
+    latest-wins semantics the reader applies on the fly).
+
+    Returns the StreamingQuery (availableNow trigger; caller awaits)."""
+    keys = key_cols or ["respondent"]
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # overwrite => replaying batch N is a no-op state-wise
+        batch_df.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
+
+    land.__efp_keys__ = keys  # introspectable for tests
+    writer = stream.writeStream.outputMode("update").foreachBatch(land).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), land
+
+
+def read_upsert_state(spark, root: str, key_cols: list[str]) -> DataFrame:
+    """Reconstruct the current upsert state: for each key, the row from
+    the HIGHEST batch_id (update-mode emits a key only when it changes,
+    so the latest emission is the live value). basePath + partition
+    discovery turns the batch dirs into a `batch_id` column; one window
+    per key over the (small) change log."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.option("basePath", root).parquet(f"{root}/batch_id=*")
+    w = W.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )

@@ -358,3 +358,76 @@ def test_watermark_drop_metric_counts_late_rows(spark, tmp_path):
         assert dropped >= 2, f"late rows not counted as dropped (got {dropped})"
     finally:
         q.stop()
+
+
+def test_idempotent_upsert_sink_survives_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink write and
+    checkpoint commit replays the batch with the SAME batch_id. The
+    upsert sink's overwrite-per-batch layout must make that replay a
+    state-level no-op: after manually re-landing the final batch, the
+    reconstructed latest-per-key state still equals the batch-mode
+    aggregate exactly."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import (
+        idempotent_upsert_sink,
+        read_upsert_state,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "upsert")
+    base = dt.datetime(2024, 1, 1)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); CAL changes
+    # in both batches, TEX only in the first -> the reader must mix
+    # latest-batch rows across batch dirs
+    f1 = [(base + dt.timedelta(minutes=i), "CAL", 1.0) for i in range(3)] + [
+        (base + dt.timedelta(minutes=i), "TEX", 2.0) for i in range(4)
+    ]
+    f2 = [(base + dt.timedelta(minutes=60 + i), "CAL", 3.0) for i in range(5)]
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("respondent").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    q, land = idempotent_upsert_sink(
+        agg, root, key_cols=["respondent"], checkpoint=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+
+    expected = {
+        ("CAL", 8, 3 * 1.0 + 5 * 3.0),
+        ("TEX", 4, 8.0),
+    }
+
+    def state():
+        return {
+            (r["respondent"], r["n"], r["total"])
+            for r in read_upsert_state(spark, root, ["respondent"]).collect()
+        }
+
+    assert state() == expected
+
+    # simulate the at-least-once replay: re-land the highest batch with
+    # identical content and id (what a restarted query does after a crash
+    # post-write / pre-commit)
+    import glob
+    import os
+
+    last_dir = sorted(
+        glob.glob(f"{root}/batch_id=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )[-1]
+    last_id = int(last_dir.rsplit("=", 1)[1])
+    # a real replay recomputes the batch from source offsets; here we
+    # materialize the identical content first (localCheckpoint cuts the
+    # file lineage) so the overwrite isn't reading its own target
+    replay = spark.read.parquet(last_dir).localCheckpoint(eager=True)
+    land(replay, last_id)
+    assert state() == expected, "replayed batch must not change state"
+    # and the change log still holds one dir per batch (no duplicate dirs)
+    n_dirs = len(glob.glob(f"{root}/batch_id=*"))
+    assert n_dirs >= 2 and os.path.isdir(last_dir)
