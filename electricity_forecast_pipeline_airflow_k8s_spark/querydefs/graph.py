@@ -134,6 +134,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str):
         "node", F.expr(f"CAST({_R_SCALE} AS BIGINT) div n").alias("r_fp")
     )
     for _ in range(_ITERS):
+        # each iteration references `ranks` twice (inflow + dangling), so
+        # an unbroken lineage doubles per iteration (2^k plan copies — the
+        # classic iterative-algorithm lineage explosion). In production
+        # mode cap it per iteration, exactly as connected_components does
+        # (operators/dedup.py); bench mode keeps the bounded 3-iteration
+        # lazy plan so the timer sees all the work.
+        if scoped:
+            ranks = ranks.localCheckpoint(eager=True)
         inflow = (
             w.join(ranks, w.u == ranks.node)
             .groupBy(F.col("v").alias("node"))
