@@ -122,6 +122,7 @@ HEADLINE = [
     "graph_triangle_count",
     "layout_zorder_locality",
     "rel_equidepth_histogram",
+    "sess_cogroup_hour_corr",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -252,6 +253,7 @@ BUDGETS: dict[str, float] = {
     "graph_triangle_count": 7.90,
     "layout_zorder_locality": 1.80,
     "rel_equidepth_histogram": 0.45,
+    "sess_cogroup_hour_corr": 1.30,
 }
 
 

@@ -84,6 +84,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "layout_zorder_locality",
     "rel_equidepth_histogram",
     "stream_upsert_replay_state",
+    "sess_cogroup_hour_corr",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",
@@ -135,13 +136,14 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 46 round-5 queries fill the r5 window's
+    # Round-6 rotation TODO: the 47 round-5 queries fill the r5 window's
     # first-proof slots; the driver's 50-query cut then covers only the
-    # first 4 late-r4 entries (through rel_lateral_explode). Round 6
-    # should lead with any never-proven round-6 queries, then the 6
-    # displaced late-r4 rows (rel_null_safe_join, ts_week_spine_rcte,
-    # val_checksum_reconciliation, ts_seasonal_naive_error,
-    # sample_weighted_topk, text_pack_chunks), then the displaced r1
+    # first 3 late-r4 entries (through rel_variant_props). Round 6
+    # should lead with any never-proven round-6 queries, then the 7
+    # displaced late-r4 rows (rel_lateral_explode, rel_null_safe_join,
+    # ts_week_spine_rcte, val_checksum_reconciliation,
+    # ts_seasonal_naive_error, sample_weighted_topk, text_pack_chunks),
+    # then the displaced r1
     # cohort (rel_date_functions onward — 10 rows), then the 28-query
     # r2 cohort above, then start re-proving the oldest r3 greens.
 )

@@ -1150,3 +1150,114 @@ def q_stream_upsert_replay_state(spark: SparkSession, sf_dir: str):
         )
         # materialize before the tmp dir (the state's backing files) vanishes
         return state.localCheckpoint(eager=True)
+
+
+# -- cogroup applyInPandas: per-day click/purchase hour correlation ---------
+# The two-sided custom-op API surface (groupBy().cogroup().applyInPandas):
+# for each calendar day, the hourly click series and hourly purchase
+# series are cogrouped — one shuffle per side on the day key — and a
+# pandas kernel inner-joins the 24 hour slots and computes Pearson r.
+# Determinism across engines: the kernel derives r from EXACT integer
+# power sums (hour counts are ints; n*Sxy - Sx*Sy etc. stay integral) and
+# only the final divide/sqrt is floating point — the oracle evaluates the
+# same closed form from SQL BIGINT sums, so both sides round identically.
+# At 100 TB the pandas work is 24 rows per group; parallelism = #days,
+# and each side is pre-aggregated to (day, hour) BEFORE the cogroup
+# shuffle, so Python only ever sees day-sized slivers.
+@register(
+    "sess_cogroup_hour_corr",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS d,
+         date_part('hour', ts::TIMESTAMP) AS h, event_type
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL
+),
+clicks AS (
+  SELECT d, h, count(*) AS x FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT d, h, count(*) AS y FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+paired AS (
+  SELECT c.d, c.x, p.y FROM clicks c JOIN purchases p ON c.d = p.d AND c.h = p.h
+),
+sums AS (
+  SELECT d, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM paired GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_hours,
+       CASE
+         WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+           floor((n * sxy - sx * sy) * 1.0
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                 * 10000 + 0.5) / 10000
+         ELSE NULL
+       END AS hour_corr
+FROM sums
+WHERE n >= 3
+ORDER BY day
+""",
+)
+def q_sess_cogroup_hour_corr(spark: SparkSession, sf_dir: str):
+    import math
+
+    import pandas as pd
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").alias("h"),
+            "event_type",
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("day", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("day", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    def corr_kernel(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="h", how="inner")
+        n = len(m)
+        if n < 3:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="datetime64[us]"),
+                 "n_hours": pd.Series([], dtype="int64"),
+                 "hour_corr": pd.Series([], dtype="float64")}
+            )
+        x = [int(v) for v in m["x"]]
+        y = [int(v) for v in m["y"]]
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        syy = sum(v * v for v in y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            # mirror the oracle's float ops exactly: each BIGINT factor is
+            # widened to double BEFORE the product (A * 1.0 * B), so both
+            # engines round identically even when the product exceeds 2^53
+            r = (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            r = math.floor(r * 10000 + 0.5) / 10000
+        else:
+            r = None
+        return pd.DataFrame(
+            {"day": [key[0]], "n_hours": [n], "hour_corr": [r]}
+        )
+
+    out = (
+        clicks.groupBy("day")
+        .cogroup(purchases.groupBy("day"))
+        .applyInPandas(
+            corr_kernel, "day timestamp, n_hours long, hour_corr double"
+        )
+    )
+    return out.orderBy("day")

@@ -264,3 +264,55 @@ def test_asof_nearest_is_join_free(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree, tree
     assert tree.count("Exchange hashpartitioning") <= 1, tree
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dim-side predicate
+    on a shuffle join should inject a bloom filter (bloom_filter_agg on
+    the creation side, might_contain on the fact scan) so fact rows that
+    cannot join are dropped BEFORE the shuffle. The 10 GB
+    application-side default only engages on cluster-scale scans, so the
+    test scopes the thresholds down — the assertion is the plan shape a
+    100 TB fact join gets for free; values must be identical either way."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        filtered = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    plain = {
+        (r["o_orderpriority"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert filtered == plain and filtered
