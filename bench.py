@@ -123,6 +123,9 @@ HEADLINE = [
     "layout_zorder_locality",
     "rel_equidepth_histogram",
     "sess_cogroup_hour_corr",
+    "ts_time_weighted_avg",
+    "ts_minmax_downsample",
+    "text_pmi_source_terms",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -254,6 +257,9 @@ BUDGETS: dict[str, float] = {
     "layout_zorder_locality": 1.80,
     "rel_equidepth_histogram": 0.45,
     "sess_cogroup_hour_corr": 1.30,
+    "ts_time_weighted_avg": 0.76,
+    "ts_minmax_downsample": 1.01,
+    "text_pmi_source_terms": 1.26,
 }
 
 

@@ -85,6 +85,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_equidepth_histogram",
     "stream_upsert_replay_state",
     "sess_cogroup_hour_corr",
+    "ts_time_weighted_avg",
+    "ts_minmax_downsample",
+    "text_pmi_source_terms",
     # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",
@@ -136,14 +139,10 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 47 round-5 queries fill the r5 window's
-    # first-proof slots; the driver's 50-query cut then covers only the
-    # first 3 late-r4 entries (through rel_variant_props). Round 6
-    # should lead with any never-proven round-6 queries, then the 7
-    # displaced late-r4 rows (rel_lateral_explode, rel_null_safe_join,
-    # ts_week_spine_rcte, val_checksum_reconciliation,
-    # ts_seasonal_naive_error, sample_weighted_topk, text_pack_chunks),
-    # then the displaced r1
+    # Round-6 rotation TODO: the 50 round-5 queries exactly fill the
+    # driver's 50-query cut — no late-r4 entry makes this round. Round 6
+    # should lead with any never-proven round-6 queries, then the 10
+    # late-r4 rows below (ts_cusum_changepoint onward), then the displaced r1
     # cohort (rel_date_functions onward — 10 rows), then the 28-query
     # r2 cohort above, then start re-proving the oldest r3 greens.
 )

@@ -2509,3 +2509,82 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str):
         for h in handles:
             h.unpersist()
     return row
+
+
+# -- token <-> source pointwise mutual information ---------------------------
+# Corpus-curation diagnostic: which of the top document-frequency tokens
+# are over/under-represented per source (PMI > 0: the token "belongs" to
+# that source — a leakage/bias signal when a supposedly-uniform corpus
+# shows strong source-specific vocabulary). All probabilities are ratios
+# of exact integer doc-frequency counts; the single log happens on the
+# same double ratio in both engines (mirrored widening), so no float-sum
+# order sensitivity anywhere. Scale: one tokenize+explode pass, doc-freq
+# aggs, top-K cut by (df, token) — the per-(token, source) table is
+# K x sources rows.
+@register(
+    "text_pmi_source_terms",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents
+  WHERE text IS NOT NULL
+),
+n_total AS (SELECT count(*) AS n FROM docs),
+tok AS (SELECT doc_id, source, unnest(toks) AS token FROM docs),
+df_tok AS (SELECT token, count(*) AS n_t FROM tok GROUP BY 1),
+top_tok AS (
+  SELECT token, n_t FROM df_tok ORDER BY n_t DESC, token LIMIT 20
+),
+df_src AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+df_ts AS (
+  SELECT t.token, t.source, count(*) AS n_ts
+  FROM tok t JOIN top_tok tt ON tt.token = t.token
+  GROUP BY 1, 2
+)
+SELECT d.token, d.source, CAST(d.n_ts AS BIGINT) AS n_docs,
+       floor(ln((d.n_ts * 1.0 * nt.n) / (tt.n_t * 1.0 * s.n_s))
+             * 10000 + 0.5) / 10000 AS pmi
+FROM df_ts d
+JOIN top_tok tt ON tt.token = d.token
+JOIN df_src s ON s.source = d.source
+CROSS JOIN n_total nt
+ORDER BY d.token, d.source
+""",
+)
+def q_text_pmi_source_terms(spark: SparkSession, sf_dir: str):
+    docs = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.array_distinct(TX.tokens("text")).alias("toks"))
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("token"))
+    df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    top_tok = df_tok.orderBy(F.col("n_t").desc(), "token").limit(20)
+    df_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    df_ts = (
+        tok.join(F.broadcast(top_tok.select("token")), "token")
+        .groupBy("token", "source")
+        .agg(F.count(F.lit(1)).alias("n_ts"))
+    )
+    return (
+        df_ts.join(F.broadcast(top_tok), "token")
+        .join(F.broadcast(df_src), "source")
+        .crossJoin(n_total)
+        .select(
+            "token",
+            "source",
+            F.col("n_ts").alias("n_docs"),
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n_ts") * 1.0 * F.col("n"))
+                        / (F.col("n_t") * 1.0 * F.col("n_s"))
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("pmi"),
+        )
+        .orderBy("token", "source")
+    )

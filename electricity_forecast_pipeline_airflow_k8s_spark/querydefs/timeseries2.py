@@ -781,3 +781,160 @@ def q_ts_load_factor(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "day")
     )
+
+
+# -- time-weighted average (LOCF weighting) ----------------------------------
+# The irregular-sampling average a timeseries DB ships natively
+# (TimescaleDB time_weight('LOCF')): each observation counts for the
+# duration until the NEXT one, so burst-sampled intervals stop dominating
+# the plain mean. Exactness: values become cent-integers, durations
+# integer microseconds, and the weighted numerator accumulates in
+# DECIMAL(38,0) (order-free); the single double division happens at the
+# edge with mirrored ops. One window (lead) + one agg per group — at
+# 100 TB: shuffle on (type, day), no joins.
+@register(
+    "ts_time_weighted_avg",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day,
+         epoch_us(ts::TIMESTAMP) AS us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         lead(epoch_us(ts::TIMESTAMP)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts::TIMESTAMP)
+           ORDER BY ts, event_id
+         ) AS next_us
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT event_type, day, count(*) AS n_points,
+         sum(CAST(cents AS DECIMAL(38,0)) * (next_us - us)) AS num,
+         CAST(max(us) - min(us) AS BIGINT) AS span_us
+  FROM pts GROUP BY 1, 2
+)
+SELECT event_type, day, n_points,
+       floor(CAST(num AS DOUBLE) / (100.0 * span_us) * 10000 + 0.5) / 10000
+         AS twa
+FROM agg WHERE span_us > 0
+ORDER BY event_type, day
+""",
+)
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.unix_micros("ts").alias("us"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    pts = ev.withColumn("next_us", F.lead("us").over(w))
+    agg = pts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * (F.col("next_us") - F.col("us"))
+        ).alias("num"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n_points",
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / (100.0 * F.col("span_us"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("twa"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# -- min/max downsampling ----------------------------------------------------
+# The plotting/retention downsample: per (type, 6h bucket) keep only the
+# extreme observations (earliest-timestamp tie-break), preserving the
+# series envelope at a fixed output budget — 2 points per bucket
+# regardless of input rate. Both engines pick extremes by the same total
+# (value, ts, event_id) order, so ties are deterministic. One window
+# pass, shuffle on (type, bucket).
+@register(
+    "ts_minmax_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         -- epoch() is fractional seconds and CAST rounds-half-away;
+         -- floor first so both engines bucket on floored whole seconds
+         CAST(to_timestamp(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+              - CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) % 21600)
+           AS TIMESTAMP) AS bucket,
+         ts::TIMESTAMP AS ts, value, event_id
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY value, ts, event_id) AS rlo,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY value DESC, ts, event_id) AS rhi,
+         count(*) OVER (PARTITION BY event_type, bucket) AS n_points
+  FROM pts
+)
+SELECT event_type, bucket, n_points,
+       max(CASE WHEN rlo = 1 THEN ts END) AS lo_ts,
+       max(CASE WHEN rlo = 1 THEN value END) AS lo_value,
+       max(CASE WHEN rhi = 1 THEN ts END) AS hi_ts,
+       max(CASE WHEN rhi = 1 THEN value END) AS hi_value
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+""",
+)
+def q_ts_minmax_downsample(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") - F.unix_timestamp("ts") % 21600
+            ).alias("bucket"),
+            "ts",
+            "value",
+            "event_id",
+        )
+    )
+    wlo = Window.partitionBy("event_type", "bucket").orderBy(
+        "value", "ts", "event_id"
+    )
+    whi = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("value").desc(), "ts", "event_id"
+    )
+    wall = Window.partitionBy("event_type", "bucket")
+    ranked = (
+        ev.withColumn("rlo", F.row_number().over(wlo))
+        .withColumn("rhi", F.row_number().over(whi))
+        .withColumn("n_points", F.count(F.lit(1)).over(wall))
+    )
+    return (
+        ranked.groupBy("event_type", "bucket", "n_points")
+        .agg(
+            F.max(F.when(F.col("rlo") == 1, F.col("ts"))).alias("lo_ts"),
+            F.max(F.when(F.col("rlo") == 1, F.col("value"))).alias("lo_value"),
+            F.max(F.when(F.col("rhi") == 1, F.col("ts"))).alias("hi_ts"),
+            F.max(F.when(F.col("rhi") == 1, F.col("value"))).alias("hi_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )

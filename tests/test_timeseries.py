@@ -225,3 +225,41 @@ def test_bigram_lm_score_small_example(spark):
     assert out[0].n_bigrams == 5 and out[0].n_distinct_bigrams == 2
     assert out[2].n_bigrams == 2 and out[2].n_distinct_bigrams == 2
     assert out[0].mean_log2_prob > out[2].mean_log2_prob
+
+
+def test_time_weighted_avg_semantics(spark, tmp_path):
+    """TWA ground truths the oracle can't express: (1) a constant series
+    has TWA == the constant regardless of sampling pattern; (2) burst
+    sampling near one value must NOT drag TWA toward it the way the plain
+    mean is dragged (the whole point of duration weighting)."""
+    import datetime as dt
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # constant series, irregular gaps
+    for m in (0, 1, 5, 30, 31, 600):
+        rows.append((100 + m, base + dt.timedelta(minutes=m), 1, "const", 7.0, None))
+    # burst series: value 100 held for 10h, then 60 rapid samples of 0
+    rows.append((200, base, 1, "burst", 100.0, None))
+    for s in range(60):
+        rows.append(
+            (201 + s, base + dt.timedelta(hours=10, seconds=s), 1, "burst", 0.0, None)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in registry()["ts_time_weighted_avg"].build(spark, sf).collect()
+    }
+    assert out["const"]["twa"] == 7.0
+    # plain mean of burst = (100 + 60*0)/61 ~ 1.64; TWA must stay near 100
+    # (100 held for 10h of the ~10h0m59s span)
+    assert out["burst"]["twa"] > 99.0
