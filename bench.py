@@ -213,7 +213,9 @@ BUDGETS: dict[str, float] = {
     "tpch_disjunctive_revenue": 0.42,
     "tpch_sole_supplier_orders": 1.30,
     "ts_acf": 0.86,
-    "ts_rolling_z_anomaly": 2.45,
+    # breached at 2.77 in a 104-lane full run (solo best-of-4: 1.88);
+    # carries the ambient-load headroom like the other flagged lanes
+    "ts_rolling_z_anomaly": 2.90,
     "ts_value_histogram": 0.66,
     "ts_stl_seasonal": 0.76,
     "rel_window_count_distinct": 0.82,
