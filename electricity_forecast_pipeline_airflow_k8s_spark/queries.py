@@ -139,9 +139,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 50 round-5 queries exactly fill the
-    # driver's 50-query cut — no late-r4 entry makes this round. Round 6
-    # should lead with any never-proven round-6 queries, then the 10
+    # Round-6 rotation TODO: the 50 round-5 queries above exactly fill the
+    # driver's 50-query cut; emb_top_pc_power_iteration (also new in r5)
+    # did not fit and leads round 6 with any round-6 queries, then the 10
     # late-r4 rows below (ts_cusum_changepoint onward), then the displaced r1
     # cohort (rel_date_functions onward — 10 rows), then the 28-query
     # r2 cohort above, then start re-proving the oldest r3 greens.
