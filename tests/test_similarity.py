@@ -216,3 +216,22 @@ def test_simhash_banding_rejects_bad_band_count(spark):
     df = spark.createDataFrame([(0, 1)], "doc_id long, simhash int")
     with _pytest.raises(ValueError):
         simhash_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_top_pc_diagnostic_invariants(spark, sf_dir):
+    """The power-iteration output must be a unit-L2 direction whose
+    energy fraction is sandwiched between the isotropic floor (1/d — the
+    Rayleigh quotient of ANY unit vector is >= lambda_min and the
+    average eigenvalue is trace/d) and 1 (lambda_max <= trace)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    rows = registry()["emb_top_pc_power_iteration"].build(spark, sf_dir).collect()
+    d = len(rows)
+    assert d == 64
+    l2 = sum(r["loading"] ** 2 for r in rows) ** 0.5
+    assert abs(l2 - 1.0) < 1e-3, l2
+    ef = rows[0]["energy_fraction"]
+    assert all(r["energy_fraction"] == ef for r in rows)
+    # power iteration monotonically increases the Rayleigh quotient from
+    # the all-ones start, so the found direction is at least average
+    assert 1.0 / d <= ef <= 1.0, ef
