@@ -126,6 +126,7 @@ HEADLINE = [
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
     "text_pmi_source_terms",
+    "graph_link_prediction",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -266,6 +267,7 @@ BUDGETS: dict[str, float] = {
     "ts_minmax_downsample": 1.01,
     "text_pmi_source_terms": 1.26,
     "emb_top_pc_power_iteration": 5.25,
+    "graph_link_prediction": 1.95,
 }
 
 

@@ -310,3 +310,128 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
     return out
+
+
+# -- link prediction: common-neighbor / Jaccard scores for a seed batch ------
+# The classic "people you may know" primitive on the same error
+# co-occurrence graph as graph_triangle_count, scored the way production
+# recommenders run it: for a SEED batch of users (here the 20 smallest
+# ids — any deterministic batch), walk seed -> neighbor -> 2-hop
+# candidate, count shared neighbors, drop already-connected pairs, rank.
+# Seeding bounds the wedge work at sum over seeds of sum of neighbor
+# degrees — independent of total graph size — where all-pairs scoring
+# pays sum C(deg,2) over every node (measured 12.5s vs ~5s at sf0.1;
+# at 100x nodes all-pairs is the job you batch, not the query you run).
+# Jaccard uses exact integer degree arithmetic; the one double division
+# is mirrored between engines.
+@register(
+    "graph_link_prediction",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+und AS (
+  SELECT ua AS v, ub AS n FROM e UNION ALL SELECT ub AS v, ua AS n FROM e
+),
+deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1),
+seeds AS (SELECT v FROM deg ORDER BY v LIMIT 20),
+cand AS (
+  SELECT x.v AS seed, y.n AS other, count(*) AS common
+  FROM und x JOIN und y ON y.v = x.n AND y.n != x.v
+  JOIN seeds s ON s.v = x.v
+  GROUP BY 1, 2
+),
+new_pairs AS (
+  SELECT c.seed, c.other, c.common
+  FROM cand c
+  LEFT JOIN e ON (e.ua = least(c.seed, c.other)
+                  AND e.ub = greatest(c.seed, c.other))
+  WHERE e.ua IS NULL
+),
+scored AS (
+  SELECT p.seed, p.other, CAST(p.common AS BIGINT) AS common_neighbors,
+         floor(p.common * 1.0 / (da.d + db.d - p.common) * 10000 + 0.5)
+           / 10000 AS jaccard
+  FROM new_pairs p
+  JOIN deg da ON da.v = p.seed
+  JOIN deg db ON db.v = p.other
+)
+SELECT seed, other, common_neighbors, jaccard
+FROM scored
+ORDER BY common_neighbors DESC, jaccard DESC, seed, other
+LIMIT 20
+""",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, c = ev.alias("a"), ev.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .distinct()
+    )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        edges = edges.persist()
+    und = edges.select(F.col("ua").alias("v"), F.col("ub").alias("n")).unionAll(
+        edges.select(F.col("ub").alias("v"), F.col("ua").alias("n"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    seeds = deg.select("v").orderBy("v").limit(20)
+    x, y = und.alias("x"), und.alias("y")
+    cand = (
+        x.join(F.broadcast(seeds.withColumnRenamed("v", "sv")), F.col("x.v") == F.col("sv"))
+        .join(y, (F.col("y.v") == F.col("x.n")) & (F.col("y.n") != F.col("x.v")))
+        .groupBy(F.col("x.v").alias("seed"), F.col("y.n").alias("other"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    new_pairs = cand.join(
+        edges,
+        (edges.ua == F.least(cand.seed, cand.other))
+        & (edges.ub == F.greatest(cand.seed, cand.other)),
+        "left_anti",
+    )
+    da = deg.withColumnsRenamed({"v": "seed", "d": "da"})
+    db = deg.withColumnsRenamed({"v": "other", "d": "db"})
+    scored = (
+        new_pairs.join(da, "seed")
+        .join(db, "other")
+        .select(
+            "seed",
+            "other",
+            F.col("common").cast("long").alias("common_neighbors"),
+            (
+                F.floor(
+                    F.col("common")
+                    * 1.0
+                    / (F.col("da") + F.col("db") - F.col("common"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(), F.col("jaccard").desc(), "seed", "other"
+    ).limit(20)
