@@ -144,6 +144,8 @@ ITERATIVE = [
     # two-phase: eager d^2 Gram materialization at build, then fixed-point
     # iterations — wall-clock is the honest number (see querydefs/textops.py)
     "emb_top_pc_power_iteration",
+    # same shape: one eager corpus pass + k argmax rounds
+    "emb_kcenter_seeds",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -268,6 +270,7 @@ BUDGETS: dict[str, float] = {
     "text_pmi_source_terms": 1.26,
     "emb_top_pc_power_iteration": 5.25,
     "graph_link_prediction": 1.95,
+    "emb_kcenter_seeds": 2.20,
 }
 
 

@@ -2787,3 +2787,124 @@ def q_emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
     if scoped:
         out = out.localCheckpoint(eager=True)
     return out
+
+
+# -- k-center (farthest-point) seeding over embeddings -----------------------
+# Deterministic clustering initialization: start from the smallest
+# vec_id, then 3x pick the point FARTHEST from the chosen set (ties by
+# vec_id) — the classical 2-approximation for k-center and the
+# deterministic cousin of k-means++ (whose D^2 sampling is randomized;
+# farthest-point is what you run when reproducibility matters). All
+# distances are exact integer sums on the 1e7 value grid, so argmax
+# selection is bit-deterministic on both engines. Scale: each round is
+# ONE corpus pass against a 64-row broadcast seed vector; rounds = k,
+# never corpus x corpus.
+_KC_ROUNDS = 3  # seeds 2..4 (seed 1 = min vec_id)
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """
+WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
+           AS qi
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+s1 AS (SELECT min(vec_id) AS vid FROM ex),
+mind0 AS (
+  SELECT a.vec_id, sum((a.qi - sv.qi) * (a.qi - sv.qi)) AS d2
+  FROM ex a
+  JOIN (SELECT dim, qi FROM ex JOIN s1 ON ex.vec_id = s1.vid) sv
+    ON sv.dim = a.dim
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, _KC_ROUNDS + 1):
+        parts.append(
+            f""",
+s{i + 1} AS (
+  SELECT vec_id AS vid, d2 FROM mind{i - 1}
+  ORDER BY d2 DESC, vec_id LIMIT 1
+),
+mind{i} AS (
+  SELECT a.vec_id,
+         least(m.d2, sum((a.qi - sv.qi) * (a.qi - sv.qi))) AS d2
+  FROM ex a
+  JOIN (SELECT dim, qi FROM ex JOIN s{i + 1} ON ex.vec_id = s{i + 1}.vid) sv
+    ON sv.dim = a.dim
+  JOIN mind{i - 1} m ON m.vec_id = a.vec_id
+  GROUP BY a.vec_id, m.d2
+)"""
+        )
+    sel = ["SELECT 1 AS seed_rank, vid AS vec_id, CAST(0 AS BIGINT) AS chosen_d2 FROM s1"]
+    for i in range(1, _KC_ROUNDS + 1):
+        sel.append(
+            f"SELECT {i + 1} AS seed_rank, vid AS vec_id, CAST(d2 AS BIGINT)"
+            f" AS chosen_d2 FROM s{i + 1}"
+        )
+    parts.append(
+        "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(sel) + "\n) ORDER BY seed_rank\n"
+    )
+    return "".join(parts)
+
+
+@register("emb_kcenter_seeds", oracle=_kcenter_oracle())
+def q_emb_kcenter_seeds(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "raw")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("raw").cast("double") * 10000000 + F.lit(0.5))
+        .cast("long")
+        .alias("qi"),
+    )
+    ex = ex.localCheckpoint(eager=True)  # one corpus pass feeds every round
+    s1 = ex.agg(F.min("vec_id").alias("vid"))
+    seed_vec = ex.join(s1, ex.vec_id == s1.vid).select("dim", "qi")
+    mind = (
+        ex.alias("a")
+        .join(F.broadcast(seed_vec.alias("sv")), "dim")
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(
+            F.sum(
+                (F.col("a.qi") - F.col("sv.qi")) * (F.col("a.qi") - F.col("sv.qi"))
+            ).alias("d2")
+        )
+    )
+    chosen = [s1.select(F.lit(1).alias("seed_rank"), F.col("vid").alias("vec_id"),
+                        F.lit(0).cast("long").alias("chosen_d2"))]
+    for i in range(1, _KC_ROUNDS + 1):
+        mind = mind.localCheckpoint(eager=True)
+        nxt = mind.orderBy(F.col("d2").desc(), "vec_id").limit(1)
+        chosen.append(
+            nxt.select(
+                F.lit(i + 1).alias("seed_rank"),
+                F.col("vec_id"),
+                F.col("d2").cast("long").alias("chosen_d2"),
+            )
+        )
+        seed_vec = ex.join(
+            nxt.select(F.col("vec_id").alias("vid")), ex.vec_id == F.col("vid")
+        ).select("dim", "qi")
+        newd = (
+            ex.alias("a")
+            .join(F.broadcast(seed_vec.alias("sv")), "dim")
+            .groupBy(F.col("a.vec_id").alias("vec_id"))
+            .agg(
+                F.sum(
+                    (F.col("a.qi") - F.col("sv.qi"))
+                    * (F.col("a.qi") - F.col("sv.qi"))
+                ).alias("nd2")
+            )
+        )
+        mind = (
+            mind.join(newd, "vec_id")
+            .select("vec_id", F.least(F.col("d2"), F.col("nd2")).alias("d2"))
+        )
+    out = chosen[0]
+    for c in chosen[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("seed_rank")
