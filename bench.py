@@ -127,6 +127,7 @@ HEADLINE = [
     "ts_minmax_downsample",
     "text_pmi_source_terms",
     "graph_link_prediction",
+    "val_drift_chi2",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -271,6 +272,7 @@ BUDGETS: dict[str, float] = {
     "emb_top_pc_power_iteration": 5.25,
     "graph_link_prediction": 1.95,
     "emb_kcenter_seeds": 2.20,
+    "val_drift_chi2": 0.71,
 }
 
 

@@ -787,3 +787,61 @@ def q_val_outlier_consensus(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- categorical drift: chi-squared homogeneity test -------------------------
+# The third standard drift test alongside ts_psi_drift (binned numeric)
+# and ts_ks_drift (continuous): do event-type FREQUENCIES differ between
+# the first and second half of the month-long window? Exact integer cell counts;
+# expected counts and per-type chi2 contributions are the same mirrored
+# double expressions on both engines ((rowtot * 1.0 * coltot) / N), so
+# values hash-match without any tolerance. One scan, one hash agg.
+@register(
+    "val_drift_chi2",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n2
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2, sum(n1) + sum(n2) AS n FROM cells)
+SELECT c.event_type,
+       CAST(c.n1 AS BIGINT) AS n_first_half,
+       CAST(c.n2 AS BIGINT) AS n_second_half,
+       floor((
+         pow(c.n1 - ((c.n1 + c.n2) * 1.0 * t.t1) / t.n, 2)
+           / (((c.n1 + c.n2) * 1.0 * t.t1) / t.n)
+         + pow(c.n2 - ((c.n1 + c.n2) * 1.0 * t.t2) / t.n, 2)
+           / (((c.n1 + c.n2) * 1.0 * t.t2) / t.n)
+       ) * 10000 + 0.5) / 10000 AS chi2_contribution
+FROM cells c CROSS JOIN tot t
+ORDER BY c.event_type
+""",
+)
+def q_val_drift_chi2(spark: SparkSession, sf_dir: str):
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n2"),
+    )
+    tot = cells.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        (F.sum("n1") + F.sum("n2")).alias("n"),
+    )
+    e1 = ((F.col("n1") + F.col("n2")) * 1.0 * F.col("t1")) / F.col("n")
+    e2 = ((F.col("n1") + F.col("n2")) * 1.0 * F.col("t2")) / F.col("n")
+    contrib = F.pow(F.col("n1") - e1, 2) / e1 + F.pow(F.col("n2") - e2, 2) / e2
+    return (
+        cells.crossJoin(tot)
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_first_half"),
+            F.col("n2").cast("long").alias("n_second_half"),
+            (F.floor(contrib * 10000 + 0.5) / 10000).alias("chi2_contribution"),
+        )
+        .orderBy("event_type")
+    )
