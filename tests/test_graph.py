@@ -53,3 +53,33 @@ def test_triangle_wedge_inequality(spark, sf_dir):
     # perfect matching
     if row["n_edges"] >= row["n_nodes"]:
         assert row["n_wedges"] > 0
+
+
+def test_fixed_point_ops_invariant_to_file_layout(spark, sf_dir, tmp_path):
+    """The determinism claim behind the fixed-point operators: identical
+    results regardless of how the input parquet is laid out (1 file vs
+    many, different row orders), because every reduction is integer/
+    decimal (associative) and every float op is a mirrored scalar edge.
+    A hidden float sum would break bit-equality here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a_dir = str(tmp_path / "layout_a")
+    b_dir = str(tmp_path / "layout_b")
+    os.makedirs(a_dir)
+    os.makedirs(b_dir)
+    src.coalesce(1).write.parquet(f"{a_dir}/events.parquet")
+    emb.coalesce(1).write.parquet(f"{a_dir}/embeddings.parquet")
+    # different file count AND different intra-file order
+    src.orderBy(F.rand(7)).repartition(7).write.parquet(f"{b_dir}/events.parquet")
+    emb.orderBy(F.rand(7)).repartition(5).write.parquet(f"{b_dir}/embeddings.parquet")
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    for name in ("graph_pagerank", "emb_top_pc_power_iteration", "emb_kcenter_seeds"):
+        ra = [tuple(r) for r in registry()[name].build(spark, a_dir).collect()]
+        rb = [tuple(r) for r in registry()[name].build(spark, b_dir).collect()]
+        assert ra == rb, f"{name} differs across file layouts"
