@@ -128,6 +128,7 @@ HEADLINE = [
     "text_pmi_source_terms",
     "graph_link_prediction",
     "val_drift_chi2",
+    "sess_shapley_attribution",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -273,6 +274,7 @@ BUDGETS: dict[str, float] = {
     "graph_link_prediction": 1.95,
     "emb_kcenter_seeds": 2.20,
     "val_drift_chi2": 0.71,
+    "sess_shapley_attribution": 1.30,
 }
 
 

@@ -691,3 +691,114 @@ def q_rel_order_value_gini(spark: SparkSession, sf_dir: str):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# -- exact Shapley-value channel attribution ---------------------------------
+# Marketing attribution done properly: each converting user's touched
+# channel set (the 4 non-purchase event types, bit-masked) defines a
+# 16-subset coalition table; v(S) = converters whose touches fit inside
+# S, and each channel's Shapley value is the factorial-weighted sum of
+# its marginal contributions. With n=4 everything is EXACT: subset
+# counts are integers, weights k!(3-k)! stay integral, and the single
+# /24 division is a mirrored double edge. Scale: one events pass to a
+# 16-row mask table; the subset-sum and Shapley joins are 16x16 —
+# constant work after the first agg, no matter the corpus size.
+# Efficiency property (sum of values = v(N) - v(empty)) is pinned in
+# tests/test_graph.py-style invariants.
+@register(
+    "sess_shapley_attribution",
+    oracle=f"""
+WITH convs AS (
+  SELECT user_id FROM {EVENTS_SRC}
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id,
+         sum(DISTINCT CASE e.event_type
+               WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask
+  FROM {EVENTS_SRC} e JOIN convs c ON c.user_id = e.user_id
+  GROUP BY 1
+),
+cnt AS (SELECT mask, count(*) AS n FROM touches GROUP BY 1),
+masks AS (SELECT i AS s FROM unnest(range(0, 16)) AS t(i)),
+v AS (
+  SELECT m.s, coalesce(sum(c.n), 0) AS v
+  FROM masks m LEFT JOIN cnt c ON (c.mask & m.s) = c.mask
+  GROUP BY 1
+),
+chans AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                        ('view', 8)) AS t(channel, bit)
+),
+marginals AS (
+  SELECT ch.channel,
+         sum((vwith.v - vwo.v)
+             * CASE bit_count(CAST(m.s AS BIGINT))
+                 WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+           AS num
+  FROM chans ch
+  JOIN masks m ON (m.s & ch.bit) = 0
+  JOIN v vwo ON vwo.s = m.s
+  JOIN v vwith ON vwith.s = (m.s | ch.bit)
+  GROUP BY 1
+)
+SELECT channel,
+       floor(num / 24.0 * 10000 + 0.5) / 10000 AS shapley_conversions
+FROM marginals
+ORDER BY channel
+""",
+)
+def q_sess_shapley_attribution(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    convs = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    touches = (
+        ev.join(convs, "user_id", "left_semi")
+        .select("user_id", bit.alias("b"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum("b").alias("mask"))
+    )
+    cnt = touches.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    masks = spark.range(0, 16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        masks.join(
+            cnt, (cnt.mask.bitwiseAND(masks.s)) == cnt.mask, "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    chans = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    weight = (
+        F.when(F.bit_count(F.col("s").cast("long")) == 0, 6)
+        .when(F.bit_count(F.col("s").cast("long")) == 1, 2)
+        .when(F.bit_count(F.col("s").cast("long")) == 2, 2)
+        .otherwise(6)
+    )
+    vwo = v.withColumnsRenamed({"s": "s_wo", "v": "v_wo"})
+    vwith = v.withColumnsRenamed({"s": "s_with", "v": "v_with"})
+    marg = (
+        chans.join(masks, masks.s.bitwiseAND(chans.bit) == 0)
+        .join(vwo, F.col("s") == F.col("s_wo"))
+        .join(vwith, F.col("s_with") == F.col("s").bitwiseOR(F.col("bit")))
+        .groupBy("channel")
+        .agg(F.sum((F.col("v_with") - F.col("v_wo")) * weight).alias("num"))
+    )
+    return marg.select(
+        "channel",
+        (F.floor(F.col("num") / 24.0 * 10000 + 0.5) / 10000).alias(
+            "shapley_conversions"
+        ),
+    ).orderBy("channel")

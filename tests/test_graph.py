@@ -83,3 +83,27 @@ def test_fixed_point_ops_invariant_to_file_layout(spark, sf_dir, tmp_path):
         ra = [tuple(r) for r in registry()[name].build(spark, a_dir).collect()]
         rb = [tuple(r) for r in registry()[name].build(spark, b_dir).collect()]
         assert ra == rb, f"{name} differs across file layouts"
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Shapley's efficiency axiom: channel values sum to
+    v(all channels) - v(no channels) = converters touching >= 1 channel.
+    Exact up to the single 1e-4 output rounding per channel."""
+    from pyspark.sql import functions as F
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    rows = registry()["sess_shapley_attribution"].build(spark, sf_dir).collect()
+    total = sum(r["shapley_conversions"] for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    touched = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(convs, "user_id", "left_semi")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total - touched) <= 4 * 1e-4 + 1e-9, (total, touched)
