@@ -107,3 +107,35 @@ def test_shapley_efficiency_property(spark, sf_dir):
         .count()
     )
     assert abs(total - touched) <= 4 * 1e-4 + 1e-9, (total, touched)
+
+
+def test_pagerank_dangling_hand_model(spark, tmp_path):
+    """A 2-node chain A->B leaves B dangling; the fixed-point update has
+    a closed hand computation (base = (1-d)/N, B's mass redistributes
+    uniformly). The operator must match it bit-for-bit — this is the only
+    case that exercises the dangling branch with known values."""
+    import datetime as dt
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    base_ts = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base_ts, 1, "A", 1.0, None),
+        (2, base_ts + dt.timedelta(minutes=1), 1, "B", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["node"]: r["pagerank_fp"]
+        for r in registry()["graph_pagerank"].build(spark, str(tmp_path)).collect()
+    }
+    ra = rb = 500_000_000
+    for _ in range(3):
+        base = 15_000_000_000 // 200
+        na = base + (85 * (0 + rb // 2)) // 100
+        nb = base + (85 * (ra + rb // 2)) // 100
+        ra, rb = na, nb
+    assert out == {"A": ra, "B": rb}, out
