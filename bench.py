@@ -148,6 +148,8 @@ ITERATIVE = [
     "emb_top_pc_power_iteration",
     # same shape: one eager corpus pass + k argmax rounds
     "emb_kcenter_seeds",
+    # checkpoint-per-hop traversal (edge build dominates the wall-clock)
+    "graph_bfs_reachability",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -275,6 +277,7 @@ BUDGETS: dict[str, float] = {
     "emb_kcenter_seeds": 2.20,
     "val_drift_chi2": 0.71,
     "sess_shapley_attribution": 1.30,
+    "graph_bfs_reachability": 6.00,
 }
 
 
