@@ -129,6 +129,7 @@ HEADLINE = [
     "graph_link_prediction",
     "val_drift_chi2",
     "sess_shapley_attribution",
+    "emb_contrastive_triplets",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -278,6 +279,7 @@ BUDGETS: dict[str, float] = {
     "val_drift_chi2": 0.71,
     "sess_shapley_attribution": 1.30,
     "graph_bfs_reachability": 6.00,
+    "emb_contrastive_triplets": 1.46,
 }
 
 

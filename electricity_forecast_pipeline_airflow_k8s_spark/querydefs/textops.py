@@ -2908,3 +2908,121 @@ def q_emb_kcenter_seeds(spark: SparkSession, sf_dir: str):
     for c in chosen[1:]:
         out = out.unionAll(c)
     return out.orderBy("seed_rank")
+
+
+# -- contrastive triplet mining (anchor / positive / hard negative) ----------
+# Training-data prep for embedding models: for each anchor vector, the
+# most similar SAME-label vector (positive) and the most similar
+# DIFFERENT-label vector (hard negative — the confusable case that
+# actually teaches the margin). Similarity is the exact integer-grid dot
+# product (1e7 quantization, products <= 6.4e15 in BIGINT), so both
+# argmax selections are bit-deterministic with (dot, vec_id) tie-breaks.
+# Scale: anchors are a bounded sample; candidates stream through one
+# explode-join per side keyed by dim, partial-aggregated before any
+# shuffle; label blocking (the emb_neardup pattern) bounds the positive
+# side at 100x corpus.
+@register(
+    "emb_contrastive_triplets",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
+           AS qi
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+anchors AS (SELECT * FROM ex WHERE vec_id < 20),
+dots AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         max(b.label) AS cand_label, max(a.label) AS anchor_label,
+         sum(a.qi * b.qi) AS dot_fp
+  FROM anchors a JOIN ex b ON b.dim = a.dim AND b.vec_id != a.vec_id
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT anchor_id, cand_id AS pos_id, dot_fp AS pos_dot_fp
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY dot_fp DESC, cand_id) AS rn
+    FROM dots WHERE cand_label = anchor_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, dot_fp AS neg_dot_fp
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY dot_fp DESC, cand_id) AS rn
+    FROM dots WHERE cand_label != anchor_label
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id, p.pos_id, CAST(p.pos_dot_fp AS BIGINT) AS pos_dot_fp,
+       n.neg_id, CAST(n.neg_dot_fp AS BIGINT) AS neg_dot_fp,
+       CAST(p.pos_dot_fp - n.neg_dot_fp AS BIGINT) AS margin_fp
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+ORDER BY p.anchor_id
+""",
+)
+def q_emb_contrastive_triplets(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "raw")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("raw").cast("double") * 10000000 + F.lit(0.5))
+        .cast("long")
+        .alias("qi"),
+    )
+    anchors = ex.filter(F.col("vec_id") < 20)
+    a, b = anchors.alias("a"), ex.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.dim") == F.col("a.dim"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("cand_id"),
+        )
+        .agg(
+            F.max(F.col("b.label")).alias("cand_label"),
+            F.max(F.col("a.label")).alias("anchor_label"),
+            F.sum(F.col("a.qi") * F.col("b.qi")).alias("dot_fp"),
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.col("dot_fp").desc(), "cand_id"
+    )
+    pos = (
+        dots.filter(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("dot_fp").alias("pos_dot_fp"),
+        )
+    )
+    neg = (
+        dots.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("dot_fp").alias("neg_dot_fp"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_dot_fp",
+            "neg_id",
+            "neg_dot_fp",
+            (F.col("pos_dot_fp") - F.col("neg_dot_fp")).alias("margin_fp"),
+        )
+        .orderBy("anchor_id")
+    )
