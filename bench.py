@@ -130,6 +130,7 @@ HEADLINE = [
     "val_drift_chi2",
     "sess_shapley_attribution",
     "emb_contrastive_triplets",
+    "ts_pi_coverage",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -280,6 +281,7 @@ BUDGETS: dict[str, float] = {
     "sess_shapley_attribution": 1.30,
     "graph_bfs_reachability": 6.00,
     "emb_contrastive_triplets": 1.46,
+    "ts_pi_coverage": 1.12,
 }
 
 

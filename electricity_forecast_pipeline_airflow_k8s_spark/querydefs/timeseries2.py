@@ -938,3 +938,115 @@ def q_ts_minmax_downsample(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# -- prediction-interval coverage (forecast calibration) ---------------------
+# ts_seasonal_naive_error measures point accuracy; this measures
+# CALIBRATION: fit [q05, q95] prediction intervals from train-window
+# seasonal-naive residuals (exact interpolating percentiles, the repo's
+# quantile_cont convention) and report what fraction of eval-window
+# actuals the interval actually covers (nominal 90%). The 24h
+# seasonal alignment is an exact timestamp self-join (lag(24) would
+# silently misalign across gaps). Hourly means divide a DECIMAL sum by
+# an integer count once, identically on both engines, so residuals,
+# quantiles, and coverage all hash-match. Scale: two shuffles (hourly
+# agg, per-type quantiles over day-count-sized residual sets).
+_PI_SPLIT = "2024-01-24"
+
+
+@register(
+    "ts_pi_coverage",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS m
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+aligned AS (
+  SELECT cur.event_type, cur.h, cur.m - prev.m AS resid
+  FROM hourly cur
+  JOIN hourly prev ON prev.event_type = cur.event_type
+                  AND prev.h = cur.h - INTERVAL 24 HOURS
+),
+pi AS (
+  SELECT event_type,
+         quantile_cont(resid, 0.05) AS q05,
+         quantile_cont(resid, 0.95) AS q95
+  FROM aligned WHERE h < TIMESTAMP '{_PI_SPLIT}'
+  GROUP BY 1
+)
+SELECT a.event_type,
+       count(*) AS n_eval,
+       floor(avg(CASE WHEN a.resid >= p.q05 AND a.resid <= p.q95
+                 THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS coverage,
+       floor(p.q05 * 10000 + 0.5) / 10000 AS pi_lo,
+       floor(p.q95 * 10000 + 0.5) / 10000 AS pi_hi
+FROM aligned a JOIN pi p ON p.event_type = a.event_type
+WHERE a.h >= TIMESTAMP '{_PI_SPLIT}'
+GROUP BY a.event_type, p.q05, p.q95
+ORDER BY a.event_type
+""",
+)
+def q_ts_pi_coverage(spark: SparkSession, sf_dir: str):
+    split = F.lit(_PI_SPLIT).cast("timestamp")
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    aligned = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.h") == F.col("cur.h") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.h").alias("h"),
+        (F.col("cur.m") - F.col("prev.m")).alias("resid"),
+    )
+    pi = (
+        aligned.filter(F.col("h") < split)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(resid, 0.05)").alias("q05"),
+            F.expr("percentile(resid, 0.95)").alias("q95"),
+        )
+    )
+    return (
+        aligned.filter(F.col("h") >= split)
+        .join(F.broadcast(pi), "event_type")
+        .groupBy("event_type", "q05", "q95")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            (
+                F.floor(
+                    F.avg(
+                        F.when(
+                            (F.col("resid") >= F.col("q05"))
+                            & (F.col("resid") <= F.col("q95")),
+                            1.0,
+                        ).otherwise(0.0)
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_eval",
+            "coverage",
+            (F.floor(F.col("q05") * 10000 + 0.5) / 10000).alias("pi_lo"),
+            (F.floor(F.col("q95") * 10000 + 0.5) / 10000).alias("pi_hi"),
+        )
+        .orderBy("event_type")
+    )
