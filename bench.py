@@ -131,6 +131,7 @@ HEADLINE = [
     "sess_shapley_attribution",
     "emb_contrastive_triplets",
     "ts_pi_coverage",
+    "val_monotonic_event_ids",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -282,6 +283,7 @@ BUDGETS: dict[str, float] = {
     "graph_bfs_reachability": 6.00,
     "emb_contrastive_triplets": 1.46,
     "ts_pi_coverage": 1.12,
+    "val_monotonic_event_ids": 0.80,
 }
 
 

@@ -845,3 +845,56 @@ def q_val_drift_chi2(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- monotonicity constraint check -------------------------------------------
+# The ordering-rule family member the suite lacked: within each user's
+# time-ordered event stream, event ids should be non-decreasing (they
+# are assigned globally by arrival). Reports per-user-aggregated
+# violation counts rolled up per event_type — the "sequence sanity"
+# check a CDC/ingest pipeline runs to catch reordered or replayed
+# batches. One window pass (lag over the per-user order), one agg.
+@register(
+    "val_monotonic_event_ids",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       floor(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 10000 + 0.5) / 10000 AS violation_rate
+FROM seq WHERE prev_id IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_val_monotonic_event_ids(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_id", F.lag("event_id").over(w)).filter(
+        F.col("prev_id").isNotNull()
+    )
+    viol = F.sum(
+        F.when(F.col("prev_id") > F.col("event_id"), 1).otherwise(0)
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            viol.alias("n_violations"),
+            (
+                F.floor(viol * 1.0 / F.count(F.lit(1)) * 10000 + 0.5) / 10000
+            ).alias("violation_rate"),
+        )
+        .orderBy("event_type")
+    )
