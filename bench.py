@@ -132,6 +132,7 @@ HEADLINE = [
     "emb_contrastive_triplets",
     "ts_pi_coverage",
     "val_monotonic_event_ids",
+    "rel_cohort_ltv",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -284,6 +285,7 @@ BUDGETS: dict[str, float] = {
     "emb_contrastive_triplets": 1.46,
     "ts_pi_coverage": 1.12,
     "val_monotonic_event_ids": 0.80,
+    "rel_cohort_ltv": 1.08,
 }
 
 

@@ -339,3 +339,64 @@ def q_rel_tombstone_read(spark: SparkSession, sf_dir: str):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# -- customer cohort LTV curves ----------------------------------------------
+# The revenue companion to sess_retention_cohorts: customers cohorted by
+# first-order YEAR, revenue accumulated by years-since-first-order. The
+# cumulative sum runs over exact DECIMAL partials (cohorts x ages rows,
+# never the fact table), so the LTV curve is order-independent; doubles
+# only at the output edge. Two shuffles: first-order per customer, then
+# (cohort, age) rollup.
+@register(
+    "rel_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(date_part('year', o_orderdate::TIMESTAMP)) AS cohort
+  FROM orders GROUP BY 1
+),
+facts AS (
+  SELECT f.cohort,
+         date_part('year', o.o_orderdate::TIMESTAMP) - f.cohort AS age,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev,
+         o.o_custkey
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+cells AS (
+  SELECT cohort, age,
+         count(DISTINCT o_custkey) AS n_active,
+         sum(rev) AS rev_dec
+  FROM facts GROUP BY 1, 2
+)
+SELECT CAST(cohort AS INT) AS cohort_year,
+       CAST(age AS INT) AS age_years,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(sum(rev_dec) OVER (PARTITION BY cohort ORDER BY age) AS DOUBLE)
+         AS cum_revenue
+FROM cells
+ORDER BY cohort_year, age_years
+""",
+)
+def q_rel_cohort_ltv(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort", (F.col("yr") - F.col("cohort")).alias("age"), "rev", "o_custkey"
+    )
+    cells = facts.groupBy("cohort", "age").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum("rev").alias("rev_dec"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    return cells.select(
+        F.col("cohort").cast("int").alias("cohort_year"),
+        F.col("age").cast("int").alias("age_years"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_year", "age_years")
