@@ -133,6 +133,7 @@ HEADLINE = [
     "ts_pi_coverage",
     "val_monotonic_event_ids",
     "rel_cohort_ltv",
+    "rel_basket_lift",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -286,6 +287,7 @@ BUDGETS: dict[str, float] = {
     "ts_pi_coverage": 1.12,
     "val_monotonic_event_ids": 0.80,
     "rel_cohort_ltv": 1.08,
+    "rel_basket_lift": 2.23,
 }
 
 

@@ -400,3 +400,91 @@ def q_rel_cohort_ltv(spark: SparkSession, sf_dir: str):
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_year", "age_years")
+
+
+# -- market-basket association rules -----------------------------------------
+# Support / confidence / lift for part types co-purchased in the same
+# order — the association-mining primitive (Apriori's scoring step) on
+# the star schema. Baskets deduplicate to (order, type) first, so the
+# pair self-join is bounded by types-per-order (~3 here), never line
+# items squared; all metrics are mirrored double ratios of exact
+# integer counts. At 100 TB the same layout holds: the pair space is
+# (types-per-order choose 2) per order, and the rollup is
+# type-pair-sized.
+@register(
+    "rel_basket_lift",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey, p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+item AS (SELECT p_type, count(*) AS n_t FROM basket GROUP BY 1),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON b.l_orderkey = a.l_orderkey AND a.p_type < b.p_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_both,
+       floor(p.n_ab * 1.0 / t.n * 10000 + 0.5) / 10000 AS support,
+       floor(p.n_ab * 1.0 / ia.n_t * 10000 + 0.5) / 10000 AS confidence_a_b,
+       floor((p.n_ab * 1.0 * t.n) / (ia.n_t * 1.0 * ib.n_t) * 10000 + 0.5)
+         / 10000 AS lift
+FROM pairs p
+JOIN item ia ON ia.p_type = p.type_a
+JOIN item ib ON ib.p_type = p.type_b
+CROSS JOIN n_ord t
+ORDER BY lift DESC, p.type_a, p.type_b
+""",
+)
+def q_rel_basket_lift(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_ord = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = basket.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item.withColumnsRenamed({"p_type": "type_a", "n_t": "na"})
+    ib = item.withColumnsRenamed({"p_type": "type_b", "n_t": "nb"})
+    return (
+        pairs.join(F.broadcast(ia), "type_a")
+        .join(F.broadcast(ib), "type_b")
+        .crossJoin(n_ord)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            (F.floor(F.col("n_ab") * 1.0 / F.col("n") * 10000 + 0.5) / 10000).alias(
+                "support"
+            ),
+            (
+                F.floor(F.col("n_ab") * 1.0 / F.col("na") * 10000 + 0.5) / 10000
+            ).alias("confidence_a_b"),
+            (
+                F.floor(
+                    (F.col("n_ab") * 1.0 * F.col("n"))
+                    / (F.col("na") * 1.0 * F.col("nb"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "type_a", "type_b")
+    )
