@@ -134,6 +134,8 @@ HEADLINE = [
     "val_monotonic_event_ids",
     "rel_cohort_ltv",
     "rel_basket_lift",
+    "sample_temperature_mix",
+    "graph_assortativity",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -288,6 +290,8 @@ BUDGETS: dict[str, float] = {
     "val_monotonic_event_ids": 0.80,
     "rel_cohort_ltv": 1.08,
     "rel_basket_lift": 2.23,
+    "sample_temperature_mix": 0.33,
+    "graph_assortativity": 1.10,
 }
 
 

@@ -548,3 +548,86 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
     for r in out_rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("hop")
+
+
+# -- degree assortativity ----------------------------------------------------
+# Newman's degree-assortativity coefficient on the co-occurrence graph:
+# the Pearson correlation of endpoint degrees over edges (positive =
+# hubs link hubs; negative = hub-and-spoke). The three power sums
+# (sum jk, sum j+k, sum j^2+k^2) are exact integers over the edge list,
+# and the closed-form r is one mirrored double expression — so the
+# whole statistic is a couple of joins plus a 1-row reduction, exactly
+# comparable across engines.
+@register(
+    "graph_assortativity",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+und AS (SELECT ua AS v, ub AS n FROM e UNION ALL SELECT ub, ua FROM e),
+deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1),
+ed AS (
+  SELECT da.d AS j, db.d AS k
+  FROM e JOIN deg da ON da.v = e.ua JOIN deg db ON db.v = e.ub
+),
+sums AS (
+  SELECT count(*) AS m, sum(j * k) AS sjk, sum(j + k) AS sj,
+         sum(j * j + k * k) AS sq
+  FROM ed
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       floor((
+         (sjk * 1.0 / m - (sj * 1.0 / (2 * m)) * (sj * 1.0 / (2 * m)))
+         / (sq * 1.0 / (2 * m) - (sj * 1.0 / (2 * m)) * (sj * 1.0 / (2 * m)))
+       ) * 10000 + 0.5) / 10000 AS assortativity
+FROM sums
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, c = ev.alias("a"), ev.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .distinct()
+    )
+    und = edges.select(F.col("ua").alias("v")).unionAll(
+        edges.select(F.col("ub").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.withColumnsRenamed({"v": "ua", "d": "j"})
+    db = deg.withColumnsRenamed({"v": "ub", "d": "k"})
+    ed = edges.join(da, "ua").join(db, "ub")
+    sums = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias("sq"),
+    )
+    mu = F.col("sj") * 1.0 / (2 * F.col("m"))
+    r = (F.col("sjk") * 1.0 / F.col("m") - mu * mu) / (
+        F.col("sq") * 1.0 / (2 * F.col("m")) - mu * mu
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("n_edges"),
+        (F.floor(r * 10000 + 0.5) / 10000).alias("assortativity"),
+    )

@@ -3026,3 +3026,57 @@ def q_emb_contrastive_triplets(spark: SparkSession, sf_dir: str):
         )
         .orderBy("anchor_id")
     )
+
+
+# -- temperature-scaled source mixing weights --------------------------------
+# The multilingual/multi-source corpus sampling math (mT5/XLM-R style):
+# raw source shares p_i are flattened by temperature alpha
+# (w_i = p_i^alpha / sum p_j^alpha) so small sources get upsampled
+# without drowning the big ones. Exact integer counts; the pow/ratio
+# chain is the same mirrored double sequence on both engines; the
+# normalizing sum runs over #sources values (deterministic order via a
+# window over the sorted source list — not a parallel reduction).
+@register(
+    "sample_temperature_mix",
+    oracle="""
+WITH src AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS nt FROM src),
+w AS (
+  SELECT s.source, s.n, s.n * 1.0 / t.nt AS p,
+         pow(s.n * 1.0 / t.nt, 0.3) AS pw
+  FROM src s CROSS JOIN tot t
+),
+norm AS (SELECT sum(pw) AS z FROM (SELECT pw FROM w ORDER BY source))
+SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
+       floor(w.p * 1000000 + 0.5) / 1000000 AS natural_share,
+       floor(w.pw / nm.z * 1000000 + 0.5) / 1000000 AS temp_share
+FROM w CROSS JOIN norm nm
+ORDER BY w.source
+""",
+)
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(F.sum("n").alias("nt"))
+    w = src.crossJoin(tot).select(
+        "source",
+        "n",
+        (F.col("n") * 1.0 / F.col("nt")).alias("p"),
+        F.pow(F.col("n") * 1.0 / F.col("nt"), F.lit(0.3)).alias("pw"),
+    )
+    # normalizer: sum over #sources doubles — make the reduction order
+    # deterministic (sorted by source) via a cumulative window instead of
+    # a parallel agg, then take the last value; DuckDB's ordered-subquery
+    # sum mirrors the same association order
+    from pyspark.sql import Window as W
+
+    win = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w2 = w.withColumn("z", F.sum("pw").over(win))
+    return w2.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.floor(F.col("p") * 1000000 + 0.5) / 1000000).alias("natural_share"),
+        (F.floor(F.col("pw") / F.col("z") * 1000000 + 0.5) / 1000000).alias(
+            "temp_share"
+        ),
+    ).orderBy("source")
