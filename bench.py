@@ -136,6 +136,8 @@ HEADLINE = [
     "rel_basket_lift",
     "sample_temperature_mix",
     "graph_assortativity",
+    "rel_rfm_segments",
+    "sess_dau_wau",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -292,6 +294,8 @@ BUDGETS: dict[str, float] = {
     "rel_basket_lift": 2.23,
     "sample_temperature_mix": 0.33,
     "graph_assortativity": 1.10,
+    "rel_rfm_segments": 0.62,
+    "sess_dau_wau": 1.02,
 }
 
 

@@ -488,3 +488,64 @@ def q_rel_basket_lift(spark: SparkSession, sf_dir: str):
         )
         .orderBy(F.col("lift").desc(), "type_a", "type_b")
     )
+
+
+# -- RFM customer segmentation -----------------------------------------------
+# The classic marketing segmentation: per customer, Recency (days since
+# last order), Frequency (order count), Monetary (exact DECIMAL spend),
+# each scored into quintiles by ntile over a total tie-broken order, and
+# rolled up per R-F-M segment. The ntile ranking is the per-customer
+# table (not the fact table) — the same global-sort concession as the
+# other equi-depth queries, swapped for sampled range boundaries at
+# production scale.
+@register(
+    "rel_rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate::TIMESTAMP),
+                  TIMESTAMP '2001-09-01') AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_rel_rfm_segments(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = (
+        cust.withColumn("r_score", F.ntile(5).over(wr))
+        .withColumn("f_score", F.ntile(5).over(wf))
+        .withColumn("m_score", F.ntile(5).over(wm))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1261,3 +1261,68 @@ def q_sess_cogroup_hour_corr(spark: SparkSession, sf_dir: str):
         )
     )
     return out.orderBy("day")
+
+
+# -- DAU / WAU / stickiness --------------------------------------------------
+# The growth-metrics staple: daily active users, trailing-7-day active
+# users, and the DAU/WAU stickiness ratio. Sliding count-distinct is the
+# trap here — instead each (user, active-day) pair fans out to the <= 7
+# calendar days whose trailing window it belongs to (a 7-element
+# sequence explode), and WAU is a plain count-distinct per day. User-day
+# pairs are already deduplicated before the fan-out, so the explode is
+# bounded by active-pairs x 7, independent of raw event volume.
+@register(
+    "sess_dau_wau",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS d, user_id
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+fan AS (
+  SELECT CAST(ud.d + (i::INT) AS DATE) AS wd, ud.user_id
+  FROM ud, unnest(range(0, 7)) AS t(i)
+),
+wau AS (
+  SELECT f.wd AS d, count(DISTINCT f.user_id) AS wau
+  FROM fan f JOIN days dy ON dy.d = f.wd
+  GROUP BY 1
+)
+SELECT CAST(dy.d AS TIMESTAMP) AS day, dau.dau AS dau, wau.wau AS wau,
+       floor(dau.dau * 1.0 / wau.wau * 10000 + 0.5) / 10000 AS stickiness
+FROM days dy JOIN dau ON dau.d = dy.d JOIN wau ON wau.d = dy.d
+ORDER BY day
+""",
+)
+def q_sess_dau_wau(spark: SparkSession, sf_dir: str):
+    ud = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add("d", F.col("i")).alias("wd"), "user_id")
+    wau = (
+        fan.join(days.withColumnRenamed("d", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("wd", "d")
+    )
+    return (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (
+                F.floor(F.col("dau") * 1.0 / F.col("wau") * 10000 + 0.5) / 10000
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
