@@ -138,6 +138,8 @@ HEADLINE = [
     "graph_assortativity",
     "rel_rfm_segments",
     "sess_dau_wau",
+    "ts_load_profile_how",
+    "rel_supplier_hhi",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -296,6 +298,8 @@ BUDGETS: dict[str, float] = {
     "graph_assortativity": 1.10,
     "rel_rfm_segments": 0.62,
     "sess_dau_wau": 1.02,
+    "ts_load_profile_how": 0.51,
+    "rel_supplier_hhi": 1.62,
 }
 
 

@@ -549,3 +549,72 @@ def q_rel_rfm_segments(spark: SparkSession, sf_dir: str):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# -- supplier concentration (HHI) per nation ---------------------------------
+# The Herfindahl-Hirschman index of supplier revenue within each nation:
+# the market-concentration companion to rel_order_value_gini. Revenue
+# shares come from exact DECIMAL sums; each squared share is quantized
+# to a 1e-9 grid BEFORE the per-nation summation (decimal sum — the
+# repo's association-order-free convention), so the float work is one
+# mirrored square per supplier, never an order-sensitive reduction.
+@register(
+    "rel_supplier_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+           AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT s_nationkey, sum(r) AS t FROM rev GROUP BY 1),
+terms AS (
+  SELECT rev.s_nationkey,
+         CAST(floor(pow(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 2)
+                    * 1000000000) AS DECIMAL(28,9)) / 1000000000 AS sq
+  FROM rev JOIN tot ON tot.s_nationkey = rev.s_nationkey
+)
+SELECT n.n_name AS nation,
+       count(*) AS n_suppliers,
+       floor(CAST(sum(sq) AS DOUBLE) * 10000 + 0.5) / 10000 AS hhi
+FROM terms t JOIN nation n ON n.n_nationkey = t.s_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_rel_supplier_hhi(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    sup = table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(amount).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("r").alias("t"))
+    terms = rev.join(tot, "s_nationkey").select(
+        "s_nationkey",
+        (
+            F.floor(
+                F.pow(F.col("r").cast("double") / F.col("t").cast("double"), 2)
+                * 1000000000
+            ).cast("decimal(28,9)")
+            / 1000000000
+        ).alias("sq"),
+    )
+    return (
+        terms.join(F.broadcast(nat), terms.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.floor(F.sum("sq").cast("double") * 10000 + 0.5) / 10000
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -1050,3 +1050,50 @@ def q_ts_pi_coverage(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- hour-of-week load profile -----------------------------------------------
+# THE canonical electricity-analytics artifact (the reference pipeline's
+# whole domain): mean load by (day-of-week, hour-of-day) per event type —
+# the 7x24 shape dashboards draw and schedulers plan against. Exact
+# DECIMAL sums divided once per cell; dow uses ISO numbering on both
+# engines. One scan, one hash agg at (type x 168) cardinality.
+@register(
+    "ts_load_profile_how",
+    oracle=f"""
+SELECT event_type,
+       CAST(isodow(ts::TIMESTAMP) AS INT) AS dow,
+       CAST(date_part('hour', ts::TIMESTAMP) AS INT) AS hour,
+       count(*) AS n_obs,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS mean_value
+FROM {EVENTS_SRC}
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_ts_load_profile_how(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # Spark dayofweek is 1=Sunday; ISO dow = ((dayofweek + 5) % 7) + 1
+    dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        ev.groupBy(
+            "event_type", dow.alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_value"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
