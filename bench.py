@@ -140,6 +140,8 @@ HEADLINE = [
     "sess_dau_wau",
     "ts_load_profile_how",
     "rel_supplier_hhi",
+    "ts_ramp_rate_stats",
+    "text_ttr_by_source",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -300,6 +302,8 @@ BUDGETS: dict[str, float] = {
     "sess_dau_wau": 1.02,
     "ts_load_profile_how": 0.51,
     "rel_supplier_hhi": 1.62,
+    "ts_ramp_rate_stats": 0.83,
+    "text_ttr_by_source": 0.57,
 }
 
 

@@ -3080,3 +3080,51 @@ def q_sample_temperature_mix(spark: SparkSession, sf_dir: str):
             "temp_share"
         ),
     ).orderBy("source")
+
+
+# -- corpus lexical diversity per source -------------------------------------
+# Type-token ratio at corpus grain: distinct tokens / total tokens per
+# source, plus hapax share (tokens seen exactly once — the tail that
+# dominates natural vocabulary and vanishes in templated text). Exact
+# integer counts from one tokenize+explode pass; two hash aggs.
+@register(
+    "text_ttr_by_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+  WHERE text IS NOT NULL
+),
+per_tok AS (
+  SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       floor(count(*) * 1.0 / sum(n) * 10000 + 0.5) / 10000 AS ttr,
+       floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             * 10000 + 0.5) / 10000 AS hapax_share
+FROM per_tok GROUP BY 1 ORDER BY 1
+""",
+)
+def q_text_ttr_by_source(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+    per_tok = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            hapax.cast("long").alias("n_hapax"),
+            (
+                F.floor(F.count(F.lit(1)) * 1.0 / F.sum("n") * 10000 + 0.5)
+                / 10000
+            ).alias("ttr"),
+            (
+                F.floor(hapax * 1.0 / F.count(F.lit(1)) * 10000 + 0.5) / 10000
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )

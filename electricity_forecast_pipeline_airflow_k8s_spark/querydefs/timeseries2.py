@@ -1097,3 +1097,83 @@ def q_ts_load_profile_how(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "dow", "hour")
     )
+
+
+# -- ramp-rate statistics ----------------------------------------------------
+# Grid-operations metric: how fast load swings hour-to-hour. Per (type,
+# day): max upward ramp, max downward ramp, and mean absolute ramp over
+# consecutive-hour deltas of the hourly means. Consecutive-ness is
+# enforced by the exact one-hour timestamp step (a row-lag would invent
+# ramps across gaps). Hourly means divide DECIMAL sums once, mirrored;
+# deltas of identical doubles are identical.
+@register(
+    "ts_ramp_rate_stats",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS m
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+ramps AS (
+  SELECT cur.event_type,
+         CAST(date_trunc('day', cur.h) AS TIMESTAMP) AS day,
+         cur.m - prev.m AS ramp
+  FROM hourly cur
+  JOIN hourly prev ON prev.event_type = cur.event_type
+                  AND prev.h = cur.h - INTERVAL 1 HOUR
+)
+SELECT event_type, day, count(*) AS n_ramps,
+       floor(max(ramp) * 10000 + 0.5) / 10000 AS max_up_ramp,
+       floor(min(ramp) * 10000 + 0.5) / 10000 AS max_down_ramp,
+       floor(CAST(sum(CAST(floor(abs(ramp) * 1000000 + 0.5)
+                          AS DECIMAL(28,0))) AS DOUBLE)
+             / 1000000 / count(*) * 10000 + 0.5) / 10000 AS mean_abs_ramp
+FROM ramps GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_ts_ramp_rate_stats(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    ramps = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.h") == F.col("cur.h") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.date_trunc("day", F.col("cur.h")).alias("day"),
+        (F.col("cur.m") - F.col("prev.m")).alias("ramp"),
+    )
+    # mean |ramp|: per-term 1e-6 quantization into DECIMAL before the sum
+    # (association-order-free), one mirrored divide at the edge
+    qabs = F.floor(F.abs(F.col("ramp")) * 1000000 + 0.5).cast("decimal(28,0)")
+    return (
+        ramps.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ramps"),
+            (F.floor(F.max("ramp") * 10000 + 0.5) / 10000).alias("max_up_ramp"),
+            (F.floor(F.min("ramp") * 10000 + 0.5) / 10000).alias("max_down_ramp"),
+            (
+                F.floor(
+                    F.sum(qabs).cast("double")
+                    / 1000000
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_abs_ramp"),
+        )
+        .orderBy("event_type", "day")
+    )
