@@ -142,6 +142,8 @@ HEADLINE = [
     "rel_supplier_hhi",
     "ts_ramp_rate_stats",
     "text_ttr_by_source",
+    "rel_interval_union_days",
+    "ts_rolling_median_7d",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -163,6 +165,16 @@ ITERATIVE = [
     "emb_kcenter_seeds",
     # checkpoint-per-hop traversal (edge build dominates the wall-clock)
     "graph_bfs_reachability",
+    # distributed global-rank NTILE: the offsets jobs run at build time
+    "rel_rfm_segments_scale",
+    # exact distributed quantiles: offsets job at build, rank selection
+    "rel_exact_quantiles_scale",
+    # Misra-Gries candidate pass collects at build time
+    "text_heavy_hitters",
+    # exact_quantiles thresholds (offsets job) computed at build time
+    "val_winsorized_stats",
+    # weight-sum offsets job at build time
+    "rel_weighted_quantiles_scale",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -304,6 +316,13 @@ BUDGETS: dict[str, float] = {
     "rel_supplier_hhi": 1.62,
     "ts_ramp_rate_stats": 0.83,
     "text_ttr_by_source": 0.57,
+    "rel_rfm_segments_scale": 2.35,
+    "rel_exact_quantiles_scale": 2.55,
+    "text_heavy_hitters": 1.50,
+    "rel_interval_union_days": 1.55,
+    "ts_rolling_median_7d": 1.05,
+    "val_winsorized_stats": 3.85,
+    "rel_weighted_quantiles_scale": 3.60,
 }
 
 

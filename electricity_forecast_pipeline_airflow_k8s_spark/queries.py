@@ -37,7 +37,15 @@ _REGISTRY: dict[str, Query] = {}
 # cohort overflows leads round 6, keeping every query's driver-evidence
 # age bounded at ~3 rounds.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    # (a) new in round 5 — never driver-proven
+    # (a) new in round 5 — never driver-proven (newest first: these have
+    # never had a driver row at all, so they take the head of the cut)
+    "rel_rfm_segments_scale",
+    "rel_exact_quantiles_scale",
+    "rel_weighted_quantiles_scale",
+    "text_heavy_hitters",
+    "rel_interval_union_days",
+    "ts_rolling_median_7d",
+    "val_winsorized_stats",
     "tpch_small_qty_revenue",
     "tpch_disjunctive_revenue",
     "tpch_sole_supplier_orders",
@@ -139,12 +147,13 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 50 round-5 queries above exactly fill the
-    # driver's 50-query cut; emb_top_pc_power_iteration (also new in r5)
-    # did not fit and leads round 6 with any round-6 queries, then the 10
-    # late-r4 rows below (ts_cusum_changepoint onward), then the displaced r1
-    # cohort (rel_date_functions onward — 10 rows), then the 28-query
-    # r2 cohort above, then start re-proving the oldest r3 greens.
+    # Round-6 rotation TODO: the 7 newest never-proven queries above push
+    # the cut boundary 7 rows up — the last 7 window rows before this note
+    # (ts_window_counts onward) now overflow the driver's 50-query cut and
+    # lead round 6 together with emb_top_pc_power_iteration and any round-6
+    # additions, then the late-r4 rows (ts_cusum_changepoint onward), then
+    # the displaced r1 cohort, then the remaining r2 cohort, then start
+    # re-proving the oldest r3 greens.
 )
 
 

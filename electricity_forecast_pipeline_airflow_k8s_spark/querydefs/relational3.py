@@ -551,6 +551,73 @@ def q_rel_rfm_segments(spark: SparkSession, sf_dir: str):
     )
 
 
+# -- RFM segmentation, scale path -------------------------------------------
+# Same semantics and the SAME oracle as rel_rfm_segments, but the three
+# global NTILE(5) rankings run through operators/ranking.py's distributed
+# global rank (range repartition + per-partition offsets) instead of a
+# single-partition window: parallelism stays at shuffle-partition count
+# for every pass, so the plan survives customer cardinalities where the
+# exact-window form would funnel the whole dimension through one task.
+# The driver proving both queries green against one oracle IS the
+# value-identity pin for the scale path.
+@register(
+    "rel_rfm_segments_scale",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate::TIMESTAMP),
+                  TIMESTAMP '2001-09-01') AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_rel_rfm_segments_scale(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_global,
+    )
+
+    o = table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = ntile_global(
+        cust, ["recency_days", "o_custkey"], k=5, tile_col="r_score"
+    )
+    scored = ntile_global(
+        scored, [F.col("frequency").desc(), "o_custkey"], k=5, tile_col="f_score"
+    )
+    scored = ntile_global(
+        scored, [F.col("monetary").desc(), "o_custkey"], k=5, tile_col="m_score"
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 # -- supplier concentration (HHI) per nation ---------------------------------
 # The Herfindahl-Hirschman index of supplier revenue within each nation:
 # the market-concentration companion to rel_order_value_gini. Revenue
@@ -618,3 +685,216 @@ def q_rel_supplier_hhi(spark: SparkSession, sf_dir: str):
         )
         .orderBy("nation")
     )
+
+
+# -- exact distributed quantiles --------------------------------------------
+# EXACT quantile_cont over the full lineitem price column WITHOUT the
+# single-task exact-percentile quarantine (SCALING.md "no free lunch"):
+# operators/ranking.py::exact_quantiles range-sorts in parallel, then
+# fetches only the <= 2 ranks that bracket each target quantile via a
+# JVM-side partition filter (driver knows each rank's partition from the
+# offsets job). Spark's own exact `percentile` buffers every value per
+# group; this plan's only cost is a distributed sort. The oracle is
+# DuckDB's independently implemented quantile_cont.
+@register(
+    "rel_exact_quantiles_scale",
+    oracle="""
+SELECT CAST(q AS DOUBLE) AS q,
+       floor(v * 10000 + 0.5) / 10000 AS value
+FROM (
+  SELECT 0.25 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT 0.5, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.75, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) FROM lineitem
+  UNION ALL
+  SELECT 0.9, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) FROM lineitem
+  UNION ALL
+  SELECT 0.99, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) FROM lineitem
+)
+ORDER BY q
+""",
+)
+def q_rel_exact_quantiles_scale(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    li = table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    out = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return out.select("q", portable_round(F.col("value"), 4).alias("value")).orderBy(
+        "q"
+    )
+
+
+# -- interval union length (gaps-and-islands over real intervals) -----------
+# Per-supplier shipping "busy days": each lineitem occupies the interval
+# [shipdate, shipdate + (quantity % 14 + 1) days) and overlapping/adjacent
+# intervals must count each covered day ONCE. Spark merges intervals with
+# the classic islands layout — window partitioned BY SUPPLIER (parallelism
+# = suppliers, never a global sort): running max of interval end, a new
+# island whenever the next start clears it, then two hash aggs. The
+# oracle never forms islands at all: it EXPLODES every interval into its
+# days and counts distinct (correct by definition, quadratic in interval
+# length — oracle-scale only). Independent derivations of interval union.
+@register(
+    "rel_interval_union_days",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + ((CAST(l_quantity AS INT) % 14) + 1) AS e
+  FROM lineitem
+),
+days AS (
+  SELECT DISTINCT l_suppkey,
+         unnest(generate_series(s, e - 1, INTERVAL 1 DAY)) AS d
+  FROM iv
+)
+SELECT l_suppkey, count(*) AS covered_days
+FROM days GROUP BY 1 ORDER BY 1
+""",
+)
+def q_rel_interval_union_days(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_quantity").cast("int") % 14) + 1,
+        ).alias("e"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = li.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("l_suppkey", "island_id").agg(
+        F.min("s").alias("istart"), F.max("e").alias("iend")
+    )
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(F.sum(F.datediff("iend", "istart")).alias("covered_days"))
+        .orderBy("l_suppkey")
+    )
+
+
+# -- winsorized robust statistics -------------------------------------------
+# Robust mean/std of prices clipped at the exact [p01, p99]: thresholds
+# come from operators/ranking.py::exact_quantiles (distributed rank
+# selection — no single-task percentile), quantized to a 1e-6 grid on
+# BOTH engines, then broadcast as a 1-row scalar frame (the J2 pattern).
+# Spark aggregates with the built-in streaming moments; the oracle
+# re-derives mean/std from exact DECIMAL power sums — agreement through
+# the 1e-4 grid cross-checks Spark's co-moment path against exact
+# arithmetic (same evidence shape as rel_corr_covar).
+@register(
+    "val_winsorized_stats",
+    oracle="""
+WITH th AS (
+  SELECT floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01)
+               * 1000000 + 0.5) / 1000000 AS lo,
+         floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+               * 1000000 + 0.5) / 1000000 AS hi
+  FROM lineitem
+),
+c AS (
+  SELECT CAST(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END
+              AS DECIMAL(18,6)) AS cx,
+         CASE WHEN x < lo THEN 1 ELSE 0 END AS cl,
+         CASE WHEN x > hi THEN 1 ELSE 0 END AS ch
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem)
+  CROSS JOIN th
+),
+s AS (
+  SELECT count(*) AS n, CAST(sum(cl) AS BIGINT) AS ncl,
+         CAST(sum(ch) AS BIGINT) AS nch,
+         CAST(sum(cx) AS DOUBLE) AS sx,
+         CAST(sum(CAST(cx AS DECIMAL(19,6)) * CAST(cx AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxx
+  FROM c
+)
+SELECT n, ncl AS n_clipped_low, nch AS n_clipped_high,
+       floor(sx / n * 10000 + 0.5) / 10000 AS mean_w,
+       floor(sqrt((sxx - sx * sx / n) / (n - 1)) * 10000 + 0.5) / 10000
+         AS std_w
+FROM s
+""",
+)
+def q_val_winsorized_stats(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    qdf = exact_quantiles(li, "x", [0.01, 0.99])
+    th = qdf.agg(
+        F.min(F.when(F.col("q") == 0.01, portable_round(F.col("value"), 6))).alias(
+            "lo"
+        ),
+        F.min(F.when(F.col("q") == 0.99, portable_round(F.col("value"), 6))).alias(
+            "hi"
+        ),
+    )
+    c = li.crossJoin(F.broadcast(th)).select(
+        F.when(F.col("x") < F.col("lo"), F.col("lo"))
+        .when(F.col("x") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("x"))
+        .cast("decimal(18,6)")
+        .alias("cx"),
+        F.when(F.col("x") < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(F.col("x") > F.col("hi"), 1).otherwise(0).alias("ch"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cl").alias("n_clipped_low"),
+        F.sum("ch").alias("n_clipped_high"),
+        portable_round(F.avg(F.col("cx").cast("double")), 4).alias("mean_w"),
+        portable_round(F.stddev_samp(F.col("cx").cast("double")), 4).alias("std_w"),
+    )
+
+
+# -- exact weighted quantiles -----------------------------------------------
+# Quantity-weighted price quartiles (inverted-CDF convention: smallest
+# value whose cumulative weight reaches p of total): the weighted
+# companion to rel_exact_quantiles_scale. All threshold arithmetic is
+# int64 (rational probs, ceil-division) so the crossing row is
+# bit-identical to the oracle's min(v) WHERE cum_weight * den >= num *
+# total — no float ever enters a comparison on either engine. Plan
+# shape: one parallel range sort, one weight-sum job, JVM-pruned pick.
+@register(
+    "rel_weighted_quantiles_scale",
+    oracle="""
+WITH t AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity > 0
+),
+tot AS (SELECT sum(w) AS tw FROM t),
+c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM t)
+SELECT CAST(0.25 AS DOUBLE) AS q, min(v) AS value
+FROM c, tot WHERE cw * 4 >= tw
+UNION ALL
+SELECT 0.5, min(v) FROM c, tot WHERE cw * 2 >= tw
+UNION ALL
+SELECT 0.75, min(v) FROM c, tot WHERE cw * 4 >= 3 * tw
+ORDER BY q
+""",
+)
+def q_rel_weighted_quantiles_scale(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        weighted_quantiles,
+    )
+
+    li = table(spark, "lineitem", sf_dir)
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", [(1, 4), (1, 2), (3, 4)]
+    ).orderBy("q")

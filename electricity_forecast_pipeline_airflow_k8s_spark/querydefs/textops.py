@@ -3128,3 +3128,38 @@ def q_text_ttr_by_source(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# -- exact heavy hitters (Misra-Gries two-pass) ------------------------------
+# Every token whose frequency share strictly exceeds 1/(k+1), with EXACT
+# counts, found WITHOUT a vocabulary-sized shuffle: per-partition
+# Misra-Gries summaries (<= k counter rows each, mapInPandas) union into
+# a guaranteed candidate superset (pigeonhole over the MG error bound),
+# then one broadcast-semi-join counting pass over candidate rows only —
+# operators/heavyhitters.py documents the mergeable-summary proof. The
+# oracle is the brute-force word count + HAVING over the same integer
+# threshold predicate.
+_HH_K = 40
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS freq
+FROM tok
+GROUP BY token
+HAVING count(*) * {_HH_K + 1} > (SELECT count(*) FROM tok)
+ORDER BY freq DESC, token
+""",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    return heavy_hitters_exact(tok, "token", _HH_K).orderBy(
+        F.desc("freq"), "token"
+    )

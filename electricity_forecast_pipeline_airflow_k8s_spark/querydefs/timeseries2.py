@@ -1177,3 +1177,59 @@ def q_ts_ramp_rate_stats(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "day")
     )
+
+
+# -- 7-day rolling median ----------------------------------------------------
+# Exact rolling median of the daily load per type: the robust companion
+# to ts_moving_avg_1h. The RANGE frame runs over integer epoch-days, so
+# calendar gaps shrink the window (true trailing 7 calendar days, not 7
+# rows) identically in both engines. Parallelism: the window partitions
+# by type over per-day partials (types x days rows, never raw events);
+# each frame holds <= 7 values, so the exact percentile buffer is
+# constant-size — no relation to the exact-quantile quarantine. Daily
+# sums go through DECIMAL for association-order-free totals.
+@register(
+    "ts_rolling_median_7d",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, day,
+       floor(quantile_cont(v, 0.5) OVER (
+               PARTITION BY event_type
+               ORDER BY datediff('day', TIMESTAMP '1970-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             * 10000 + 0.5) / 10000 AS rolling_median_7d
+FROM daily
+ORDER BY event_type, day
+""",
+)
+def q_ts_rolling_median_7d(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    daily = daily.withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            portable_round(F.percentile("v", 0.5).over(w), 4).alias(
+                "rolling_median_7d"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
