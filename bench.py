@@ -144,6 +144,11 @@ HEADLINE = [
     "text_ttr_by_source",
     "rel_interval_union_days",
     "ts_rolling_median_7d",
+    # round-5 additions: exact prefix-filtering set-similarity join,
+    # sweep-line max concurrency, count-min sketch contract
+    "text_setsim_prefix_join",
+    "rel_max_concurrent_intervals",
+    "text_cms_freq_est",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -323,6 +328,9 @@ BUDGETS: dict[str, float] = {
     "ts_rolling_median_7d": 1.05,
     "val_winsorized_stats": 3.85,
     "rel_weighted_quantiles_scale": 3.60,
+    "text_setsim_prefix_join": 7.50,
+    "rel_max_concurrent_intervals": 1.95,
+    "text_cms_freq_est": 0.75,
 }
 
 

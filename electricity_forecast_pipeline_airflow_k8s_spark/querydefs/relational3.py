@@ -898,3 +898,71 @@ def q_rel_weighted_quantiles_scale(spark: SparkSession, sf_dir: str):
     return weighted_quantiles(
         li, "l_extendedprice", "l_quantity", [(1, 4), (1, 2), (3, 4)]
     ).orderBy("q")
+
+
+# -- max concurrent intervals (sweep line) -----------------------------------
+# Peak simultaneous open shipments per supplier over the same synthetic
+# [ship, ship + qty%14 + 1) intervals as rel_interval_union_days: the
+# classic sweep line — +1/-1 deltas per event day, running sum within
+# supplier, argmax day. Concurrency is piecewise-constant between events,
+# so the earliest day at peak is always an event day; the oracle derives
+# the identical answer by the opposite construction (explode every
+# interval into covered days, count per day, argmax) — independent
+# derivations. The window is ALWAYS partitioned by supplier (events per
+# supplier bounded), never global; deltas are pre-aggregated per day so
+# the running-sum ordering is unique and deterministic.
+@register(
+    "rel_max_concurrent_intervals",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + ((CAST(l_quantity AS INT) % 14) + 1) AS e
+  FROM lineitem
+),
+days AS (
+  SELECT l_suppkey, unnest(generate_series(s, e - 1, INTERVAL 1 DAY)) AS d
+  FROM iv
+),
+cnt AS (SELECT l_suppkey, d, count(*) AS c FROM days GROUP BY 1, 2),
+mx AS (SELECT l_suppkey, max(c) AS max_concurrent FROM cnt GROUP BY 1)
+SELECT mx.l_suppkey, mx.max_concurrent,
+       CAST(min(cnt.d) AS TIMESTAMP) AS peak_day
+FROM mx JOIN cnt
+  ON cnt.l_suppkey = mx.l_suppkey AND cnt.c = mx.max_concurrent
+GROUP BY 1, 2 ORDER BY 1
+""",
+)
+def q_rel_max_concurrent_intervals(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_quantity").cast("int") % 14) + 1,
+        ).alias("e"),
+    )
+    ev = li.select(
+        "l_suppkey", F.col("s").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        li.select("l_suppkey", F.col("e").alias("d"), F.lit(-1).alias("delta"))
+    )
+    byday = ev.groupBy("l_suppkey", "d").agg(F.sum("delta").alias("delta"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = byday.withColumn("run", F.sum("delta").over(w))
+    mx = F.max("run").over(Window.partitionBy("l_suppkey"))
+    return (
+        run.withColumn("mx", mx)
+        .filter(F.col("run") == F.col("mx"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("run").alias("max_concurrent"),
+            F.min("d").cast("timestamp").alias("peak_day"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -3163,3 +3163,118 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str):
     return heavy_hitters_exact(tok, "token", _HH_K).orderBy(
         F.desc("freq"), "token"
     )
+
+
+# -- exact set-similarity self-join (prefix filtering) ------------------------
+# The EXACT counterpart to MinHash-LSH near-dup: every unordered document
+# pair whose token-set Jaccard >= 0.95, found by the AllPairs/PPJoin
+# prefix-filtering join (operators/setsim.py) — index only each set's
+# (s - ceil(t*s) + 1)-token rarest-first prefix, equi-join on prefix
+# tokens, verify candidates exactly. Zero false negatives by the prefix-
+# filtering principle; the oracle brute-forces the full all-pairs join,
+# so the driver hash-match proves the filter lossless. All pruning
+# comparisons are integer-rational (19/20), float-free.
+@register(
+    "text_setsim_prefix_join",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(CAST(i AS DOUBLE) / (sa.s + sb.s - i) * 10000 + 0.5) / 10000
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 20 >= 19 * (sa.s + sb.s - i)
+ORDER BY 1, 2
+""",
+)
+def q_text_setsim_prefix_join(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.setsim import (
+        setsim_prefix_join,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    return setsim_prefix_join(docs, "doc_id", "text", num=19, den=20).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# -- count-min sketch frequency estimates ------------------------------------
+# Deterministic CMS contract: Spark builds the sketch from per-partition
+# local grids merged cell-wise (operators/sketches.py — the only shuffle
+# is bounded by partitions x depth x width, never vocabulary-sized) and
+# estimates the 25 most frequent tokens; the oracle REBUILDS the entire
+# sketch in SQL from scratch with the same engine-portable md5 bucket
+# hash and must land on the identical cells. Hash-match therefore proves
+# the distributed build+merge equals the sequential definition. The
+# exact probe frequencies come from a plain word count (verification
+# surface only — the sketch is the scale path); `never_under` pins the
+# CMS one-sided error guarantee on every probe.
+_CMS_D, _CMS_W = 4, 256
+_CMS_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST({j} AS VARCHAR), ':', {tok})), "
+    f"1, 8)) AS BIGINT) % {_CMS_W}"
+)
+
+
+@register(
+    "text_cms_freq_est",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents WHERE text IS NOT NULL
+),
+freq AS (SELECT token, count(*) AS exact_freq FROM tok GROUP BY 1),
+cells AS (
+  SELECT t.j, {_CMS_BUCKET_SQL.format(j='t.j', tok='token')} AS bucket,
+         sum(exact_freq) AS cnt
+  FROM freq CROSS JOIN range({_CMS_D}) AS t(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, exact_freq FROM freq ORDER BY exact_freq DESC, token LIMIT 25
+),
+est AS (
+  SELECT p.token, CAST(min(c.cnt) AS BIGINT) AS cms_est
+  FROM probes p
+  CROSS JOIN range({_CMS_D}) AS t(j)
+  JOIN cells c
+    ON c.j = t.j
+   AND c.bucket = {_CMS_BUCKET_SQL.format(j='t.j', tok='p.token')}
+  GROUP BY 1
+)
+SELECT p.token, p.exact_freq, e.cms_est,
+       e.cms_est >= p.exact_freq AS never_under
+FROM probes p JOIN est e USING (token) ORDER BY token
+""",
+)
+def q_text_cms_freq_est(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_freq"))
+    probes = freq.orderBy(F.desc("exact_freq"), "token").limit(25)
+    sketch = cms_build(tok, "token", depth=_CMS_D, width=_CMS_W)
+    est = cms_estimate(sketch, probes, "token", depth=_CMS_D, width=_CMS_W)
+    return (
+        probes.join(est, "token")
+        .select(
+            "token",
+            "exact_freq",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_freq")).alias("never_under"),
+        )
+        .orderBy("token")
+    )
