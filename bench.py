@@ -149,6 +149,9 @@ HEADLINE = [
     "text_setsim_prefix_join",
     "rel_max_concurrent_intervals",
     "text_cms_freq_est",
+    "ts_spectral_daily_strength",
+    "rel_woe_iv",
+    "sess_pattern_funnel",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -180,6 +183,8 @@ ITERATIVE = [
     "val_winsorized_stats",
     # weight-sum offsets job at build time
     "rel_weighted_quantiles_scale",
+    # fixed-point peeling: per-iteration count jobs at build time
+    "graph_kcore",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -331,6 +336,10 @@ BUDGETS: dict[str, float] = {
     "text_setsim_prefix_join": 7.50,
     "rel_max_concurrent_intervals": 1.95,
     "text_cms_freq_est": 0.75,
+    "ts_spectral_daily_strength": 0.85,
+    "rel_woe_iv": 0.70,
+    "sess_pattern_funnel": 0.60,
+    "graph_kcore": 2.55,
 }
 
 

@@ -39,6 +39,10 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "ts_spectral_daily_strength",
+    "rel_woe_iv",
+    "sess_pattern_funnel",
+    "graph_kcore",
     "text_setsim_prefix_join",
     "rel_max_concurrent_intervals",
     "text_cms_freq_est",
@@ -150,9 +154,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 10 newest never-proven queries above push
-    # the cut boundary 10 rows up — the last 10 window rows before this
-    # note (ts_hour_coverage onward) now overflow the driver's 50-query cut
+    # Round-6 rotation TODO: the 14 newest never-proven queries above push
+    # the cut boundary 14 rows up — the last 14 window rows before this
+    # note (text_token_stats onward) now overflow the driver's 50-query cut
     # and lead round 6 together with emb_top_pc_power_iteration and any
     # round-6 additions, then the late-r4 rows (ts_cusum_changepoint
     # onward), then the displaced r1 cohort, then the remaining r2 cohort,

@@ -631,3 +631,115 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str):
         F.col("m").cast("long").alias("n_edges"),
         (F.floor(r * 10000 + 0.5) / 10000).alias("assortativity"),
     )
+
+
+# -- k-core decomposition (iterative peeling) ---------------------------------
+# The k-core of the error-hour co-occurrence graph (same edge construction
+# as graph_link_prediction): repeatedly delete nodes with fewer than K
+# alive neighbors until a fixed point — the standard cohesive-subgroup /
+# spam-cluster primitive. Spark iterates to the TRUE fixed point with
+# lineage capped per peel (_cut_lineage: reliable checkpoint under a
+# configured dir, localCheckpoint local-mode); peeling is monotone, so
+# equal alive-counts imply convergence. The oracle unrolls the peel 10
+# times — strictly more than the fixture needs (sf0.01 converges in 5;
+# peels after convergence are no-ops) — and derives the same
+# (node, core-degree) rows independently. Scale: every iteration touches
+# node/edge-sized tables only; the alive set broadcasts while small and
+# degrades to a shuffle join when it isn't.
+_KCORE_K = 21
+_KCORE_UNROLL = 10
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+WITH b AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+und AS MATERIALIZED (
+  SELECT ua AS v, ub AS n FROM e UNION ALL SELECT ub AS v, ua AS n FROM e
+),
+a0 AS MATERIALIZED (SELECT DISTINCT v FROM und)"""
+    ]
+    for i in range(1, _KCORE_UNROLL + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT x.v
+  FROM und x
+  JOIN a{i - 1} s ON s.v = x.v
+  JOIN a{i - 1} t ON t.v = x.n
+  GROUP BY x.v HAVING count(*) >= {_KCORE_K}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT x.v AS user_id, count(*) AS core_degree
+FROM und x
+JOIN a{_KCORE_UNROLL} s ON s.v = x.v
+JOIN a{_KCORE_UNROLL} t ON t.v = x.n
+GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
+        _cut_lineage,
+    )
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, c = ev.alias("a"), ev.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub")
+        )
+        .distinct()
+    )
+    und = _cut_lineage(
+        e.select(F.col("ua").alias("v"), F.col("ub").alias("n")).unionAll(
+            e.select(F.col("ub").alias("v"), F.col("ua").alias("n"))
+        )
+    )
+    alive = und.select("v").distinct()
+    prev, cur = -1, alive.count()
+    while cur != prev:
+        survivors = (
+            und.join(alive.withColumnRenamed("v", "vv"), F.col("v") == F.col("vv"), "semi")
+            .join(alive.withColumnRenamed("v", "nn"), F.col("n") == F.col("nn"), "semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("v")
+        )
+        alive = _cut_lineage(survivors, eager=False)
+        prev, cur = cur, alive.count()
+    return (
+        und.join(alive.withColumnRenamed("v", "vv"), F.col("v") == F.col("vv"), "semi")
+        .join(alive.withColumnRenamed("v", "nn"), F.col("n") == F.col("nn"), "semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("v").alias("user_id"), "core_degree")
+        .orderBy("user_id")
+    )

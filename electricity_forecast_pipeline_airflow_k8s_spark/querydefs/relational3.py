@@ -966,3 +966,84 @@ def q_rel_max_concurrent_intervals(spark: SparkSession, sf_dir: str):
         )
         .orderBy("l_suppkey")
     )
+
+
+# -- weight-of-evidence / information value binning ---------------------------
+# The classic supervised feature-screening statistic (credit-scoring
+# lineage): bin o_totalprice into 10 equal-width bins over the observed
+# [min, max], label orders bad iff o_orderstatus = 'F', and compute each
+# bin's Laplace-smoothed WOE plus its IV contribution. The bin edges are
+# global scalars (one tiny agg broadcast back -- the J2 pattern, never a
+# sort); bucketing, shares and ln() run on identical IEEE doubles in
+# both engines, rounded at the 1e-4 edge. At 100 TB this is two scans
+# (one for edges, one binned agg) with a 10-row final result.
+@register(
+    "rel_woe_iv",
+    oracle="""
+WITH edges AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+         max(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+),
+binned AS (
+  SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+                          / ((hi - lo) / 10)) AS INT), 9) AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders CROSS JOIN edges
+),
+per_bin AS (
+  SELECT bin,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS DOUBLE) AS g, CAST(sum(n_bad) AS DOUBLE) AS b
+  FROM per_bin
+)
+SELECT bin, n_good, n_bad,
+       floor(ln(((n_good + 0.5) / (g + 5.0)) / ((n_bad + 0.5) / (b + 5.0)))
+             * 10000 + 0.5) / 10000 AS woe,
+       floor((((n_good + 0.5) / (g + 5.0)) - ((n_bad + 0.5) / (b + 5.0)))
+             * ln(((n_good + 0.5) / (g + 5.0)) / ((n_bad + 0.5) / (b + 5.0)))
+             * 10000 + 0.5) / 10000 AS iv_term
+FROM per_bin CROSS JOIN tot ORDER BY bin
+""",
+)
+def q_rel_woe_iv(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir).select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    edges = o.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10))
+            .cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        "bad",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").cast("double").alias("g"),
+        F.sum("n_bad").cast("double").alias("b"),
+    )
+    gs = (F.col("n_good") + 0.5) / (F.col("g") + 5.0)
+    bs = (F.col("n_bad") + 0.5) / (F.col("b") + 5.0)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            (F.floor(F.log(gs / bs) * 10000 + 0.5) / 10000).alias("woe"),
+            (F.floor((gs - bs) * F.log(gs / bs) * 10000 + 0.5) / 10000).alias(
+                "iv_term"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -1326,3 +1326,62 @@ def q_sess_dau_wau(spark: SparkSession, sf_dir: str):
         )
         .orderBy("day")
     )
+
+
+# -- sequence pattern matching (MATCH_RECOGNIZE-lite) -------------------------
+# Count per user of the funnel pattern view -> clicks* -> purchase over
+# the user's chronological event-type journey: each journey is encoded as
+# a character string (the five event types have distinct initials) and
+# the pattern runs as a leftmost non-overlapping regex — the cheap
+# large-scale stand-in for SQL:2016 MATCH_RECOGNIZE. Ordering ties break
+# on event_id (monotone per the validation suite) so both engines build
+# the identical string: Spark via array_sort(collect_list(struct)) —
+# per-user arrays bounded by user activity, the standard sessionize
+# shape — DuckDB via string_agg(.. ORDER BY). The regex uses only
+# literals and '*', where Java regex and RE2 semantics coincide.
+@register(
+    "sess_pattern_funnel",
+    oracle=f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM {EVENTS_SRC} AS ev
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT user_id,
+       length(journey) AS journey_len,
+       CAST(length(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
+         AS n_funnel_matches
+FROM j
+WHERE length(regexp_extract_all(journey, 'vc*p')) > 0
+ORDER BY 1
+""",
+)
+def q_sess_pattern_funnel(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
+            ).alias("st"),
+        )
+    )
+    journey = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("st")), lambda s: s["ch"]), ""
+        ).alias("journey")
+    )
+    n = F.regexp_count("journey", F.lit("vc*p"))
+    return (
+        journey.select(
+            "user_id",
+            F.length("journey").alias("journey_len"),
+            n.cast("long").alias("n_funnel_matches"),
+        )
+        .filter(F.col("n_funnel_matches") > 0)
+        .orderBy("user_id")
+    )

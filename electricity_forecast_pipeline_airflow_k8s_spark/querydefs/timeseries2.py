@@ -1233,3 +1233,78 @@ def q_ts_rolling_median_7d(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "day")
     )
+
+
+# -- daily-cycle spectral strength (single-bin DFT) ---------------------------
+# Goertzel-style seasonality diagnostic: the magnitude of the 24h DFT bin
+# of the hourly-resampled series per event_type -- the quantitative
+# "how strong is the daily cycle" number a forecaster reads before
+# choosing a seasonal model order (complements ts_acf, which gives lag
+# correlations, and ts_stl_seasonal, which gives the shape). Cross-engine
+# float determinism is total here, not just rounded: the 24 phase basis
+# values cos/sin(2*pi*k/24) are evaluated ONCE driver-side and embedded
+# as literal doubles in BOTH engines (no trig runs in either engine at
+# all), hourly means are quantized to the 1e-6 grid, products are IEEE
+# double ops on identical inputs, and the partial sums run in
+# DECIMAL(28,12) so accumulation order cannot change a bit.
+_COS24 = (1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681)
+_SIN24 = (0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157)
+
+
+@register(
+    "ts_spectral_daily_strength",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         floor(avg(value) * 1000000 + 0.5) / 1000000 AS v
+  FROM {EVENTS_SRC} AS events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type,
+         CAST(v * list_extract([1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681], hour(h) + 1)
+              AS DECIMAL(28,12)) AS ct,
+         CAST(v * list_extract([0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157], hour(h) + 1)
+              AS DECIMAL(28,12)) AS st
+  FROM hourly
+)
+SELECT event_type,
+       count(*) AS n_hours,
+       floor(2 * sqrt(CAST(sum(ct) AS DOUBLE) * CAST(sum(ct) AS DOUBLE)
+                      + CAST(sum(st) AS DOUBLE) * CAST(sum(st) AS DOUBLE))
+             / count(*) * 10000 + 0.5) / 10000 AS daily_amplitude
+FROM terms GROUP BY 1 ORDER BY 1
+""",
+)
+def q_ts_spectral_daily_strength(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
+    )
+    cos_arr = F.array(*[F.lit(v) for v in _COS24])
+    sin_arr = F.array(*[F.lit(v) for v in _SIN24])
+    hod = F.hour("h") + 1
+    terms = ev.select(
+        "event_type",
+        (F.col("v") * F.element_at(cos_arr, hod)).cast("decimal(28,12)").alias("ct"),
+        (F.col("v") * F.element_at(sin_arr, hod)).cast("decimal(28,12)").alias("st"),
+    )
+    a = F.sum("ct").cast("double")
+    b = F.sum("st").cast("double")
+    n = F.count(F.lit(1))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            n.alias("n_hours"),
+            (
+                F.floor(
+                    2 * F.sqrt(a * a + b * b) / n * 10000 + 0.5
+                )
+                / 10000
+            ).alias("daily_amplitude"),
+        )
+        .orderBy("event_type")
+    )
