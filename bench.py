@@ -152,6 +152,8 @@ HEADLINE = [
     "ts_spectral_daily_strength",
     "rel_woe_iv",
     "sess_pattern_funnel",
+    "ts_theilsen_trend",
+    "ts_gap_fill_interp",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -339,6 +341,8 @@ BUDGETS: dict[str, float] = {
     "ts_spectral_daily_strength": 0.85,
     "rel_woe_iv": 0.70,
     "sess_pattern_funnel": 0.60,
+    "ts_theilsen_trend": 0.90,
+    "ts_gap_fill_interp": 0.75,
     "graph_kcore": 2.55,
 }
 

@@ -1308,3 +1308,197 @@ def q_ts_spectral_daily_strength(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- Theil-Sen robust trend ---------------------------------------------------
+# Median-of-pairwise-slopes per event_type over the DAILY mean series:
+# the robust alternative to ml_linreg_trend's OLS (REGR_*) that a single
+# outlier day cannot move. The pairwise self-join runs on per-day
+# partials (days x days, bounded by calendar span — NEVER events x
+# events; the events-sized work is one hash agg), so the quadratic term
+# is ~O(365^2) per group-year at any data scale. Daily means are
+# quantized to the 1e-6 grid before the slope division so both engines
+# divide identical doubles; the median interpolates the same two middle
+# values on both engines.
+@register(
+    "ts_theilsen_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS d,
+         floor(avg(value) * 1000000 + 0.5) / 1000000 AS v
+  FROM {{EVENTS_SRC}} AS events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.v - a.v) / datediff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(quantile_cont(slope, 0.5) * 10000 + 0.5) / 10000
+         AS theil_sen_slope
+FROM slopes GROUP BY 1 ORDER BY 1
+""".format(EVENTS_SRC=EVENTS_SRC),
+)
+def q_ts_theilsen_trend(spark: SparkSession, sf_dir: str):
+    daily = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.floor(F.median("slope") * 10000 + 0.5) / 10000).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- hourly gap fill with linear interpolation --------------------------------
+# The interpolation companion to ts_gap_fill_locf: missing hours take the
+# straight line between the previous and next observed hourly means
+# (boundary gaps fall back to nearest-observation carry). Scale shape:
+# the events-sized work is ONE hash agg to hourly means; the
+# interpolation window then runs over the calendar-sized spine
+# (groups x span-hours — ~9k rows per group-year at ANY data scale), so
+# partitioning by group is not a bottleneck: the window input is tiny by
+# construction. Means are quantized at 1e-4 before the arithmetic; the
+# hour-distance ratio divides identical integer hour counts on both
+# engines.
+@register(
+    "ts_gap_fill_interp",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               * 10000 + 0.5) / 10000 AS v_obs
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(hour) AS t0, max(hour) AS t1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.t0, s.t1, INTERVAL 1 HOUR)) AS hour
+  FROM span s
+),
+joined AS (
+  SELECT g.event_type, g.hour, o.v_obs
+  FROM grid g LEFT JOIN obs o USING (event_type, hour)
+),
+ctx AS (
+  SELECT event_type, hour, v_obs,
+         last_value(v_obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v_obs IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v_obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v_obs IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT event_type, hour,
+       floor(CASE
+         WHEN v_obs IS NOT NULL THEN v_obs
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(datediff('hour', ph, hour) AS DOUBLE)
+                             / datediff('hour', ph, nh))
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv END * 10000 + 0.5) / 10000 AS value_interp,
+       v_obs IS NULL AS is_gap
+FROM ctx ORDER BY event_type, hour
+""",
+)
+def q_ts_gap_fill_interp(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("v_obs")
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("hour").alias("t0"), F.max("hour").alias("t1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(obs, ["event_type", "hour"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v_obs").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v_obs", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wn).alias("nh"),
+    )
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    interp = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                hours(F.col("ph"), F.col("hour")).cast("double")
+                / hours(F.col("ph"), F.col("nh"))
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        "hour",
+        (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
+        F.col("v_obs").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour")
