@@ -62,20 +62,20 @@ nodes AS (
   SELECT u AS node FROM edges UNION SELECT v FROM edges
 ),
 nn AS (SELECT count(*) AS n FROM nodes),
-r0 AS (SELECT node, (SELECT {_R_SCALE} // n FROM nn) AS r_fp FROM nodes)"""
+r0 AS MATERIALIZED (SELECT node, (SELECT {_R_SCALE} // n FROM nn) AS r_fp FROM nodes)"""
     ]
     for i in range(1, _ITERS + 1):
         parts.append(
             f""",
-inflow{i} AS (
+inflow{i} AS MATERIALIZED (
   SELECT w.v AS node, sum((w.p_fp * r.r_fp) // {_P_SCALE}) AS s
   FROM w JOIN r{i - 1} r ON r.node = w.u GROUP BY 1
 ),
-dang{i} AS (
+dang{i} AS MATERIALIZED (
   SELECT coalesce(sum(r.r_fp), 0) AS m
   FROM r{i - 1} r LEFT JOIN outdeg o ON o.u = r.node WHERE o.u IS NULL
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          ({(_D_DEN - _D_NUM) * _R_SCALE} // ({_D_DEN} * nn.n))
          + ({_D_NUM} * (coalesce(f.s, 0) + (d.m // nn.n))) // {_D_DEN} AS r_fp
@@ -466,17 +466,17 @@ und AS (
 ),
 nodes AS (SELECT DISTINCT v FROM und),
 f0 AS (SELECT v FROM nodes ORDER BY v LIMIT 20),
-vis0 AS (SELECT v FROM f0)"""
+vis0 AS MATERIALIZED (SELECT v FROM f0)"""
     ]
     for i in range(1, _BFS_HOPS + 1):
         parts.append(
             f""",
-f{i} AS (
+f{i} AS MATERIALIZED (
   SELECT DISTINCT u.n AS v
   FROM und u JOIN f{i - 1} f ON f.v = u.v
   WHERE u.n NOT IN (SELECT v FROM vis{i - 1})
 ),
-vis{i} AS (SELECT v FROM vis{i - 1} UNION SELECT v FROM f{i})"""
+vis{i} AS MATERIALIZED (SELECT v FROM vis{i - 1} UNION SELECT v FROM f{i})"""
         )
     sel = ["SELECT 0 AS hop, (SELECT count(*) FROM f0) AS n_new, (SELECT count(*) FROM vis0) AS n_cum"]
     for i in range(1, _BFS_HOPS + 1):
