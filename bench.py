@@ -154,6 +154,7 @@ HEADLINE = [
     "sess_pattern_funnel",
     "ts_theilsen_trend",
     "ts_gap_fill_interp",
+    "text_chunk_overlap",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -343,6 +344,7 @@ BUDGETS: dict[str, float] = {
     "sess_pattern_funnel": 0.60,
     "ts_theilsen_trend": 0.90,
     "ts_gap_fill_interp": 0.75,
+    "text_chunk_overlap": 0.95,
     "graph_kcore": 2.55,
 }
 

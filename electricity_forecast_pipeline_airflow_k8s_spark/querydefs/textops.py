@@ -3278,3 +3278,63 @@ def q_text_cms_freq_est(spark: SparkSession, sf_dir: str):
         )
         .orderBy("token")
     )
+
+
+# -- context-window chunking with overlap -------------------------------------
+# Slice every document into fixed 40-token windows with stride 30
+# (10-token overlap) — the standard long-document preprocessing step for
+# a bounded-context trainer, as distinct from text_pack_chunks (which
+# PACKS short docs together). Chunk starts are 1 + k*stride for
+# k = 0..ceil(max(n-C,0)/S) (exact integer ceil-div), the tail chunk may
+# be short, and each chunk carries an md5 over its space-joined tokens so
+# the oracle pins CONTENT, not just counts. One explode, no shuffle
+# beyond the final sort; chunks per doc is ceil(n/S), linear in document
+# length.
+_CHUNK_C, _CHUNK_S = 40, 30
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE text IS NOT NULL
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+ks AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, ((greatest(n - {_CHUNK_C}, 0) + {_CHUNK_S} - 1)
+                          // {_CHUNK_S}) + 1)) AS k
+  FROM base
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_id,
+       CAST(k * {_CHUNK_S} + 1 AS INT) AS start_pos,
+       CAST(len(t[k * {_CHUNK_S} + 1 :
+                  least(k * {_CHUNK_S} + {_CHUNK_C}, n)]) AS INT) AS chunk_len,
+       md5(array_to_string(t[k * {_CHUNK_S} + 1 :
+                             least(k * {_CHUNK_S} + {_CHUNK_C}, n)], ' '))
+         AS chunk_md5
+FROM ks ORDER BY doc_id, chunk_id
+""",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str):
+    C, S = _CHUNK_C, _CHUNK_S
+    docs = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id", TX.tokens("text").alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    kmax = F.floor(
+        (F.greatest(F.col("n") - C, F.lit(0)) + (S - 1)) / S
+    ).cast("int")
+    ks = base.select(
+        "doc_id", "t", "n", F.explode(F.sequence(F.lit(0), kmax)).alias("k")
+    )
+    start = F.col("k") * S + 1
+    chunk = F.slice("t", start, F.lit(C))
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_pos"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
