@@ -86,6 +86,18 @@ def setsim_prefix_join(
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
     sets = _ordered_token_sets(docs, id_col, text_col).filter(F.col("s") > 0)
+    # three consumers (prefix index + both verify sides) would each
+    # re-tokenize and re-aggregate the corpus; persist the ordered sets so
+    # the corpus-sized pass runs ONCE (the standard multi-pass-algorithm
+    # cache — Spark's own MinHashLSH does the same). MEMORY_AND_DISK:
+    # token arrays can exceed executor memory at corpus scale. Bench mode
+    # (SPARK_GRAFT_SCOPED_CACHE=0) keeps the plan lazy for honest timing.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
 
     # prefix length p = s - ceil(t*s) + 1, exact integer ceil-division
     p = F.col("s") - F.floor((F.col("s") * num + den - 1) / den) + 1

@@ -1345,12 +1345,21 @@ FROM slopes GROUP BY 1 ORDER BY 1
 """.format(EVENTS_SRC=EVENTS_SRC),
 )
 def q_ts_theilsen_trend(spark: SparkSession, sf_dir: str):
+    import os
+
     daily = (
         table(spark, "events", sf_dir)
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
         .agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
     )
+    # the self-join would otherwise scan+aggregate events TWICE (the two
+    # branches plan different exchange types, so ReuseExchange cannot
+    # stamp them): persist the calendar-sized partials — groups x days
+    # rows — so the fact scan runs once (pagerank's scoped-cache pattern;
+    # bench mode keeps the plan lazy for honest timing)
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        daily = daily.persist()
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
         b,
