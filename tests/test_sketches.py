@@ -17,6 +17,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.sketches import (
     _bucket_expr,
     _bucket_py,
     cms_build,
+    cms_build_exprs,
     cms_estimate,
 )
 
@@ -99,3 +100,29 @@ def test_invalid_params_raise(spark):
         cms_build(tok, "token", depth=0, width=8)
     with pytest.raises(ValueError):
         cms_build(tok, "token", depth=2, width=0)
+
+
+def test_jvm_build_equals_local_grid_build(spark):
+    # CMS is linear: the JVM explode+hashagg build and the mapInPandas
+    # local-grid build must produce bit-identical cells
+    counts = {w: (i * 5) % 9 + 1 for i, w in enumerate(WORDS)}
+    tok = _token_df(spark, counts, 5)
+    a = sorted(tuple(r) for r in cms_build(tok, "token", depth=3, width=32).collect())
+    b = sorted(
+        tuple(r)
+        for r in cms_build_exprs(tok, "token", depth=3, width=32).collect()
+    )
+    assert a == b
+
+
+def test_jvm_build_shuffle_is_bounded(spark):
+    # partial aggregation must appear below the exchange so each partition
+    # ships at most depth*width cells, not one row per token occurrence
+    from electricity_forecast_pipeline_airflow_k8s_spark.plans.inspect import (
+        explain_str,
+    )
+
+    tok = _token_df(spark, {w: 10 for w in WORDS}, 4)
+    plan = explain_str(cms_build_exprs(tok, "token", depth=4, width=256))
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange, plan
