@@ -1385,3 +1385,63 @@ def q_sess_pattern_funnel(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_funnel_matches") > 0)
         .orderBy("user_id")
     )
+
+
+# -- streaming hopping-window top-k -------------------------------------------
+# Sliding (hopping) windows — 2h length, 1h hop, so every event lands in
+# TWO windows — counted by REAL Structured Streaming (file source,
+# availableNow, complete-mode memory sink), then ranked top-3 per window
+# in the batch read-back: the standard recipe, since window-function
+# ranking is unsupported on streaming DataFrames. Complements
+# stream_windowed_stats (tumbling). Spark's window() is epoch-aligned,
+# which the oracle reproduces as date_trunc('hour', ts) - k*1h for
+# k in {0,1}; ties rank deterministically by event_type.
+@register(
+    "stream_hopping_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start,
+         event_type
+  FROM {EVENTS_SRC} AS ev CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+  WHERE ts IS NOT NULL
+),
+c AS (SELECT window_start, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT window_start, event_type, n, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3 ORDER BY window_start, rk
+""",
+)
+def q_stream_hopping_topk(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.select("event_type", "ts").write.parquet(src)
+        stream = spark.readStream.schema("event_type string, ts timestamp").parquet(
+            src
+        )
+        counts = stream.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("stream_hopping_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("hopping-window stream did not finish in 300s")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        spark.table("stream_hopping_out")
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start", "rk")
+    )
