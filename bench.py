@@ -155,6 +155,7 @@ HEADLINE = [
     "ts_theilsen_trend",
     "ts_gap_fill_interp",
     "text_chunk_overlap",
+    "ts_w1_drift",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -345,6 +346,7 @@ BUDGETS: dict[str, float] = {
     "ts_theilsen_trend": 0.90,
     "ts_gap_fill_interp": 0.75,
     "text_chunk_overlap": 0.95,
+    "ts_w1_drift": 1.00,
     "graph_kcore": 2.55,
 }
 

@@ -1511,3 +1511,87 @@ def q_ts_gap_fill_interp(spark: SparkSession, sf_dir: str):
         (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
         F.col("v_obs").isNull().alias("is_gap"),
     ).orderBy("event_type", "hour")
+
+
+# -- Wasserstein-1 drift between first and last week --------------------------
+# Completes the drift quartet (ts_psi_drift bins, ts_ks_drift sup-CDF,
+# val_drift_chi2 categories): the earth-mover distance between the FIRST
+# 168 hourly means and the LAST 168 hourly means per event_type. For
+# equal-sized samples W1 is exactly mean|a_(i) - b_(i)| over rank-aligned
+# order statistics — no binning, no sup, the full-shape metric. All
+# windows run over the calendar-sized hourly series (the events-sized
+# work is one hash agg; same scale argument as ts_gap_fill_interp);
+# ranks-within-sample use the deterministic (value, hour) order and the
+# rank equi-join aligns the two order statistics.
+_W1_HOURS = 168
+
+
+@register(
+    "ts_w1_drift",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         floor(avg(value) * 1000000 + 0.5) / 1000000 AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM {{EVENTS_SRC}} AS events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+a AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rk
+  FROM hourly WHERE rn <= {_W1_HOURS}
+),
+b AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rk
+  FROM hourly WHERE rn > n_hours - {_W1_HOURS}
+)
+SELECT a.event_type,
+       count(*) AS n,
+       floor(avg(abs(a.v - b.v)) * 10000 + 0.5) / 10000 AS w1_drift
+FROM a JOIN b ON b.event_type = a.event_type AND b.rk = a.rk
+GROUP BY 1 ORDER BY 1
+""".format(EVENTS_SRC=EVENTS_SRC),
+)
+def q_ts_w1_drift(spark: SparkSession, sf_dir: str):
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    hourly = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_hours"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "h")
+    a = (
+        hourly.filter(F.col("rn") <= _W1_HOURS)
+        .select("event_type", "v", F.row_number().over(wv).alias("rk"))
+        .withColumnsRenamed({"v": "va"})
+    )
+    b = (
+        hourly.filter(F.col("rn") > F.col("n_hours") - _W1_HOURS)
+        .select("event_type", "v", F.row_number().over(wv).alias("rk"))
+        .withColumnsRenamed({"v": "vb"})
+    )
+    return (
+        a.join(b, ["event_type", "rk"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(F.avg(F.abs(F.col("va") - F.col("vb"))) * 10000 + 0.5)
+                / 10000
+            ).alias("w1_drift"),
+        )
+        .orderBy("event_type")
+    )
