@@ -189,6 +189,8 @@ ITERATIVE = [
     "rel_weighted_quantiles_scale",
     # fixed-point peeling: per-iteration count jobs at build time
     "graph_kcore",
+    # distributed prefix-sum: per-partition sum offsets job at build time
+    "rel_abc_classification",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -348,6 +350,7 @@ BUDGETS: dict[str, float] = {
     "text_chunk_overlap": 0.95,
     "ts_w1_drift": 1.00,
     "graph_kcore": 2.55,
+    "rel_abc_classification": 1.65,
 }
 
 

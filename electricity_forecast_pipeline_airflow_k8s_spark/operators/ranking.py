@@ -379,3 +379,73 @@ def ntile_global(
     return ranked.withColumn(
         tile_col, ntile_exact(F.col(rank_col), n, k)
     ).drop(rank_col)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Iterable[Column | str],
+    value_col: str,
+    *,
+    cum_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact distributed prefix sum of an INTEGER column over a total
+    order — ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single-partition window.
+
+    Same layout as :func:`global_rank`: parallel range sort, one tiny
+    per-partition job (here SUM instead of COUNT — at most
+    ``num_partitions`` rows collected), then a streaming ``mapInPandas``
+    adds each partition's value offset to its local cumsum. The value
+    column must be integral (callers scale decimals to a fixed-point
+    grid first): int64 accumulation is associative and exact, so the
+    result is bit-identical to the sequential definition at any
+    partitioning. Returns ``(frame + cum_col, grand_total)``.
+    """
+    spark = df.sparkSession
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = int(
+        num_partitions
+        if num_partitions is not None
+        else spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sorted_df = (
+        df.repartitionByRange(max(n_parts, 1), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    sums = {
+        r[_PID]: r["s"]
+        for r in sorted_df.groupBy(_PID)
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid in sorted(sums):
+        offsets[pid] = total
+        total += int(sums[pid] or 0)
+
+    out_schema = StructType(
+        [f for f in sorted_df.schema.fields if f.name != _PID]
+        + [StructField(cum_col, LongType(), False)]
+    )
+    data_cols = [f.name for f in sorted_df.schema.fields if f.name != _PID]
+
+    def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        base = None
+        for pdf in batches:
+            out = pdf[data_cols].copy()
+            if len(pdf):
+                if base is None:
+                    base = offsets[int(pdf[_PID].iloc[0])]
+                local = pdf[value_col].astype("int64").cumsum()
+                out[cum_col] = (local + (base + run)).astype("int64")
+                run += int(pdf[value_col].astype("int64").sum())
+            else:
+                out[cum_col] = pd.array([], dtype="int64")
+            yield out
+
+    return sorted_df.mapInPandas(add_cum, schema=out_schema), total

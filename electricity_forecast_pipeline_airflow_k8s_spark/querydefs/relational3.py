@@ -1047,3 +1047,91 @@ def q_rel_woe_iv(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bin")
     )
+
+
+# -- ABC / Pareto classification ---------------------------------------------
+# Inventory-analytics classic: rank parts by revenue, classify by
+# cumulative revenue share (A <= 80%, B <= 95%, C = tail). The global
+# running total — a SUM() OVER (ORDER BY ..) with no partition key, the
+# textbook single-task window — runs through
+# operators/ranking.py::global_prefix_sum instead: range repartition +
+# per-partition sum offsets, exact int64 arithmetic on a 1e-4 revenue
+# grid (the DECIMAL(18,2)x(1-disc) product has scale 4, so scaling by
+# 10^4 is lossless). Class predicates are integer-rational
+# (cum*5 <= total*4), float-free. The oracle uses the plain window
+# cumsum — the driver hash-match proves the distributed prefix sum
+# equals the sequential definition.
+@register(
+    "rel_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              * 10000 AS BIGINT) AS rev_fp
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, rev_fp,
+         sum(rev_fp) OVER (ORDER BY rev_fp DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING) AS cum_fp,
+         (SELECT sum(rev_fp) FROM rev) AS total_fp
+  FROM rev
+),
+classed AS (
+  SELECT CASE WHEN cum_fp * 5 <= total_fp * 4 THEN 'A'
+              WHEN cum_fp * 20 <= total_fp * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_fp, total_fp
+  FROM cum
+)
+SELECT abc_class,
+       count(*) AS n_parts,
+       floor(CAST(sum(rev_fp) AS DOUBLE) / 10000 * 100 + 0.5) / 100
+         AS class_revenue,
+       floor(CAST(sum(rev_fp) AS DOUBLE) / max(total_fp) * 10000 + 0.5)
+         / 10000 AS revenue_share
+FROM classed GROUP BY 1 ORDER BY 1
+""",
+)
+def q_rel_abc_classification(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    li = table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("rev_fp")
+    )
+    cum, total = global_prefix_sum(
+        rev, [F.col("rev_fp").desc(), "l_partkey"], "rev_fp", cum_col="cum_fp"
+    )
+    classed = cum.select(
+        F.when(F.col("cum_fp") * 5 <= total * 4, "A")
+        .when(F.col("cum_fp") * 20 <= total * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_fp",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.floor(F.sum("rev_fp").cast("double") / 10000 * 100 + 0.5) / 100
+            ).alias("class_revenue"),
+            (
+                F.floor(F.sum("rev_fp").cast("double") / total * 10000 + 0.5)
+                / 10000
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -184,3 +184,38 @@ def test_weighted_quantiles_unit_weights_edge_cases(spark):
     assert weighted_quantiles(empty, "v", "w", [(1, 2)]).count() == 0
     with pytest.raises(ValueError):
         weighted_quantiles(df, "v", "w", [(3, 2)])
+
+
+def test_global_prefix_sum_matches_sequential(spark):
+    import random
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(99)
+    rows = [(i, rng.randint(-50, 100)) for i in range(500)]
+    for parts in (1, 4, 16):
+        df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+        out, total = global_prefix_sum(df, ["k"], "v", cum_col="c", num_partitions=parts)
+        got = {r["k"]: r["c"] for r in out.collect()}
+        run = 0
+        for k, v in sorted(rows):
+            run += v
+            assert got[k] == run
+        assert total == sum(v for _, v in rows)
+
+
+def test_global_prefix_sum_desc_order_with_tiebreak(spark):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", 5), ("b", 5), ("c", 1)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out, total = global_prefix_sum(
+        df, [F.col("v").desc(), "k"], "v", cum_col="c", num_partitions=3
+    )
+    got = {r["k"]: r["c"] for r in out.collect()}
+    assert got == {"a": 5, "b": 10, "c": 11} and total == 11
