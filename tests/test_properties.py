@@ -495,3 +495,64 @@ def test_merge_upsert_row_accounting(spark, sf_dir):
     n_inserts = base.filter(F.col("o_orderpriority") == "2-HIGH").count()
     out = registry()["rel_merge_upsert"].build(spark, sf_dir).toPandas()
     assert out["n_orders"].sum() == n_base + n_inserts
+
+
+# -- round-5 operator properties ---------------------------------------------
+
+prefix_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200
+)
+
+
+@given(vals=prefix_vals, parts=st.integers(min_value=1, max_value=8))
+@_settings
+def test_global_prefix_sum_property(spark, vals, parts):
+    """Distributed prefix sum == sequential cumsum for ANY values and ANY
+    partitioning; grand total == sum."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+    out, total = global_prefix_sum(df, ["k"], "v", cum_col="c", num_partitions=parts)
+    got = {r["k"]: r["c"] for r in out.collect()}
+    run = 0
+    for k, v in rows:
+        run += v
+        assert got[k] == run
+    assert total == sum(vals)
+
+
+corpus = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=10
+    ),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(docs=corpus, num=st.sampled_from([1, 3, 7, 9]), den=st.just(10))
+@_settings
+def test_setsim_prefix_join_property(spark, docs, num, den):
+    """Prefix-filtering join == brute force for ANY corpus and threshold:
+    the filter must lose nothing and admit nothing extra."""
+    import itertools
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.setsim import (
+        setsim_prefix_join,
+    )
+
+    rows = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in setsim_prefix_join(df, num=num, den=den).collect()
+    }
+    sets = {i: frozenset(t.split()) for i, t in rows}
+    want = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        if inter * den >= num * (len(sa) + len(sb) - inter):
+            want.add((ia, ib))
+    assert got == want
