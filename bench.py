@@ -156,6 +156,8 @@ HEADLINE = [
     "ts_gap_fill_interp",
     "text_chunk_overlap",
     "ts_w1_drift",
+    "rel_purchase_gap_stats",
+    "sess_touch_attribution",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -349,6 +351,8 @@ BUDGETS: dict[str, float] = {
     "ts_gap_fill_interp": 0.75,
     "text_chunk_overlap": 0.95,
     "ts_w1_drift": 1.00,
+    "rel_purchase_gap_stats": 0.95,
+    "sess_touch_attribution": 0.80,
     "graph_kcore": 2.55,
     "rel_abc_classification": 1.65,
 }

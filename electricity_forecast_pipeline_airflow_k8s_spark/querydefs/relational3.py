@@ -1135,3 +1135,65 @@ def q_rel_abc_classification(spark: SparkSession, sf_dir: str):
         )
         .orderBy("abc_class")
     )
+
+
+# -- inter-purchase gap analysis ----------------------------------------------
+# Median days between consecutive orders per customer, rolled up to the
+# market segment: the inter-arrival statistic behind replenishment
+# forecasting and churn flags ("customer's usual cadence"). Two-level:
+# lag window per customer (bounded by orders-per-customer), exact median
+# of the per-customer medians per segment — medians of integer day
+# counts interpolate identically on both engines. Customers with a
+# single order contribute no gap.
+@register(
+    "rel_purchase_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate::TIMESTAMP) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate::TIMESTAMP, o_orderkey),
+                  o_orderdate::TIMESTAMP) AS gap_days
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, quantile_cont(gap_days, 0.5) AS med_gap,
+         count(*) AS n_gaps
+  FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(p.n_gaps) AS BIGINT) AS n_gaps,
+       floor(quantile_cont(p.med_gap, 0.5) * 10000 + 0.5) / 10000
+         AS median_gap_days
+FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_rel_purchase_gap_stats(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.median("gap_days").alias("med_gap"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_gaps").cast("long").alias("n_gaps"),
+            (F.floor(F.median("med_gap") * 10000 + 0.5) / 10000).alias(
+                "median_gap_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

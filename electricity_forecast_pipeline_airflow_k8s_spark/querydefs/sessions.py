@@ -1445,3 +1445,100 @@ def q_stream_hopping_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") <= 3)
         .orderBy("window_start", "rk")
     )
+
+
+# -- first-touch / last-touch attribution -------------------------------------
+# The two classical single-touch attribution models in one result,
+# completing the attribution family (sess_shapley_attribution exact
+# Shapley, sess_markov_transitions removal-effect input): segment each
+# user's stream at purchases (exclusive running purchase count), and for
+# every segment that ends in a purchase credit the FIRST and LAST
+# non-purchase event type in it. Spark derives first/last via min/max
+# over (ts, event_id, type) structs in ONE hash agg per segment
+# (null-skipping min — no window over raw events needed beyond the
+# running count); the oracle independently uses two row_number windows
+# and picks rn=1 per direction. Segments are per user and bounded by
+# user activity.
+@register(
+    "sess_touch_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM {EVENTS_SRC} AS events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+seg AS (
+  SELECT *, coalesce(sum(isp) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM ev
+),
+nonp AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, s
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, s
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM seg WHERE isp = 0
+),
+purch AS (SELECT DISTINCT user_id, s FROM seg WHERE isp = 1),
+ft AS (
+  SELECT n.event_type, count(*) AS c FROM nonp n
+  JOIN purch p USING (user_id, s) WHERE n.rn_a = 1 GROUP BY 1
+),
+lt AS (
+  SELECT n.event_type, count(*) AS c FROM nonp n
+  JOIN purch p USING (user_id, s) WHERE n.rn_d = 1 GROUP BY 1
+)
+SELECT coalesce(ft.event_type, lt.event_type) AS event_type,
+       coalesce(ft.c, 0) AS first_touch,
+       coalesce(lt.c, 0) AS last_touch
+FROM ft FULL JOIN lt ON lt.event_type = ft.event_type
+ORDER BY 1
+""",
+)
+def q_sess_touch_attribution(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            (F.col("event_type") == "purchase").cast("int").alias("isp"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = ev.withColumn("s", F.coalesce(F.sum("isp").over(w), F.lit(0)))
+    nonp_struct = F.when(
+        F.col("isp") == 0, F.struct("ts", "event_id", "event_type")
+    )
+    per_seg = seg.groupBy("user_id", "s").agg(
+        F.max("isp").alias("has_p"),
+        F.min(nonp_struct).alias("ft"),
+        F.max(nonp_struct).alias("lt"),
+    )
+    credited = per_seg.filter(
+        (F.col("has_p") == 1) & F.col("ft").isNotNull()
+    )
+    ft = credited.groupBy(F.col("ft.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    lt = credited.groupBy(F.col("lt.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    return (
+        ft.join(lt, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+        )
+        .orderBy("event_type")
+    )
