@@ -158,6 +158,8 @@ HEADLINE = [
     "ts_w1_drift",
     "rel_purchase_gap_stats",
     "sess_touch_attribution",
+    "val_volume_anomaly_days",
+    "ts_missing_block_report",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -353,6 +355,8 @@ BUDGETS: dict[str, float] = {
     "ts_w1_drift": 1.00,
     "rel_purchase_gap_stats": 0.95,
     "sess_touch_attribution": 0.80,
+    "val_volume_anomaly_days": 1.10,
+    "ts_missing_block_report": 0.65,
     "graph_kcore": 2.55,
     "rel_abc_classification": 1.65,
 }

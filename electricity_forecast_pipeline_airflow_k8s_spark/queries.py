@@ -39,6 +39,8 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "val_volume_anomaly_days",
+    "ts_missing_block_report",
     "rel_purchase_gap_stats",
     "sess_touch_attribution",
     "rel_abc_classification",
@@ -162,9 +164,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 22 newest never-proven queries above push
-    # the cut boundary 22 rows up — the last 22 window rows before this
-    # note (text_lang_id onward) now overflow the driver's 50-query cut
+    # Round-6 rotation TODO: the 24 newest never-proven queries above push
+    # the cut boundary 24 rows up — the last 24 window rows before this
+    # note (text_fingerprint onward) now overflow the driver's 50-query cut
     # and lead round 6 together with emb_top_pc_power_iteration and any
     # round-6 additions, then the late-r4 rows (ts_cusum_changepoint
     # onward), then the displaced r1 cohort, then the remaining r2 cohort,

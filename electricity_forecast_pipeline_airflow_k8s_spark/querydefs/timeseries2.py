@@ -1595,3 +1595,99 @@ def q_ts_w1_drift(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- missing-block report (gaps-and-islands on the hourly spine) --------------
+# The structural complement to the gap FILLS (ts_gap_fill_locf/interp)
+# and per-row gap stats (val_gap_stats): contiguous RUNS of missing
+# hours per event_type — how many blocks, the longest outage, and when
+# it started; the shape an ingest post-mortem actually asks for. Spark
+# derives islands with the lag-flag + running-sum construction; the
+# oracle independently uses the h - rn*1h constant-per-island trick.
+# All inputs are the calendar-sized spine (events-sized work is one
+# hash agg).
+@register(
+    "ts_missing_block_report",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS h
+  FROM {{EVENTS_SRC}} AS events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(h) AS t0, max(h) AS t1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.t0, s.t1, INTERVAL 1 HOUR)) AS h
+  FROM span s
+),
+missing AS (
+  SELECT g.event_type, g.h FROM grid g
+  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h
+  WHERE o.h IS NULL
+),
+isl AS (
+  SELECT event_type, h,
+         h - (row_number() OVER (PARTITION BY event_type ORDER BY h)
+              * INTERVAL 1 HOUR) AS grp
+  FROM missing
+),
+blocks AS (
+  SELECT event_type, grp, count(*) AS len, min(h) AS bstart
+  FROM isl GROUP BY 1, 2
+),
+mx AS (SELECT event_type, max(len) AS longest FROM blocks GROUP BY 1)
+SELECT b.event_type,
+       CAST(sum(b.len) AS BIGINT) AS n_missing_hours,
+       count(*) AS n_blocks,
+       max(m.longest) AS longest_block,
+       min(CASE WHEN b.len = m.longest THEN b.bstart END)
+         AS longest_block_start
+FROM blocks b JOIN mx m ON m.event_type = b.event_type
+GROUP BY 1 ORDER BY 1
+""".format(EVENTS_SRC=EVENTS_SRC),
+)
+def q_ts_missing_block_report(spark: SparkSession, sf_dir: str):
+    obs = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("h").alias("t0"), F.max("h").alias("t1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    missing = grid.join(obs, ["event_type", "h"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("h")
+    prev = F.lag("h").over(w)
+    flagged = missing.withColumn(
+        "new_blk",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("h") - F.unix_timestamp(prev) != 3600),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "blk",
+        F.sum("new_blk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    blocks = flagged.groupBy("event_type", "blk").agg(
+        F.count(F.lit(1)).alias("len"), F.min("h").alias("bstart")
+    )
+    mx = F.max("len").over(Window.partitionBy("event_type"))
+    return (
+        blocks.withColumn("longest", mx)
+        .groupBy("event_type")
+        .agg(
+            F.sum("len").cast("long").alias("n_missing_hours"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("longest").alias("longest_block"),
+            F.min(
+                F.when(F.col("len") == F.col("longest"), F.col("bstart"))
+            ).alias("longest_block_start"),
+        )
+        .orderBy("event_type")
+    )

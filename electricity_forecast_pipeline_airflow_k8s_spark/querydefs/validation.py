@@ -898,3 +898,82 @@ def q_val_monotonic_event_ids(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- volume anomaly report (MAD on daily counts) ------------------------------
+# val_mad_outliers flags anomalous VALUES; this reports anomalous
+# VOLUMES: per event_type the robust center/scale of the daily event
+# count (median + MAD) and how many days breach the 3 x 1.4826 x MAD
+# fence — the ingest-health check that catches dropped or duplicated
+# feeds a mean-based rule misses. Per-type summary grain so the result
+# pins the robust statistics even when no day breaches (the synthetic
+# feed is healthy: n_anomalies 0 is the CORRECT answer, and the
+# median/MAD columns keep the comparison non-trivial). Counts are exact
+# integers; integer medians interpolate identically on both engines.
+@register(
+    "val_volume_anomaly_days",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS c
+  FROM {{EVENTS_SRC}} AS events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med_c FROM daily GROUP BY 1
+),
+mad AS (
+  SELECT d.event_type, m.med_c,
+         quantile_cont(abs(d.c - m.med_c), 0.5) AS mad_c
+  FROM daily d JOIN med m USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT d.event_type,
+       count(*) AS n_days,
+       min(d.c) AS min_daily,
+       max(d.c) AS max_daily,
+       floor(m.med_c * 10000 + 0.5) / 10000 AS median_daily,
+       floor(m.mad_c * 10000 + 0.5) / 10000 AS mad_daily,
+       CAST(sum(CASE WHEN abs(d.c - m.med_c) > 3 * 1.4826 * m.mad_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM daily d JOIN mad m ON m.event_type = d.event_type
+GROUP BY 1, m.med_c, m.mad_c
+ORDER BY 1
+""".format(EVENTS_SRC=EVENTS_SRC),
+)
+def q_val_volume_anomaly_days(spark: SparkSession, sf_dir: str):
+    daily = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    med = daily.groupBy("event_type").agg(F.median("c").alias("med_c"))
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type", "med_c")
+        .agg(F.median(F.abs(F.col("c") - F.col("med_c"))).alias("mad_c"))
+    )
+    breach = F.abs(F.col("c") - F.col("med_c")) > 3 * 1.4826 * F.col("mad_c")
+    return (
+        daily.join(mad, "event_type")
+        .groupBy("event_type", "med_c", "mad_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("c").alias("min_daily"),
+            F.max("c").alias("max_daily"),
+            F.sum(breach.cast("int")).cast("long").alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "min_daily",
+            "max_daily",
+            (F.floor(F.col("med_c") * 10000 + 0.5) / 10000).alias("median_daily"),
+            (F.floor(F.col("mad_c") * 10000 + 0.5) / 10000).alias("mad_daily"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
