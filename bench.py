@@ -160,6 +160,7 @@ HEADLINE = [
     "sess_touch_attribution",
     "val_volume_anomaly_days",
     "ts_missing_block_report",
+    "sim_topk_hamming",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -357,6 +358,7 @@ BUDGETS: dict[str, float] = {
     "sess_touch_attribution": 0.80,
     "val_volume_anomaly_days": 1.10,
     "ts_missing_block_report": 0.65,
+    "sim_topk_hamming": 1.15,
     "graph_kcore": 2.55,
     "rel_abc_classification": 1.65,
 }

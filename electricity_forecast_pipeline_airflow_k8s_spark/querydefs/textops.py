@@ -3338,3 +3338,77 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str):
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# -- binary-embedding Hamming top-k ------------------------------------------
+# The third ANN speed tier after float cosine (sim_topk_bruteforce) and
+# int8 (emb_quantize_int8): binarize each 64-d embedding to its sign
+# bits packed into TWO 32-bit halves (a single 1<<63 overflows DuckDB's
+# checked shift, and two halves keep every constant in safe range),
+# then rank neighbors by Hamming distance — bit_count(xor) on packed
+# integers, the 32x-compression recall workhorse. Same query set and
+# tie-break conventions as the cosine top-k; all arithmetic is integer
+# exact, so the oracle pins it bit-level.
+def _ham_code_sql(half: int) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{half * 32 + i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(32)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "sim_topk_hamming",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id, {_ham_code_sql(0)} AS c0, {_ham_code_sql(1)} AS c1
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.c0, c.c0)) + bit_count(xor(q.c1, c.c1)) AS hamming
+  FROM (SELECT * FROM codes WHERE vec_id < 10) q
+  CROSS JOIN codes c
+  WHERE c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_sim_topk_hamming(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+
+    def code(half: int):
+        out = F.lit(0)
+        for i in range(32):
+            out = out + F.when(
+                F.element_at("embedding", half * 32 + i + 1) >= 0, F.lit(2**i)
+            ).otherwise(0)
+        return out.cast("long")
+
+    codes = emb.select("vec_id", code(0).alias("c0"), code(1).alias("c1"))
+    q = (
+        codes.filter(F.col("vec_id") < 10)
+        .withColumnsRenamed({"vec_id": "query_id", "c0": "q0", "c1": "q1"})
+    )
+    ham = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+    ).cast("long")
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
