@@ -39,6 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "sess_entropy_rate",
     "sim_topk_hamming",
     "val_volume_anomaly_days",
     "ts_missing_block_report",
@@ -165,10 +166,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 25 newest never-proven queries above push
-    # the cut boundary 25 rows up — the last 25 window rows before this
-    # note (stream_windowed_stats onward) now overflow the driver's
-    # 50-query cut
+    # Round-6 rotation TODO: the 26 newest never-proven queries above push
+    # the cut boundary 26 rows up — the last 26 window rows before this
+    # note (sim_topk_lsh onward) now overflow the driver's 50-query cut
     # and lead round 6 together with emb_top_pc_power_iteration and any
     # round-6 additions, then the late-r4 rows (ts_cusum_changepoint
     # onward), then the displaced r1 cohort, then the remaining r2 cohort,

@@ -1542,3 +1542,73 @@ def q_sess_touch_attribution(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- Markov entropy rate of the event stream ----------------------------------
+# The information-theoretic summary on top of sess_markov_transitions:
+# H = -sum_u p(u) sum_v p(v|u) log2 p(v|u), with p(u) the empirical
+# source distribution of transition origins — how predictable the next
+# event type is given the current one (complements ts_permutation_entropy,
+# which looks at VALUE ordinal patterns). Exact integer transition
+# counts; the log2/ratio arithmetic runs on identical doubles and the
+# per-term quantization before the final sum keeps accumulation
+# order-free.
+@register(
+    "sess_entropy_rate",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM {EVENTS_SRC} AS ev
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+trans AS (
+  SELECT event_type AS u, nxt AS v, count(*) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (SELECT u, sum(c) AS tot FROM trans GROUP BY 1),
+n AS (SELECT sum(c) AS total FROM trans),
+terms AS (
+  SELECT t.u,
+         CAST(floor(-(t.c * 1.0 / o.tot) * log2(t.c * 1.0 / o.tot)
+                    * (o.tot * 1.0 / n.total) * 1000000000 + 0.5)
+              AS DECIMAL(28,0)) AS term_fp
+  FROM trans t JOIN outdeg o ON o.u = t.u CROSS JOIN n
+)
+SELECT CAST((SELECT sum(c) FROM trans) AS BIGINT) AS n_transitions,
+       floor(CAST(sum(term_fp) AS DOUBLE) / 1000000000 * 10000 + 0.5)
+         / 10000 AS entropy_rate_bits
+FROM terms
+""",
+)
+def q_sess_entropy_rate(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("u"), F.col("nxt").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    outdeg = trans.groupBy("u").agg(F.sum("c").alias("tot"))
+    n = trans.agg(F.sum("c").alias("total"))
+    p_vu = F.col("c") * 1.0 / F.col("tot")
+    term = (
+        F.floor(
+            -p_vu * F.log2(p_vu) * (F.col("tot") * 1.0 / F.col("total")) * 1e9
+            + 0.5
+        )
+    ).cast("decimal(28,0)")
+    terms = trans.join(outdeg, "u").crossJoin(F.broadcast(n)).select(
+        term.alias("term_fp"), "c"
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        (
+            F.floor(F.sum("term_fp").cast("double") / 1e9 * 10000 + 0.5) / 10000
+        ).alias("entropy_rate_bits"),
+    )
