@@ -161,6 +161,13 @@ HEADLINE = [
     "val_volume_anomaly_days",
     "ts_missing_block_report",
     "sim_topk_hamming",
+    "sess_entropy_rate",
+    # survival / long-memory / forecast-eval batch
+    "rel_km_repurchase",
+    "ts_hurst_rs",
+    "ts_pinball_loss",
+    "rel_decile_lift",
+    "ts_ljung_box",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -361,6 +368,12 @@ BUDGETS: dict[str, float] = {
     "sim_topk_hamming": 1.15,
     "graph_kcore": 2.55,
     "rel_abc_classification": 1.65,
+    "sess_entropy_rate": 0.90,
+    "rel_km_repurchase": 0.91,
+    "ts_hurst_rs": 1.18,
+    "ts_pinball_loss": 0.97,
+    "rel_decile_lift": 0.80,
+    "ts_ljung_box": 1.19,
 }
 
 

@@ -39,6 +39,11 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "rel_km_repurchase",
+    "ts_hurst_rs",
+    "ts_pinball_loss",
+    "rel_decile_lift",
+    "ts_ljung_box",
     "sess_entropy_rate",
     "sim_topk_hamming",
     "val_volume_anomaly_days",

@@ -1,0 +1,226 @@
+"""Hand-model / reference-implementation tests for the survival,
+long-memory, forecast-eval, lift, and Ljung-Box operators (stats6).
+
+Each test writes a tiny parquet fixture dir, runs the registered query on
+it, and compares against an independent pure-Python computation (or a
+hand-computed model), so correctness is pinned without the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+
+def _write_orders(spark, path, rows):
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).coalesce(1).write.parquet(f"{path}/orders.parquet")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{path}/events.parquet")
+
+
+def _km_reference(subjects):
+    """Pure-Python product-limit estimator.
+
+    subjects: list of (t, event_flag). Returns {t: survival} at event times.
+    """
+    n = len(subjects)
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    removed = defaultdict(int)
+    for t, ev in subjects:
+        removed[t] += 1
+        if ev:
+            d[t] += 1
+    s = 1.0
+    at_risk = n
+    out = {}
+    for t in sorted(removed):
+        if d[t]:
+            s *= 1.0 - d[t] / at_risk
+            out[t] = s
+        at_risk -= removed[t]
+    return out
+
+
+def test_km_repurchase_matches_reference(spark, tmp_path):
+    # 3 customers; global max date comes from customer 3's last order
+    base = dt.datetime(2020, 1, 1)
+    orders = [
+        # cust 1: days 0, 1, 3 -> gaps 1, 2; censored tail 10 - 3 = 7
+        (1, 1, base),
+        (2, 1, base + dt.timedelta(days=1)),
+        (3, 1, base + dt.timedelta(days=3)),
+        # cust 2: days 2, 4 -> gap 2; censored tail 6
+        (4, 2, base + dt.timedelta(days=2)),
+        (5, 2, base + dt.timedelta(days=4)),
+        # cust 3: day 10 only -> censored tail 0
+        (6, 3, base + dt.timedelta(days=10)),
+    ]
+    _write_orders(spark, str(tmp_path), orders)
+    rows = registry()["rel_km_repurchase"].build(spark, str(tmp_path)).collect()
+
+    subjects = [(1, 1), (2, 1), (7, 0), (2, 1), (6, 0), (0, 0)]
+    ref = _km_reference(subjects)
+    got = {r["t_days"]: r["survival"] for r in rows}
+    assert set(got) == set(ref)
+    for t, s in ref.items():
+        assert got[t] == pytest.approx(s, abs=1e-4), t
+    # survival must be non-increasing and n_risk strictly decreasing
+    ordered = sorted(rows, key=lambda r: r["t_days"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["survival"] <= a["survival"] + 1e-12
+        assert b["n_risk"] < a["n_risk"]
+
+
+def _rs_reference(xs, w):
+    """Mean log2(R/S) over full chunks of size w (population std)."""
+    n_chunks = len(xs) // w
+    vals = []
+    for c in range(n_chunks):
+        chunk = xs[c * w : (c + 1) * w]
+        m = sum(chunk) / w
+        cum = 0.0
+        devs = []
+        for x in chunk:
+            cum += x - m
+            devs.append(cum)
+        r = max(devs) - min(devs)
+        s = math.sqrt(sum((x - m) ** 2 for x in chunk) / w)
+        if s > 0:
+            vals.append(math.log2(r / s))
+    return (sum(vals) / len(vals), len(vals)) if vals else (None, 0)
+
+
+def test_hurst_rs_matches_reference(spark, tmp_path):
+    # 64 dense hours with a deterministic irregular count pattern
+    base = dt.datetime(2020, 1, 1)
+    counts = [((7 * h) % 5) + ((h * h) % 3) + 1 for h in range(64)]
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=5), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["window_hours"]: r
+        for r in registry()["ts_hurst_rs"].build(spark, str(tmp_path)).collect()
+    }
+    # sizes 16 and 32 and 64 fit; 128 has no full chunk
+    assert set(got) == {16, 32, 64}
+    ys = {}
+    for w in (16, 32, 64):
+        ref, n_chunks = _rs_reference(counts, w)
+        assert got[w]["n_chunks"] == n_chunks
+        assert got[w]["mean_log2_rs"] == pytest.approx(ref, abs=1e-4)
+        ys[w] = ref
+    # slope of the 3-point fit
+    pts = [(math.log2(w), ys[w]) for w in ys]
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    for r in got.values():
+        assert r["hurst_exponent"] == pytest.approx(slope, abs=1e-3)
+
+
+def test_pinball_loss_hand_model(spark, tmp_path):
+    # 10 days x 1 hour-of-day; train = first 8 days with hv = 1..8, so
+    # q-quantiles (linear interpolation over sorted 1..8) are
+    # f_q = 1 + 7q; test days have hv = 10 and 0.
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for d in range(8):
+        rows.append((d, base + dt.timedelta(days=d), 1, "a", float(d + 1), "{}"))
+    rows.append((8, base + dt.timedelta(days=8), 1, "a", 10.0, "{}"))
+    rows.append((9, base + dt.timedelta(days=9), 1, "a", 0.0, "{}"))
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["quantile"]: r
+        for r in registry()["ts_pinball_loss"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0.1, 0.5, 0.9}
+    for q in (0.1, 0.5, 0.9):
+        f = 1 + 7 * q
+        terms = [max(q * (y - f), (q - 1) * (y - f)) for y in (10.0, 0.0)]
+        assert got[q]["n_test_hours"] == 2
+        assert got[q]["pinball_loss"] == pytest.approx(
+            sum(terms) / 2, abs=1e-4
+        ), q
+
+
+def test_decile_lift_hand_model(spark, tmp_path):
+    # 20 customers, balances 20..1; buyers = the 4 highest-balance
+    # customers plus the 2 lowest. Base rate = 6/20.
+    cust = [(i, float(21 - i)) for i in range(1, 21)]
+    spark.createDataFrame(cust, "c_custkey long, c_acctbal double").coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    buyers = [1, 2, 3, 4, 19, 20]
+    orders = [
+        (i, c, dt.datetime(2020, 1, 1) + dt.timedelta(days=i))
+        for i, c in enumerate(buyers)
+    ]
+    _write_orders(spark, str(tmp_path), orders)
+    rows = registry()["rel_decile_lift"].build(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    by_d = {r["decile"]: r for r in rows}
+    # deciles of 2: decile 1 = custkeys 1,2 (buyers), decile 2 = 3,4 ...
+    assert by_d[1]["n_buyers"] == 2 and by_d[2]["n_buyers"] == 2
+    assert by_d[10]["n_buyers"] == 2
+    assert sum(r["n_buyers"] for r in rows) == 6
+    base_rate = 6 / 20
+    # cumulative lift at decile 2: 4 buyers in 4 customers -> 1/base
+    assert by_d[2]["cum_lift"] == pytest.approx(1.0 / base_rate, abs=1e-4)
+    # final decile returns lift to exactly 1
+    assert by_d[10]["cum_lift"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ljung_box_periodic_series(spark, tmp_path):
+    # alternating hourly counts 1, 9, 1, 9, ... over 48 hours: rho_1 -> -1,
+    # rho_2 -> +1 (up to the 1/n mean-offset bias), and Q blows up far past
+    # any white-noise critical value.
+    base = dt.datetime(2020, 1, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        c = 9 if h % 2 else 1
+        for _ in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=1), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["lag"]: r
+        for r in registry()["ts_ljung_box"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1]["rho"] < -0.9
+    assert got[2]["rho"] > 0.9
+    assert got[6]["q_ljung_box"] > 100  # chi2(6) 99.9% crit ~ 22.5
+    # Q is cumulative, so it must be non-decreasing in lag
+    qs = [got[k]["q_ljung_box"] for k in sorted(got)]
+    assert qs == sorted(qs)
+    # cross-check rho_1 against the exact autocovariance-ratio definition
+    xs = [9 if h % 2 else 1 for h in range(48)]
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs)
+    c1 = sum((xs[t] - m) * (xs[t - 1] - m) for t in range(1, n))
+    assert got[1]["rho"] == pytest.approx(c1 / c0, abs=1e-4)
