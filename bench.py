@@ -168,6 +168,8 @@ HEADLINE = [
     "ts_pinball_loss",
     "rel_decile_lift",
     "ts_ljung_box",
+    "rel_bitmap_overlap",
+    "ts_granger_lag1",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -374,6 +376,8 @@ BUDGETS: dict[str, float] = {
     "ts_pinball_loss": 0.97,
     "rel_decile_lift": 0.80,
     "ts_ljung_box": 1.19,
+    "rel_bitmap_overlap": 0.62,
+    "ts_granger_lag1": 0.52,
 }
 
 

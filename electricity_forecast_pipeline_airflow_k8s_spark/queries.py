@@ -39,6 +39,8 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "rel_bitmap_overlap",
+    "ts_granger_lag1",
     "rel_km_repurchase",
     "ts_hurst_rs",
     "ts_pinball_loss",

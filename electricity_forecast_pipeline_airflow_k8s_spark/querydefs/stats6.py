@@ -711,3 +711,284 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str):
         portable_round(F.col("r"), 4).alias("rho"),
         portable_round(F.col("q_stat"), 4).alias("q_ljung_box"),
     ).orderBy("event_type", "lag")
+
+
+# -- Packed-bitmap audience overlap -----------------------------------------
+# Pairwise user-audience overlap between event types via 32-bit packed
+# bitmap words: users are bucketed into word = user_id // 32 with a
+# bit_or-merged mask per (type, word), and each pair's overlap is
+# sum(bit_count(a & b)) over a word-aligned equi-join — the roaring-
+# bitmap-index layout for segment-intersection counting at scale (masks
+# stay in BIGINT; bit 31 max, so no signed-shift overflow in either
+# engine). Oracle: plain DISTINCT self-join COUNT — independent.
+#
+# Scale: one distinct shuffle on (type, user); bitmaps compress the join
+# input ~32x vs raw user rows, the pair join is word-partitioned (no
+# all-pairs blowup), and masks merge associatively (bit_or), so partial
+# aggregation works map-side.
+@register(
+    "rel_bitmap_overlap",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id
+  FROM {EVENTS_SRC} AS e WHERE user_id IS NOT NULL
+),
+sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_overlap
+  FROM du a
+  JOIN du b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(p.n_overlap AS BIGINT) AS n_overlap,
+       floor(p.n_overlap * 1.0 / (sa.n + sb.n - p.n_overlap) * 10000 + 0.5)
+         / 10000 AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+WHERE p.n_overlap > 0
+ORDER BY p.type_a, p.type_b
+""",
+)
+def q_rel_bitmap_overlap(spark: SparkSession, sf_dir: str):
+    du = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    bitmaps = du.groupBy(
+        "event_type", F.floor(F.col("user_id") / 32).alias("word")
+    ).agg(
+        # F.shiftleft only takes a literal bit count; the per-row shift
+        # goes through expr (bit 31 max, so the mask stays positive)
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    sizes = bitmaps.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n")
+    )
+    a = bitmaps.alias("a")
+    b = bitmaps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.word") == F.col("a.word"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))).alias(
+                "n_overlap"
+            )
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            portable_round(
+                F.col("n_overlap")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# -- Lag-1 Granger causality between click and purchase volumes -------------
+# Does the hourly click count help predict the next hour's purchase count
+# (and vice versa)? Restricted model y_t ~ y_{t-1} vs unrestricted
+# y_t ~ y_{t-1} + x_{t-1}; F = (RSS_r - RSS_u) / (RSS_u / (n - 3)) with
+# both RSS from closed-form normal equations on exact-integer sums over
+# the dense zero-filled spine, so every double op is the identical
+# expression on identical inputs in both engines.
+#
+# Scale: the fact collapses to one row per hour per type at the first
+# groupBy; everything after runs on spine-sized data.
+@register(
+    "ts_granger_lag1",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS h
+  FROM {EVENTS_SRC} AS e
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds))) AS h
+),
+series AS (
+  SELECT s.h,
+         coalesce(c.n_click, 0) AS click, coalesce(c.n_purch, 0) AS purch
+  FROM spine s
+  LEFT JOIN (
+    SELECT h,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+    FROM ev GROUP BY h
+  ) c ON c.h = s.h
+),
+lagged AS (
+  SELECT h, click, purch,
+         lag(click) OVER (ORDER BY h) AS click_1,
+         lag(purch) OVER (ORDER BY h) AS purch_1
+  FROM series
+),
+obs AS (
+  SELECT 'click->purchase' AS direction, purch AS y, purch_1 AS ylag,
+         click_1 AS xlag
+  FROM lagged WHERE click_1 IS NOT NULL
+  UNION ALL
+  SELECT 'purchase->click', click, click_1, purch_1
+  FROM lagged WHERE purch_1 IS NOT NULL
+),
+sums AS (
+  SELECT direction, count(*) AS n,
+         sum(y) AS sy, sum(ylag) AS s1, sum(xlag) AS s2,
+         sum(y * y) AS syy, sum(ylag * ylag) AS s11, sum(xlag * xlag) AS s22,
+         sum(ylag * xlag) AS s12, sum(y * ylag) AS s1y, sum(y * xlag) AS s2y
+  FROM obs GROUP BY 1
+),
+cent AS (
+  SELECT direction, n,
+         syy - sy * 1.0 * sy / n AS cyy,
+         s11 - s1 * 1.0 * s1 / n AS c11,
+         s22 - s2 * 1.0 * s2 / n AS c22,
+         s12 - s1 * 1.0 * s2 / n AS c12,
+         s1y - s1 * 1.0 * sy / n AS c1y,
+         s2y - s2 * 1.0 * sy / n AS c2y
+  FROM sums
+),
+fit AS (
+  SELECT direction, n,
+         cyy - c1y * c1y / c11 AS rss_r,
+         cyy - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+             - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y AS rss_u
+  FROM cent
+)
+SELECT direction, CAST(n AS BIGINT) AS n_obs,
+       floor(rss_r * 10000 + 0.5) / 10000 AS rss_restricted,
+       floor(rss_u * 10000 + 0.5) / 10000 AS rss_unrestricted,
+       floor((rss_r - rss_u) / (rss_u / (n - 3)) * 10000 + 0.5) / 10000
+         AS f_stat
+FROM fit ORDER BY direction
+""",
+)
+def q_ts_granger_lag1(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+    )
+    cnts = ev.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_click"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        ),
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    series = spine.join(cnts, "h", "left").select(
+        "h",
+        F.coalesce("n_click", F.lit(0)).alias("click"),
+        F.coalesce("n_purch", F.lit(0)).alias("purch"),
+    )
+    w = Window.orderBy("h")
+    lagged = series.select(
+        "click",
+        "purch",
+        F.lag("click").over(w).alias("click_1"),
+        F.lag("purch").over(w).alias("purch_1"),
+    )
+    obs = lagged.filter(F.col("click_1").isNotNull()).select(
+        F.lit("click->purchase").alias("direction"),
+        F.col("purch").alias("y"),
+        F.col("purch_1").alias("ylag"),
+        F.col("click_1").alias("xlag"),
+    ).unionAll(
+        lagged.filter(F.col("purch_1").isNotNull()).select(
+            F.lit("purchase->click").alias("direction"),
+            F.col("click").alias("y"),
+            F.col("click_1").alias("ylag"),
+            F.col("purch_1").alias("xlag"),
+        )
+    )
+    sums = obs.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("ylag").alias("s1"),
+        F.sum("xlag").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("ylag") * F.col("ylag")).alias("s11"),
+        F.sum(F.col("xlag") * F.col("xlag")).alias("s22"),
+        F.sum(F.col("ylag") * F.col("xlag")).alias("s12"),
+        F.sum(F.col("y") * F.col("ylag")).alias("s1y"),
+        F.sum(F.col("y") * F.col("xlag")).alias("s2y"),
+    )
+    cent = sums.select(
+        "direction",
+        "n",
+        (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("s11") - F.col("s1") * 1.0 * F.col("s1") / F.col("n")).alias("c11"),
+        (F.col("s22") - F.col("s2") * 1.0 * F.col("s2") / F.col("n")).alias("c22"),
+        (F.col("s12") - F.col("s1") * 1.0 * F.col("s2") / F.col("n")).alias("c12"),
+        (F.col("s1y") - F.col("s1") * 1.0 * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * 1.0 * F.col("sy") / F.col("n")).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    fit = cent.select(
+        "direction",
+        "n",
+        (F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")).alias("rss_r"),
+        (
+            F.col("cyy")
+            - (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"))
+            / det
+            * F.col("c1y")
+            - (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"))
+            / det
+            * F.col("c2y")
+        ).alias("rss_u"),
+    )
+    return fit.select(
+        "direction",
+        F.col("n").cast("long").alias("n_obs"),
+        portable_round(F.col("rss_r"), 4).alias("rss_restricted"),
+        portable_round(F.col("rss_u"), 4).alias("rss_unrestricted"),
+        portable_round(
+            (F.col("rss_r") - F.col("rss_u"))
+            / (F.col("rss_u") / (F.col("n") - 3)),
+            4,
+        ).alias("f_stat"),
+    ).orderBy("direction")

@@ -224,3 +224,79 @@ def test_ljung_box_periodic_series(spark, tmp_path):
     c0 = sum((x - m) ** 2 for x in xs)
     c1 = sum((xs[t] - m) * (xs[t - 1] - m) for t in range(1, n))
     assert got[1]["rho"] == pytest.approx(c1 / c0, abs=1e-4)
+
+
+def test_bitmap_overlap_matches_set_reference(spark, tmp_path):
+    # users straddle several 32-bit words, including exact boundaries
+    base = dt.datetime(2020, 1, 1)
+    aud = {
+        "a": {0, 1, 31, 32, 33, 64, 100},
+        "b": {1, 31, 33, 63, 64, 200},
+        "c": {5000},  # overlaps nobody -> must not appear in any pair
+    }
+    rows, eid = [], 0
+    for t, users in aud.items():
+        for u in users:
+            rows.append((eid, base + dt.timedelta(minutes=eid), u, t, 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry()["rel_bitmap_overlap"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    inter = aud["a"] & aud["b"]
+    union = aud["a"] | aud["b"]
+    assert r["n_a"] == len(aud["a"]) and r["n_b"] == len(aud["b"])
+    assert r["n_overlap"] == len(inter)
+    assert r["jaccard"] == pytest.approx(len(inter) / len(union), abs=1e-4)
+
+
+def test_granger_detects_planted_causality(spark, tmp_path):
+    # purchases copy the previous hour's clicks (plus tiny parity noise):
+    # click->purchase must dominate the reverse direction, and the RSS
+    # values must match a numpy least-squares reference.
+    import numpy as np
+
+    base = dt.datetime(2020, 1, 1)
+    clicks = [((5 * h) % 7) + 1 for h in range(40)]
+    purch = [3] + [clicks[h - 1] + (h % 2) for h in range(1, 40)]
+    rows, eid = [], 0
+    for h in range(40):
+        for _ in range(clicks[h]):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=1), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(purch[h]):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=2), 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["direction"]: r
+        for r in registry()["ts_granger_lag1"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"click->purchase", "purchase->click"}
+    fwd, rev = got["click->purchase"], got["purchase->click"]
+    assert fwd["n_obs"] == 39 and rev["n_obs"] == 39
+
+    def rss(y, X):
+        beta, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = y - X @ beta
+        return float(r @ r)
+
+    y = np.array(purch[1:], dtype=float)
+    ylag = np.array(purch[:-1], dtype=float)
+    xlag = np.array(clicks[:-1], dtype=float)
+    ones = np.ones_like(y)
+    rss_r = rss(y, np.column_stack([ones, ylag]))
+    rss_u = rss(y, np.column_stack([ones, ylag, xlag]))
+    assert fwd["rss_restricted"] == pytest.approx(rss_r, rel=1e-3)
+    assert fwd["rss_unrestricted"] == pytest.approx(rss_u, rel=1e-3)
+    assert fwd["f_stat"] == pytest.approx(
+        (rss_r - rss_u) / (rss_u / (39 - 3)), rel=1e-3
+    )
+    assert fwd["f_stat"] > 10 * max(rev["f_stat"], 1.0)
