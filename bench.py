@@ -170,6 +170,9 @@ HEADLINE = [
     "ts_ljung_box",
     "rel_bitmap_overlap",
     "ts_granger_lag1",
+    "ts_spectral_flatness",
+    "val_cramers_v",
+    "rel_price_volume_mix",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -378,6 +381,9 @@ BUDGETS: dict[str, float] = {
     "ts_ljung_box": 1.19,
     "rel_bitmap_overlap": 0.62,
     "ts_granger_lag1": 0.52,
+    "ts_spectral_flatness": 0.65,
+    "val_cramers_v": 0.54,
+    "rel_price_volume_mix": 0.99,
 }
 
 

@@ -39,6 +39,9 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "ts_spectral_flatness",
+    "val_cramers_v",
+    "rel_price_volume_mix",
     "rel_bitmap_overlap",
     "ts_granger_lag1",
     "rel_km_repurchase",

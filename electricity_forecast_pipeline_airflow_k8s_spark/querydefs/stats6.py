@@ -992,3 +992,309 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str):
             4,
         ).alias("f_stat"),
     ).orderBy("direction")
+
+
+# -- Spectral flatness of the daily cycle ------------------------------------
+# Harmonic decomposition of the hourly-mean profile at k = 1..11 cycles
+# per day, reusing the exact 24-point cos/sin literal basis from
+# ts_spectral_daily_strength via the index identity
+# cos(2*pi*k*t/24) = COS24[(k*t) mod 24]. Per-harmonic power
+# P_k = a_k^2 + b_k^2 from DECIMAL(28,12) partial sums; flatness =
+# geometric mean / arithmetic mean over harmonics (1.0 = white,
+# -> 0 = one dominant cycle), with log P_k on the 1e9 grid and P_k on a
+# 1e6 grid so both means accumulate order-free; the dominant harmonic is
+# an exact-integer argmax on the quantized powers.
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.timeseries2 import (  # noqa: E402
+    _COS24,
+    _SIN24,
+)
+
+_COS_SQL = "[" + ", ".join(repr(v) for v in _COS24) + "]"
+_SIN_SQL = "[" + ", ".join(repr(v) for v in _SIN24) + "]"
+
+
+@register(
+    "ts_spectral_flatness",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         floor(avg(value) * 1000000 + 0.5) / 1000000 AS v
+  FROM {EVENTS_SRC} AS events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, l.k,
+         CAST(v * list_extract({_COS_SQL}, (l.k * hour(h)) % 24 + 1)
+              AS DECIMAL(28,12)) AS ct,
+         CAST(v * list_extract({_SIN_SQL}, (l.k * hour(h)) % 24 + 1)
+              AS DECIMAL(28,12)) AS st
+  FROM hourly CROSS JOIN (SELECT unnest(generate_series(1, 11)) AS k) l
+),
+power_k AS (
+  SELECT event_type, k,
+         CAST(sum(ct) AS DOUBLE) * CAST(sum(ct) AS DOUBLE)
+           + CAST(sum(st) AS DOUBLE) * CAST(sum(st) AS DOUBLE) AS p
+  FROM terms GROUP BY 1, 2
+),
+fp AS (
+  SELECT event_type, k,
+         CAST(floor(ln(greatest(p, 1e-12)) * {_FP} + 0.5) AS DECIMAL(28,0)) AS lp_fp,
+         CAST(floor(p * 1000000 + 0.5) AS DECIMAL(28,0)) AS p_fp
+  FROM power_k
+),
+mx AS (
+  SELECT event_type, max(p_fp) AS max_p FROM fp GROUP BY 1
+)
+SELECT f.event_type,
+       count(*) AS n_harmonics,
+       floor(exp(CAST(sum(f.lp_fp) AS DOUBLE) / {_FP} / count(*))
+             / (CAST(sum(f.p_fp) AS DOUBLE) / 1000000 / count(*))
+             * 10000 + 0.5) / 10000 AS spectral_flatness,
+       CAST(min(CASE WHEN f.p_fp = m.max_p THEN f.k END) AS BIGINT)
+         AS dominant_k,
+       floor(CAST(max(f.p_fp) AS DOUBLE) / CAST(sum(f.p_fp) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS dominant_share
+FROM fp f JOIN mx m ON m.event_type = f.event_type
+GROUP BY f.event_type ORDER BY f.event_type
+""",
+)
+def q_ts_spectral_flatness(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
+    )
+    cos_arr = F.array(*[F.lit(v) for v in _COS24])
+    sin_arr = F.array(*[F.lit(v) for v in _SIN24])
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, 12)])).alias("k")
+    with_k = ev.select("event_type", "h", "v", ks)
+    idx = ((F.col("k") * F.hour("h")) % 24) + 1
+    terms = with_k.select(
+        "event_type",
+        "k",
+        (F.col("v") * F.element_at(cos_arr, idx))
+        .cast("decimal(28,12)")
+        .alias("ct"),
+        (F.col("v") * F.element_at(sin_arr, idx))
+        .cast("decimal(28,12)")
+        .alias("st"),
+    )
+    a = F.sum("ct").cast("double")
+    b = F.sum("st").cast("double")
+    power = terms.groupBy("event_type", "k").agg((a * a + b * b).alias("p"))
+    fp = power.select(
+        "event_type",
+        "k",
+        F.floor(F.log(F.greatest(F.col("p"), F.lit(1e-12))) * _FP + 0.5)
+        .cast("decimal(28,0)")
+        .alias("lp_fp"),
+        F.floor(F.col("p") * 1000000 + 0.5)
+        .cast("decimal(28,0)")
+        .alias("p_fp"),
+    ).withColumn(
+        "max_p", F.max("p_fp").over(Window.partitionBy("event_type"))
+    )
+    out = fp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_harmonics"),
+        portable_round(
+            F.exp(F.sum("lp_fp").cast("double") / _FP / F.count(F.lit(1)))
+            / (F.sum("p_fp").cast("double") / 1000000 / F.count(F.lit(1))),
+            4,
+        ).alias("spectral_flatness"),
+        F.min(F.when(F.col("p_fp") == F.col("max_p"), F.col("k")))
+        .cast("long")
+        .alias("dominant_k"),
+        portable_round(
+            F.max("p_fp").cast("double") / F.sum("p_fp").cast("double"), 4
+        ).alias("dominant_share"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_harmonics").cast("long").alias("n_harmonics"),
+        "spectral_flatness",
+        "dominant_k",
+        "dominant_share",
+    ).orderBy("event_type")
+
+
+# -- Cramer's V association --------------------------------------------------
+# Strength of association between event type and a stable user cohort
+# (user_id % 8) from the exact-integer contingency table:
+# chi2 = sum (o - e)^2 / e with e = row_tot * col_tot / n, per-cell terms
+# quantized to the 1e9 grid before the order-free decimal sum;
+# V = sqrt(chi2 / (n * (min(r, c) - 1))).
+@register(
+    "val_cramers_v",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, user_id % 8 AS cohort
+  FROM {EVENTS_SRC} AS e WHERE user_id IS NOT NULL
+),
+obs AS (SELECT event_type, cohort, count(*) AS o FROM base GROUP BY 1, 2),
+rows_t AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+cols_t AS (SELECT cohort, sum(o) AS ct FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs),
+-- the full r x c grid: empty cells still contribute (0 - e)^2 / e = e
+cells AS (
+  SELECT r.event_type, l.cohort, r.rt, l.ct, coalesce(ob.o, 0) AS o
+  FROM rows_t r
+  CROSS JOIN cols_t l
+  LEFT JOIN obs ob ON ob.event_type = r.event_type AND ob.cohort = l.cohort
+),
+terms AS (
+  SELECT CAST(floor(
+           (c.o - c.rt * 1.0 * c.ct / nn.n) * (c.o - c.rt * 1.0 * c.ct / nn.n)
+             / (c.rt * 1.0 * c.ct / nn.n) * {_FP} + 0.5)
+         AS DECIMAL(28,0)) AS fp
+  FROM cells c
+  CROSS JOIN n nn
+),
+chi AS (
+  SELECT CAST(sum(fp) AS DOUBLE) / {_FP} AS chi2,
+         (SELECT count(*) FROM rows_t) AS r_levels,
+         (SELECT count(*) FROM cols_t) AS c_levels,
+         (SELECT n FROM n) AS n
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(r_levels AS BIGINT) AS r_levels, CAST(c_levels AS BIGINT) AS c_levels,
+       floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+       floor(sqrt(chi2 / (n * (least(r_levels, c_levels) - 1))) * 10000 + 0.5)
+         / 10000 AS cramers_v
+FROM chi
+""",
+)
+def q_val_cramers_v(spark: SparkSession, sf_dir: str):
+    base = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", (F.col("user_id") % 8).alias("cohort"))
+    )
+    obs = base.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = obs.groupBy("cohort").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    # full r x c grid so empty cells still contribute (0 - e)^2 / e = e
+    cells = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(obs, ["event_type", "cohort"], "left")
+        .select(
+            "event_type",
+            "cohort",
+            "rt",
+            "ct",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("rt") * 1.0 * F.col("ct") / F.col("n")
+    terms = cells.crossJoin(F.broadcast(n)).select(
+        F.floor((F.col("o") - e) * (F.col("o") - e) / e * _FP + 0.5)
+        .cast("decimal(28,0)")
+        .alias("fp")
+    )
+    rl = rows_t.agg(F.count(F.lit(1)).alias("r_levels"))
+    cl = cols_t.agg(F.count(F.lit(1)).alias("c_levels"))
+    chi = (
+        terms.agg((F.sum("fp").cast("double") / _FP).alias("chi2"))
+        .crossJoin(F.broadcast(rl))
+        .crossJoin(F.broadcast(cl))
+        .crossJoin(F.broadcast(n))
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        portable_round(F.col("chi2"), 4).alias("chi2"),
+        portable_round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * (F.least(F.col("r_levels"), F.col("c_levels")) - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+# -- Price-volume-mix revenue bridge -----------------------------------------
+# Decompose the 1998 -> 1999 revenue change per part brand into volume,
+# price, and cross effects: dRev = (v2-v1)*p1 + (p2-p1)*v1 +
+# (p2-p1)*(v2-v1), with revenue and volume as exact DECIMAL sums and the
+# unit price p = rev/vol the identical double division in both engines.
+# Scale: one fact scan with a year filter pushed to parquet, one
+# (brand, year) hash agg, then a 25-row self-join.
+@register(
+    "rel_price_volume_mix",
+    oracle="""
+WITH li AS (
+  SELECT p.p_brand, year(l.l_shipdate) AS y,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+           AS rev,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS vol
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) IN (1998, 1999)
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT a.p_brand,
+         CAST(a.rev AS DOUBLE) AS rev1, CAST(b.rev AS DOUBLE) AS rev2,
+         CAST(a.vol AS DOUBLE) AS vol1, CAST(b.vol AS DOUBLE) AS vol2
+  FROM li a JOIN li b ON b.p_brand = a.p_brand AND a.y = 1998 AND b.y = 1999
+)
+SELECT p_brand,
+       floor(rev1 * 100 + 0.5) / 100 AS rev_1998,
+       floor(rev2 * 100 + 0.5) / 100 AS rev_1999,
+       floor((vol2 - vol1) * (rev1 / vol1) * 100 + 0.5) / 100
+         AS volume_effect,
+       floor((rev2 / vol2 - rev1 / vol1) * vol1 * 100 + 0.5) / 100
+         AS price_effect,
+       floor((rev2 / vol2 - rev1 / vol1) * (vol2 - vol1) * 100 + 0.5) / 100
+         AS cross_effect
+FROM piv ORDER BY p_brand
+""",
+)
+def q_rel_price_volume_mix(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate").isin(1998, 1999)
+    )
+    p = table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    money = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    by_year = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(money).alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("vol"),
+        )
+    )
+    a = by_year.filter(F.col("y") == 1998).select(
+        "p_brand",
+        F.col("rev").cast("double").alias("rev1"),
+        F.col("vol").cast("double").alias("vol1"),
+    )
+    b = by_year.filter(F.col("y") == 1999).select(
+        "p_brand",
+        F.col("rev").cast("double").alias("rev2"),
+        F.col("vol").cast("double").alias("vol2"),
+    )
+    piv = a.join(b, "p_brand")
+    p1 = F.col("rev1") / F.col("vol1")
+    p2 = F.col("rev2") / F.col("vol2")
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return piv.select(
+        "p_brand",
+        r2(F.col("rev1")).alias("rev_1998"),
+        r2(F.col("rev2")).alias("rev_1999"),
+        r2((F.col("vol2") - F.col("vol1")) * p1).alias("volume_effect"),
+        r2((p2 - p1) * F.col("vol1")).alias("price_effect"),
+        r2((p2 - p1) * (F.col("vol2") - F.col("vol1"))).alias("cross_effect"),
+    ).orderBy("p_brand")

@@ -300,3 +300,79 @@ def test_granger_detects_planted_causality(spark, tmp_path):
         (rss_r - rss_u) / (rss_u / (39 - 3)), rel=1e-3
     )
     assert fwd["f_stat"] > 10 * max(rev["f_stat"], 1.0)
+
+
+def test_spectral_flatness_detects_12h_cycle(spark, tmp_path):
+    # hourly values follow a pure 2-cycles-per-day cosine (12 h period)
+    # plus a small deterministic ripple: dominant_k must be 2 and the
+    # spectrum must be far from flat.
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for h in range(96):
+        v = 100.0 + 40.0 * math.cos(2 * math.pi * 2 * (h % 24) / 24) + (h % 3)
+        rows.append((h, base + dt.timedelta(hours=h, minutes=30), 1, "a", v, "{}"))
+    _write_events(spark, str(tmp_path), rows)
+    [r] = registry()["ts_spectral_flatness"].build(spark, str(tmp_path)).collect()
+    assert r["n_harmonics"] == 11
+    assert r["dominant_k"] == 2
+    assert r["dominant_share"] > 0.95
+    assert r["spectral_flatness"] < 0.1
+
+
+def test_cramers_v_perfect_and_independent(spark, tmp_path):
+    base = dt.datetime(2020, 1, 1)
+    # perfect association: type 'a' only cohort 0 (users 0, 8, 16),
+    # type 'b' only cohort 1 (users 1, 9, 17) -> V = 1
+    rows = []
+    eid = 0
+    for u in (0, 8, 16):
+        rows.append((eid, base + dt.timedelta(minutes=eid), u, "a", 1.0, "{}"))
+        eid += 1
+    for u in (1, 9, 17):
+        rows.append((eid, base + dt.timedelta(minutes=eid), u, "b", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    [r] = registry()["val_cramers_v"].build(spark, str(tmp_path)).collect()
+    assert (r["r_levels"], r["c_levels"]) == (2, 2)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-4)
+
+    # independence: both types hit both cohorts in identical proportions
+    indep = str(tmp_path / "indep")
+    rows2 = []
+    eid = 0
+    for t in ("a", "b"):
+        for u in (0, 1):
+            for _ in range(5):
+                rows2.append(
+                    (eid, base + dt.timedelta(minutes=eid), u, t, 1.0, "{}")
+                )
+                eid += 1
+    _write_events(spark, indep, rows2)
+    [r2] = registry()["val_cramers_v"].build(spark, indep).collect()
+    assert r2["chi2"] == pytest.approx(0.0, abs=1e-4)
+    assert r2["cramers_v"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_price_volume_mix_hand_model(spark, tmp_path):
+    # one brand: 1998 sells 10 units at unit price 2 (rev 20); 1999 sells
+    # 20 units at unit price 3 (rev 60). dRev = 40 decomposes into
+    # volume (10 * 2 = 20), price (1 * 10 = 10), cross (1 * 10 = 10).
+    spark.createDataFrame(
+        [(1, "Brand#X")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+    li = [
+        (1, dt.datetime(1998, 6, 1), 10.0, 20.0, 0.0),
+        (1, dt.datetime(1999, 6, 1), 20.0, 60.0, 0.0),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_shipdate timestamp, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    [r] = registry()["rel_price_volume_mix"].build(spark, str(tmp_path)).collect()
+    assert r["rev_1998"] == 20.0 and r["rev_1999"] == 60.0
+    assert r["volume_effect"] == pytest.approx(20.0, abs=1e-2)
+    assert r["price_effect"] == pytest.approx(10.0, abs=1e-2)
+    assert r["cross_effect"] == pytest.approx(10.0, abs=1e-2)
+    total = r["volume_effect"] + r["price_effect"] + r["cross_effect"]
+    assert total == pytest.approx(r["rev_1999"] - r["rev_1998"], abs=1e-2)
