@@ -173,6 +173,9 @@ HEADLINE = [
     "ts_spectral_flatness",
     "val_cramers_v",
     "rel_price_volume_mix",
+    "sess_next_pred_accuracy",
+    "sample_token_budget_plan",
+    "emb_kmeans_step",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -384,6 +387,10 @@ BUDGETS: dict[str, float] = {
     "ts_spectral_flatness": 0.65,
     "val_cramers_v": 0.54,
     "rel_price_volume_mix": 0.99,
+    # first-measured under a concurrent full-bench run: extra headroom
+    "sess_next_pred_accuracy": 1.62,
+    "sample_token_budget_plan": 1.13,
+    "emb_kmeans_step": 1.79,
 }
 
 

@@ -1298,3 +1298,407 @@ def q_rel_price_volume_mix(spark: SparkSession, sf_dir: str):
         r2((p2 - p1) * F.col("vol1")).alias("price_effect"),
         r2((p2 - p1) * (F.col("vol2") - F.col("vol1"))).alias("cross_effect"),
     ).orderBy("p_brand")
+
+
+# -- Next-event prediction accuracy ------------------------------------------
+# The evaluation companion to sess_markov_transitions: train the argmax
+# next-event predictor on the first 80% of the time span (integer-us
+# cut), score it on the held-out transitions. Split membership follows
+# the SOURCE event's timestamp; ties in the argmax go to the
+# lexicographically smallest successor in both engines.
+@register(
+    "sess_next_pred_accuracy",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS u, ts,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+bounds AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+trans AS (
+  SELECT u, v,
+         CASE WHEN epoch_us(ts) < b.t0 + (b.t1 - b.t0) * 4 // 5
+              THEN 1 ELSE 0 END AS is_train
+  FROM seq CROSS JOIN bounds b WHERE v IS NOT NULL
+),
+model AS (
+  SELECT u, v AS predicted_next,
+         row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rn
+  FROM (SELECT u, v, count(*) AS c FROM trans WHERE is_train = 1 GROUP BY 1, 2)
+),
+pred AS (SELECT u, predicted_next FROM model WHERE rn = 1),
+counts AS (
+  SELECT u, sum(is_train) AS n_train, sum(1 - is_train) AS n_test
+  FROM trans GROUP BY u
+),
+correct AS (
+  SELECT t.u, count(*) AS n_correct
+  FROM trans t JOIN pred p ON p.u = t.u
+  WHERE t.is_train = 0 AND t.v = p.predicted_next
+  GROUP BY 1
+)
+SELECT c.u AS event_type,
+       CAST(c.n_train AS BIGINT) AS n_train,
+       CAST(c.n_test AS BIGINT) AS n_test,
+       p.predicted_next,
+       CAST(coalesce(x.n_correct, 0) AS BIGINT) AS n_correct,
+       floor(coalesce(x.n_correct, 0) * 1.0 / c.n_test * 10000 + 0.5) / 10000
+         AS accuracy
+FROM counts c
+JOIN pred p ON p.u = c.u
+LEFT JOIN correct x ON x.u = c.u
+WHERE c.n_test > 0
+ORDER BY event_type
+""",
+)
+def q_sess_next_pred_accuracy(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"),
+        "ts",
+        F.lead("event_type").over(w).alias("v"),
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    trans = (
+        seq.filter(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "u",
+            "v",
+            F.when(
+                F.unix_micros("ts")
+                < F.col("t0")
+                + F.expr("(t1 - t0) * 4 div 5"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_train"),
+        )
+    )
+    train_counts = (
+        trans.filter(F.col("is_train") == 1).groupBy("u", "v").count()
+    )
+    wm = Window.partitionBy("u").orderBy(F.col("count").desc(), "v")
+    pred = (
+        train_counts.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("v").alias("predicted_next"))
+    )
+    counts = trans.groupBy("u").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(1 - F.col("is_train")).alias("n_test"),
+    )
+    correct = (
+        trans.filter(F.col("is_train") == 0)
+        .join(F.broadcast(pred), "u")
+        .filter(F.col("v") == F.col("predicted_next"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    return (
+        counts.join(F.broadcast(pred), "u")
+        .join(F.broadcast(correct), "u", "left")
+        .filter(F.col("n_test") > 0)
+        .select(
+            F.col("u").alias("event_type"),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_test").cast("long").alias("n_test"),
+            "predicted_next",
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+            portable_round(
+                F.coalesce("n_correct", F.lit(0)) * 1.0 / F.col("n_test"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- Token-budget mixing plan (waterfill) ------------------------------------
+# Epoch planning for a training-data mix: each source gets a weighted
+# share of a 2x-total-token budget, capped at 3 epochs of what it has;
+# surplus redistributes to uncapped sources by weight over three
+# unrolled waterfill rounds. ALL allocation arithmetic is 64-bit integer
+# (weighted shares via integer division), so both engines compute the
+# identical plan; only the final epochs ratio is a rounded double.
+# Weights derive deterministically from the source name suffix
+# ((digits % 5) + 1), standing in for a configured mix table.
+@register(
+    "sample_token_budget_plan",
+    oracle=r"""
+WITH toks AS (
+  SELECT source,
+         sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x != ''))) AS a
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, a,
+         (coalesce(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT), 0)
+            % 5) + 1 AS wt,
+         3 * a AS cap
+  FROM toks
+),
+tot AS (SELECT 2 * sum(a) AS b, sum(wt) AS tw FROM w),
+r1 AS (SELECT w.*, t.b, t.b * wt // t.tw AS t1 FROM w CROSS JOIN tot t),
+a1 AS (
+  SELECT *, least(t1, cap) AS al1,
+         CASE WHEN t1 >= cap THEN 1 ELSE 0 END AS capped1
+  FROM r1
+),
+s1 AS (
+  SELECT sum(al1) AS sa1,
+         sum(CASE WHEN capped1 = 0 THEN wt ELSE 0 END) AS w1
+  FROM a1
+),
+r2 AS (
+  SELECT a1.*, CASE WHEN capped1 = 0 AND s1.w1 > 0
+                    THEN (b - s1.sa1) * wt // s1.w1 ELSE 0 END AS add2
+  FROM a1 CROSS JOIN s1
+),
+a2 AS (
+  SELECT *, least(al1 + add2, cap) AS al2,
+         CASE WHEN capped1 = 1 OR al1 + add2 >= cap THEN 1 ELSE 0 END AS capped2
+  FROM r2
+),
+s2 AS (
+  SELECT sum(al2) AS sa2,
+         sum(CASE WHEN capped2 = 0 THEN wt ELSE 0 END) AS w2
+  FROM a2
+),
+r3 AS (
+  SELECT a2.*, CASE WHEN capped2 = 0 AND s2.w2 > 0
+                    THEN (b - s2.sa2) * wt // s2.w2 ELSE 0 END AS add3
+  FROM a2 CROSS JOIN s2
+),
+a3 AS (SELECT *, least(al2 + add3, cap) AS alloc FROM r3)
+SELECT source, CAST(a AS BIGINT) AS tokens_available,
+       CAST(wt AS BIGINT) AS weight, CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(alloc AS BIGINT) AS allocated_tokens,
+       floor(alloc * 1.0 / a * 10000 + 0.5) / 10000 AS epochs
+FROM a3 ORDER BY source
+""",
+)
+def q_sample_token_budget_plan(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
+
+    toks = (
+        table(spark, "documents", sf_dir)
+        .select("source", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("a"))
+    )
+    w = toks.select(
+        "source",
+        "a",
+        (
+            (
+                F.coalesce(
+                    F.regexp_extract("source", r"(\d+)$", 1).try_cast("long"),
+                    F.lit(0),
+                )
+            )
+            % 5
+            + 1
+        ).alias("wt"),
+        (3 * F.col("a")).alias("cap"),
+    )
+    tot = w.agg(
+        (2 * F.sum("a")).alias("b"), F.sum("wt").alias("tw")
+    )
+    r1 = w.crossJoin(F.broadcast(tot)).withColumn(
+        "t1", F.expr("b * wt div tw")
+    )
+    a1 = r1.withColumn("al1", F.least("t1", "cap")).withColumn(
+        "capped1", F.when(F.col("t1") >= F.col("cap"), 1).otherwise(0)
+    )
+    s1 = a1.agg(
+        F.sum("al1").alias("sa1"),
+        F.sum(F.when(F.col("capped1") == 0, F.col("wt")).otherwise(0)).alias(
+            "w1"
+        ),
+    )
+    r2 = a1.crossJoin(F.broadcast(s1)).withColumn(
+        "add2",
+        F.when(
+            (F.col("capped1") == 0) & (F.col("w1") > 0),
+            F.expr("(b - sa1) * wt div w1"),
+        ).otherwise(F.lit(0)),
+    )
+    a2 = r2.withColumn(
+        "al2", F.least(F.col("al1") + F.col("add2"), F.col("cap"))
+    ).withColumn(
+        "capped2",
+        F.when(
+            (F.col("capped1") == 1)
+            | (F.col("al1") + F.col("add2") >= F.col("cap")),
+            1,
+        ).otherwise(0),
+    )
+    s2 = a2.agg(
+        F.sum("al2").alias("sa2"),
+        F.sum(F.when(F.col("capped2") == 0, F.col("wt")).otherwise(0)).alias(
+            "w2"
+        ),
+    )
+    r3 = a2.crossJoin(F.broadcast(s2)).withColumn(
+        "add3",
+        F.when(
+            (F.col("capped2") == 0) & (F.col("w2") > 0),
+            F.expr("(b - sa2) * wt div w2"),
+        ).otherwise(F.lit(0)),
+    )
+    a3 = r3.withColumn("alloc", F.least(F.col("al2") + F.col("add3"), F.col("cap")))
+    return a3.select(
+        "source",
+        F.col("a").cast("long").alias("tokens_available"),
+        F.col("wt").cast("long").alias("weight"),
+        F.col("cap").cast("long").alias("cap_tokens"),
+        F.col("alloc").cast("long").alias("allocated_tokens"),
+        portable_round(F.col("alloc") * 1.0 / F.col("a"), 4).alias("epochs"),
+    ).orderBy("source")
+
+
+# -- One full k-means iteration (assign + update + diagnostics) --------------
+# The contract for the iterative-refinement step emb_centroid_assign
+# feeds: re-assign every vector to its nearest label centroid, recompute
+# centroids from the new assignment, and report per-cluster membership,
+# inertia (sum of assigned squared distances, per-row 1e-6 quantization
+# before the order-free decimal sum) and centroid shift (per-dimension
+# squared deltas on a 1e-12 grid before the decimal sum and final sqrt).
+# Scale: two fact-sized hash aggs (old + new centroids) over vec x dim
+# rows; centroids broadcast; no windows over the corpus.
+@register(
+    "emb_kmeans_step",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+exp AS (
+  SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+),
+cent AS (
+  SELECT label AS clabel, pos, avg(val) AS cval FROM exp GROUP BY 1, 2
+),
+dists AS (
+  SELECT x.vec_id, c.clabel,
+         sum((x.val - c.cval) * (x.val - c.cval)) AS d2
+  FROM exp x JOIN cent c ON x.pos = c.pos
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, clabel AS new_label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM dists
+),
+kept AS (SELECT vec_id, new_label, d2 FROM assign WHERE rn = 1),
+newcent AS (
+  SELECT k.new_label, x.pos, avg(x.val) AS nval
+  FROM exp x JOIN kept k ON k.vec_id = x.vec_id
+  GROUP BY 1, 2
+),
+shift AS (
+  SELECT c.clabel,
+         CAST(sum(CAST(floor((n.nval - c.cval) * (n.nval - c.cval) * 1e12 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS sq
+  FROM cent c JOIN newcent n ON n.new_label = c.clabel AND n.pos = c.pos
+  GROUP BY 1
+),
+stats AS (
+  SELECT new_label, count(*) AS n_assigned,
+         CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS DECIMAL(28,0)))
+              AS DOUBLE) / 1000000 AS inertia
+  FROM kept GROUP BY 1
+)
+SELECT s.new_label AS label,
+       CAST(s.n_assigned AS BIGINT) AS n_assigned,
+       floor(s.inertia * 10000 + 0.5) / 10000 AS inertia,
+       floor(sqrt(h.sq) * 1000000 + 0.5) / 1000000 AS centroid_shift
+FROM stats s JOIN shift h ON h.clabel = s.new_label
+ORDER BY label
+""",
+)
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    exp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = exp.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("val").alias("cval")
+    )
+    dists = (
+        exp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    kept = (
+        dists.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("new_label"), "d2")
+    )
+    newcent = (
+        exp.join(kept.select("vec_id", "new_label"), "vec_id")
+        .groupBy("new_label", F.col("pos").alias("npos"))
+        .agg(F.avg("val").alias("nval"))
+    )
+    shift = (
+        cent.join(
+            newcent,
+            (F.col("new_label") == F.col("clabel"))
+            & (F.col("npos") == F.col("pos")),
+        )
+        .groupBy("clabel")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("nval") - F.col("cval"))
+                        * (F.col("nval") - F.col("cval"))
+                        * 1e12
+                        + 0.5
+                    ).cast("decimal(28,0)")
+                ).cast("double")
+                / 1e12
+            ).alias("sq")
+        )
+    )
+    stats = kept.groupBy("new_label").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        (
+            F.sum(
+                F.floor(F.col("d2") * 1000000 + 0.5).cast("decimal(28,0)")
+            ).cast("double")
+            / 1000000
+        ).alias("inertia"),
+    )
+    return (
+        stats.join(F.broadcast(shift), stats.new_label == shift.clabel)
+        .select(
+            F.col("new_label").alias("label"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            portable_round(F.col("inertia"), 4).alias("inertia"),
+            (F.floor(F.sqrt(F.col("sq")) * 1000000 + 0.5) / 1000000).alias(
+                "centroid_shift"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -376,3 +376,123 @@ def test_price_volume_mix_hand_model(spark, tmp_path):
     assert r["cross_effect"] == pytest.approx(10.0, abs=1e-2)
     total = r["volume_effect"] + r["price_effect"] + r["cross_effect"]
     assert total == pytest.approx(r["rev_1999"] - r["rev_1998"], abs=1e-2)
+
+
+def test_next_pred_accuracy_hand_model(spark, tmp_path):
+    # one user; span 10 hours, cut at 80% -> source events in hours 0-7
+    # are train. Sequence alternates a,b except the tail flips.
+    base = dt.datetime(2020, 1, 1)
+    types = ["a", "b", "a", "b", "a", "b", "a", "b", "a", "a", "b"]
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(types)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["event_type"]: r
+        for r in registry()["sess_next_pred_accuracy"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    # span = 10h, cut = hour 8: transitions sourced at hours 0..7 train,
+    # 8..9 test. Train: a->b x4, b->a x4. Test: a->a (wrong), a->b (right).
+    assert got["a"]["predicted_next"] == "b"
+    assert got["a"]["n_train"] == 4 and got["a"]["n_test"] == 2
+    assert got["a"]["n_correct"] == 1
+    assert got["a"]["accuracy"] == pytest.approx(0.5, abs=1e-4)
+    assert "b" not in got  # b has no test transitions (n_test = 0 filtered)
+
+
+def _waterfill_reference(avail, weights, budget_mult=2, cap_mult=3, rounds=3):
+    b = budget_mult * sum(avail.values())
+    tw = sum(weights.values())
+    alloc = {s: min(b * weights[s] // tw, cap_mult * avail[s]) for s in avail}
+    capped = {s: b * weights[s] // tw >= cap_mult * avail[s] for s in avail}
+    for _ in range(rounds - 1):
+        rem = b - sum(alloc.values())
+        wl = sum(weights[s] for s in avail if not capped[s])
+        if wl <= 0:
+            break
+        for s in avail:
+            if capped[s]:
+                continue
+            add = rem * weights[s] // wl
+            new = min(alloc[s] + add, cap_mult * avail[s])
+            if alloc[s] + add >= cap_mult * avail[s]:
+                capped[s] = True
+            alloc[s] = new
+    return alloc
+
+
+def test_token_budget_plan_waterfill(spark, tmp_path):
+    # src4 (weight 5) is tiny -> caps at 3 epochs; its surplus flows to
+    # the others. Token counts are exact word counts.
+    docs = [
+        (0, "w " * 100, "en", "src0", 200),   # 100 tokens, weight 1
+        (1, "w " * 80, "en", "src1", 160),    # 80 tokens,  weight 2
+        (2, "w " * 60, "en", "src2", 120),    # 60 tokens,  weight 3
+        (3, "w " * 40, "en", "src3", 80),     # 40 tokens,  weight 4
+        (4, "w " * 10, "en", "src4", 20),     # 10 tokens,  weight 5 -> caps
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in registry()["sample_token_budget_plan"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    avail = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 10}
+    weights = {"src0": 1, "src1": 2, "src2": 3, "src3": 4, "src4": 5}
+    ref = _waterfill_reference(avail, weights)
+    for s in avail:
+        assert rows[s]["tokens_available"] == avail[s]
+        assert rows[s]["weight"] == weights[s]
+        assert rows[s]["allocated_tokens"] == ref[s], s
+        assert rows[s]["epochs"] <= 3.0 + 1e-9
+    # the capped source really is pinned at its cap
+    assert rows["src4"]["allocated_tokens"] == 30
+    # nothing over-allocated
+    assert sum(r["allocated_tokens"] for r in rows.values()) <= 2 * sum(
+        avail.values()
+    )
+
+
+def test_kmeans_step_matches_numpy(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # two well-separated blobs, labels deliberately half-wrong so the
+    # update step has real movement
+    pts = np.vstack(
+        [rng.normal(0, 0.1, (10, 4)), rng.normal(5, 0.1, (10, 4))]
+    ).astype(np.float32)
+    labels = [0] * 8 + [1] * 2 + [1] * 8 + [0] * 2
+    rows = [
+        (i, [float(x) for x in pts[i]], int(labels[i])) for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        r["label"]: r
+        for r in registry()["emb_kmeans_step"].build(spark, str(tmp_path)).collect()
+    }
+    p = pts.astype(np.float64)
+    cents = {
+        c: p[[i for i in range(20) if labels[i] == c]].mean(axis=0)
+        for c in (0, 1)
+    }
+    assign = {}
+    for i in range(20):
+        d = {c: float(((p[i] - cents[c]) ** 2).sum()) for c in (0, 1)}
+        assign[i] = min((0, 1), key=lambda c: (d[c], c))
+    for c in (0, 1):
+        members = [i for i in range(20) if assign[i] == c]
+        assert got[c]["n_assigned"] == len(members)
+        newc = p[members].mean(axis=0)
+        shift = float(np.sqrt(((newc - cents[c]) ** 2).sum()))
+        assert got[c]["centroid_shift"] == pytest.approx(shift, abs=1e-5)
+        inertia = sum(float(((p[i] - cents[c]) ** 2).sum()) for i in members)
+        assert got[c]["inertia"] == pytest.approx(inertia, abs=1e-3)
