@@ -1702,3 +1702,251 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str):
         )
         .orderBy("label")
     )
+
+
+# -- Weekly growth accounting (user lifecycle states) ------------------------
+# The classic growth-accounting decomposition: per week, how many active
+# users are new (first-ever week), retained (also active the previous
+# week), or resurrected (active, inactive last week, not new); plus how
+# many of last week's actives churned. Implemented over a per-user dense
+# week spine from the user's first week to the global max week so
+# inactive weeks exist to carry the lag flag; all counts exact integers.
+#
+# Scale: one fact shuffle to the distinct (user, week) grid; the spine
+# explode is bounded by users x span-weeks (dimension-sized), and the
+# lag window partitions per user over that bounded span.
+@register(
+    "sess_lifecycle_states",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_part('epoch', ts) / 86400) AS BIGINT) // 7 AS w
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+firstw AS (SELECT user_id, min(w) AS fw FROM act GROUP BY 1),
+maxw AS (SELECT max(w) AS mw FROM act),
+spine AS (
+  SELECT f.user_id, f.fw, s.w
+  FROM firstw f
+  CROSS JOIN maxw m
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(f.fw, m.mw)) AS w) s
+),
+flags AS (
+  SELECT sp.user_id, sp.fw, sp.w,
+         CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS is_active
+  FROM spine sp LEFT JOIN act a ON a.user_id = sp.user_id AND a.w = sp.w
+),
+lagged AS (
+  SELECT user_id, fw, w, is_active,
+         lag(is_active) OVER (PARTITION BY user_id ORDER BY w) AS prev_active
+  FROM flags
+),
+states AS (
+  SELECT w,
+         CASE WHEN is_active = 1 AND w = fw THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN is_active = 1 AND coalesce(prev_active, 0) = 1
+              THEN 1 ELSE 0 END AS is_retained,
+         CASE WHEN is_active = 1 AND w > fw AND coalesce(prev_active, 0) = 0
+              THEN 1 ELSE 0 END AS is_resurrected,
+         CASE WHEN is_active = 0 AND coalesce(prev_active, 0) = 1
+              THEN 1 ELSE 0 END AS is_churned
+  FROM lagged
+)
+SELECT w AS week,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(sum(is_retained) AS BIGINT) AS n_retained,
+       CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected,
+       CAST(sum(is_churned) AS BIGINT) AS n_churned,
+       CASE WHEN sum(is_churned) = 0 THEN NULL
+            ELSE floor((sum(is_new) + sum(is_resurrected)) * 1.0
+                       / sum(is_churned) * 10000 + 0.5) / 10000 END
+         AS quick_ratio
+FROM states GROUP BY w ORDER BY week
+""",
+)
+def q_sess_lifecycle_states(spark: SparkSession, sf_dir: str):
+    act = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) div 7"
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    firstw = act.groupBy("user_id").agg(F.min("w").alias("fw"))
+    maxw = act.agg(F.max("w").alias("mw"))
+    spine = (
+        firstw.crossJoin(F.broadcast(maxw))
+        .select("user_id", "fw", F.explode(F.sequence("fw", "mw")).alias("w"))
+    )
+    flags = spine.join(
+        act.withColumn("is_active", F.lit(1)), ["user_id", "w"], "left"
+    ).select(
+        "user_id", "fw", "w", F.coalesce("is_active", F.lit(0)).alias("is_active")
+    )
+    wl = Window.partitionBy("user_id").orderBy("w")
+    lagged = flags.withColumn(
+        "prev_active", F.coalesce(F.lag("is_active").over(wl), F.lit(0))
+    )
+    states = lagged.select(
+        "w",
+        F.when((F.col("is_active") == 1) & (F.col("w") == F.col("fw")), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.when((F.col("is_active") == 1) & (F.col("prev_active") == 1), 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("is_active") == 1)
+            & (F.col("w") > F.col("fw"))
+            & (F.col("prev_active") == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+        F.when((F.col("is_active") == 0) & (F.col("prev_active") == 1), 1)
+        .otherwise(0)
+        .alias("is_churned"),
+    )
+    agg = states.groupBy(F.col("w").alias("week")).agg(
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+        F.sum("is_churned").cast("long").alias("n_churned"),
+    )
+    return agg.select(
+        "week",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.when(F.col("n_churned") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            portable_round(
+                (F.col("n_new") + F.col("n_resurrected"))
+                * 1.0
+                / F.col("n_churned"),
+                4,
+            )
+        )
+        .alias("quick_ratio"),
+    ).orderBy("week")
+
+
+# -- Modularity of the event-transition graph --------------------------------
+# Newman modularity Q = sum_c (e_c / m - (d_c / 2m)^2) of the undirected
+# weighted transition graph under the fixed funnel-stage partition
+# {view, click} / {signup, purchase} / {error}: how much more
+# within-stage transition weight exists than a degree-preserving random
+# graph would give. Edge weights are exact transition counts (each
+# undirected edge counted once, self-loops kept with degree 2w); every
+# derived ratio is the identical double op on exact integers.
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+edges AS (
+  SELECT least(a.event_type, b.event_type) AS u,
+         greatest(a.event_type, b.event_type) AS v,
+         count(*) AS wgt
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2
+),
+comm(node, c) AS (
+  SELECT * FROM (VALUES ('view', 'browse'), ('click', 'browse'),
+                        ('signup', 'convert'), ('purchase', 'convert'),
+                        ('error', 'error')) t(node, c)
+),
+m AS (SELECT sum(wgt) AS m FROM edges),
+internal AS (
+  SELECT cu.c, sum(e.wgt) AS e_c
+  FROM edges e
+  JOIN comm cu ON cu.node = e.u
+  JOIN comm cv ON cv.node = e.v AND cv.c = cu.c
+  GROUP BY 1
+),
+deg AS (
+  SELECT c, sum(d) AS d_c FROM (
+    SELECT cu.c, CASE WHEN e.u = e.v THEN 2 * e.wgt ELSE e.wgt END AS d
+    FROM edges e JOIN comm cu ON cu.node = e.u
+    UNION ALL
+    SELECT cv.c, e.wgt FROM edges e JOIN comm cv ON cv.node = e.v
+    WHERE e.u <> e.v
+  ) GROUP BY 1
+)
+SELECT d.c AS community,
+       CAST(coalesce(i.e_c, 0) AS BIGINT) AS internal_weight,
+       CAST(d.d_c AS BIGINT) AS degree_weight,
+       floor((coalesce(i.e_c, 0) * 1.0 / mm.m
+              - (d.d_c * 1.0 / (2 * mm.m)) * (d.d_c * 1.0 / (2 * mm.m)))
+             * 10000 + 0.5) / 10000 AS modularity_term
+FROM deg d LEFT JOIN internal i ON i.c = d.c CROSS JOIN m mm
+ORDER BY community
+""",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wseq).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    edges = seq.groupBy(
+        F.least("event_type", "nxt").alias("u"),
+        F.greatest("event_type", "nxt").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("wgt"))
+    comm = spark.createDataFrame(
+        [
+            ("view", "browse"),
+            ("click", "browse"),
+            ("signup", "convert"),
+            ("purchase", "convert"),
+            ("error", "error"),
+        ],
+        "node string, c string",
+    )
+    cu = comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    lab = edges.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    m = edges.agg(F.sum("wgt").alias("m"))
+    internal = (
+        lab.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.sum("wgt").alias("e_c"))
+    )
+    deg_u = lab.select(
+        F.col("cu").alias("c"),
+        F.when(F.col("u") == F.col("v"), 2 * F.col("wgt"))
+        .otherwise(F.col("wgt"))
+        .alias("d"),
+    )
+    deg_v = lab.filter(F.col("u") != F.col("v")).select(
+        F.col("cv").alias("c"), F.col("wgt").alias("d")
+    )
+    deg = deg_u.unionAll(deg_v).groupBy("c").agg(F.sum("d").alias("d_c"))
+    return (
+        deg.join(F.broadcast(internal), "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("internal_weight"),
+            F.col("d_c").cast("long").alias("degree_weight"),
+            portable_round(
+                F.coalesce("e_c", F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("d_c") * 1.0 / (2 * F.col("m")))
+                * (F.col("d_c") * 1.0 / (2 * F.col("m"))),
+                4,
+            ).alias("modularity_term"),
+        )
+        .orderBy("community")
+    )

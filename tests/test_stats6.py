@@ -496,3 +496,60 @@ def test_kmeans_step_matches_numpy(spark, tmp_path):
         assert got[c]["centroid_shift"] == pytest.approx(shift, abs=1e-5)
         inertia = sum(float(((p[i] - cents[c]) ** 2).sum()) for i in members)
         assert got[c]["inertia"] == pytest.approx(inertia, abs=1e-3)
+
+
+def test_lifecycle_states_hand_model(spark, tmp_path):
+    # week numbering is epoch_day // 7; use explicit epoch-aligned weeks.
+    # user 1: weeks 0,1,3 -> new@0, retained@1, churned@2, resurrected@3
+    # user 2: week 1 only -> new@1, churned@2
+    # user 3: weeks 3 -> new@3
+    def at_week(w):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=7 * w, hours=12)
+
+    rows = []
+    eid = 0
+    for u, weeks in ((1, (0, 1, 3)), (2, (1,)), (3, (3,))):
+        for w in weeks:
+            rows.append((eid, at_week(w), u, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["week"]: r
+        for r in registry()["sess_lifecycle_states"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert (got[0]["n_new"], got[0]["n_retained"], got[0]["n_resurrected"], got[0]["n_churned"]) == (1, 0, 0, 0)
+    assert (got[1]["n_new"], got[1]["n_retained"], got[1]["n_churned"]) == (1, 1, 0)
+    assert (got[2]["n_new"], got[2]["n_retained"], got[2]["n_churned"]) == (0, 0, 2)
+    assert (got[3]["n_new"], got[3]["n_resurrected"], got[3]["n_churned"]) == (1, 1, 0)
+    # quick ratio: week 2 has 0 incoming, 2 churned -> 0.0; week 3 null-churn
+    assert got[2]["quick_ratio"] == pytest.approx(0.0, abs=1e-4)
+    assert got[3]["quick_ratio"] is None
+
+
+def test_modularity_sums_and_perfect_partition(spark, tmp_path):
+    # two users bouncing strictly within their own stage: view<->click and
+    # signup<->purchase. All weight is within-community -> Q = sum of
+    # terms = 1 - sum((d_c/2m)^2) and every internal_weight = edge total.
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    eid = 0
+    for u, (x, y) in ((1, ("view", "click")), (2, ("signup", "purchase"))):
+        for i in range(5):
+            rows.append((eid, base + dt.timedelta(minutes=eid), u, x if i % 2 == 0 else y, 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["community"]: r
+        for r in registry()["graph_modularity"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"browse", "convert"}
+    # 4 transitions per user, all internal; degrees 8 each, 2m = 16
+    for c in ("browse", "convert"):
+        assert got[c]["internal_weight"] == 4
+        assert got[c]["degree_weight"] == 8
+        assert got[c]["modularity_term"] == pytest.approx(
+            4 / 8 - (8 / 16) ** 2, abs=1e-4
+        )
+    q = sum(r["modularity_term"] for r in got.values())
+    assert q == pytest.approx(0.5, abs=1e-3)
