@@ -176,6 +176,9 @@ HEADLINE = [
     "sess_next_pred_accuracy",
     "sample_token_budget_plan",
     "emb_kmeans_step",
+    "sess_lifecycle_states",
+    "graph_modularity",
+    "text_langid_confusion",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -391,6 +394,9 @@ BUDGETS: dict[str, float] = {
     "sess_next_pred_accuracy": 1.62,
     "sample_token_budget_plan": 1.13,
     "emb_kmeans_step": 1.79,
+    "sess_lifecycle_states": 0.91,
+    "graph_modularity": 2.00,
+    "text_langid_confusion": 1.23,
 }
 
 

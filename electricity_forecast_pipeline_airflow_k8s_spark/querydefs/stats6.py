@@ -1950,3 +1950,130 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str):
         )
         .orderBy("community")
     )
+
+
+# -- Language-ID confusion matrix / per-class metrics ------------------------
+# Evaluation of the stopword-vote language heuristic (text_lang_id)
+# against the labeled lang column: per class (union of actual and
+# predicted labels) support, predicted-as count, true positives, and
+# precision/recall/F1. The 'zh' label has no detector -> structural
+# confusion; 'und' appears as predicted-only. All counts exact integers;
+# ratios NULL when the denominator is zero (same CASE in both engines).
+@register(
+    "text_langid_confusion",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS tk
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(tk, x -> list_contains(
+           ['der','die','das','und','ist','von','mit','ein','zu','auf'], x))) AS hits_de,
+         len(list_filter(tk, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','for','on'], x))) AS hits_en,
+         len(list_filter(tk, x -> list_contains(
+           ['el','la','de','y','es','en','un','una','que','por'], x))) AS hits_es,
+         len(list_filter(tk, x -> list_contains(
+           ['le','la','de','et','est','en','un','une','que','pour'], x))) AS hits_fr
+  FROM toks
+),
+pred AS (
+  SELECT lang AS actual,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS predicted
+  FROM hits
+),
+classes AS (
+  SELECT actual AS c FROM pred UNION SELECT predicted FROM pred
+),
+m AS (
+  SELECT c.c,
+         (SELECT count(*) FROM pred WHERE actual = c.c) AS support,
+         (SELECT count(*) FROM pred WHERE predicted = c.c) AS n_predicted,
+         (SELECT count(*) FROM pred WHERE actual = c.c AND predicted = c.c) AS tp
+  FROM classes c
+),
+pr AS (
+  SELECT c, support, n_predicted, tp,
+         CASE WHEN n_predicted = 0 THEN NULL
+              ELSE tp * 1.0 / n_predicted END AS p,
+         CASE WHEN support = 0 THEN NULL ELSE tp * 1.0 / support END AS r
+  FROM m
+)
+SELECT c AS lang_class,
+       CAST(support AS BIGINT) AS support,
+       CAST(n_predicted AS BIGINT) AS n_predicted,
+       CAST(tp AS BIGINT) AS tp,
+       floor(p * 10000 + 0.5) / 10000 AS precision_,
+       floor(r * 10000 + 0.5) / 10000 AS recall_,
+       CASE WHEN p IS NULL OR r IS NULL OR p + r = 0 THEN NULL
+            ELSE floor(2 * p * r / (p + r) * 10000 + 0.5) / 10000 END AS f1
+FROM pr ORDER BY lang_class
+""",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import lang_id
+
+    docs = table(spark, "documents", sf_dir)
+    pred = lang_id(docs).join(
+        docs.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+    ).select("actual", F.col("lang_pred").alias("predicted"))
+    classes = (
+        pred.select(F.col("actual").alias("c"))
+        .union(pred.select(F.col("predicted").alias("c")))
+        .distinct()
+    )
+    support = pred.groupBy(F.col("actual").alias("c")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    n_pred = pred.groupBy(F.col("predicted").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    tp = (
+        pred.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("c"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    m = (
+        classes.join(F.broadcast(support), "c", "left")
+        .join(F.broadcast(n_pred), "c", "left")
+        .join(F.broadcast(tp), "c", "left")
+        .select(
+            "c",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    p = F.when(F.col("n_predicted") == 0, F.lit(None)).otherwise(
+        F.col("tp") * 1.0 / F.col("n_predicted")
+    )
+    r = F.when(F.col("support") == 0, F.lit(None)).otherwise(
+        F.col("tp") * 1.0 / F.col("support")
+    )
+    pr = m.select(
+        "c", "support", "n_predicted", "tp", p.alias("p"), r.alias("r")
+    )
+    return pr.select(
+        F.col("c").alias("lang_class"),
+        F.col("support").cast("long").alias("support"),
+        F.col("n_predicted").cast("long").alias("n_predicted"),
+        F.col("tp").cast("long").alias("tp"),
+        portable_round(F.col("p"), 4).alias("precision_"),
+        portable_round(F.col("r"), 4).alias("recall_"),
+        F.when(
+            F.col("p").isNull() | F.col("r").isNull() | (F.col("p") + F.col("r") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            portable_round(
+                2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")), 4
+            )
+        )
+        .alias("f1"),
+    ).orderBy("lang_class")

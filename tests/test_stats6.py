@@ -553,3 +553,31 @@ def test_modularity_sums_and_perfect_partition(spark, tmp_path):
         )
     q = sum(r["modularity_term"] for r in got.values())
     assert q == pytest.approx(0.5, abs=1e-3)
+
+
+def test_langid_confusion_hand_model(spark, tmp_path):
+    docs = [
+        (0, "the cat sat on the mat and it is happy", "en", "src0", 40),  # tp en
+        (1, "el perro es un animal que vive en la casa", "en", "src0", 41),  # pred es, actual en
+        (2, "xyzzy qwerty", "zh", "src0", 12),  # no stopword hits -> und
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["lang_class"]: r
+        for r in registry()["text_langid_confusion"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"en", "es", "zh", "und"}
+    en = got["en"]
+    assert (en["support"], en["n_predicted"], en["tp"]) == (2, 1, 1)
+    assert en["precision_"] == pytest.approx(1.0, abs=1e-4)
+    assert en["recall_"] == pytest.approx(0.5, abs=1e-4)
+    assert en["f1"] == pytest.approx(2 / 3, abs=1e-4)
+    es = got["es"]
+    assert (es["support"], es["n_predicted"], es["tp"]) == (0, 1, 0)
+    assert es["precision_"] == pytest.approx(0.0, abs=1e-4)
+    assert es["recall_"] is None and es["f1"] is None
+    zh = got["zh"]
+    assert (zh["support"], zh["n_predicted"], zh["tp"]) == (1, 0, 0)
+    assert zh["precision_"] is None and zh["recall_"] == pytest.approx(0.0, abs=1e-4)
