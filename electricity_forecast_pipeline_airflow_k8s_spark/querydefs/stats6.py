@@ -768,6 +768,14 @@ def q_rel_bitmap_overlap(spark: SparkSession, sf_dir: str):
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
         ).alias("bits")
     )
+    # the word-bitmap table (types x words, ~32x smaller than the distinct
+    # pairs) feeds three consumers (sizes + both join sides): persist it so
+    # the fact scan+distinct runs once (theilsen's scoped-cache pattern;
+    # bench mode keeps the plan lazy for honest timing)
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        bitmaps = bitmaps.persist()
     sizes = bitmaps.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n")
     )

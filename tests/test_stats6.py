@@ -581,3 +581,50 @@ def test_langid_confusion_hand_model(spark, tmp_path):
     zh = got["zh"]
     assert (zh["support"], zh["n_predicted"], zh["tp"]) == (1, 0, 0)
     assert zh["precision_"] is None and zh["recall_"] == pytest.approx(0.0, abs=1e-4)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_hyp = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=300), min_size=2, max_size=6
+    ),
+    data=st.data(),
+)
+@_hyp
+def test_token_budget_plan_properties(spark, tmp_path_factory, counts, data):
+    """Waterfill invariants for arbitrary source sizes: Spark == the pure
+    reference; nothing over cap; total never exceeds the budget; a capped
+    source is pinned exactly at 3x its tokens."""
+    tmp_path = tmp_path_factory.mktemp("wf")
+    docs = [
+        (i, "w " * c, "en", f"src{i}", 2 * c) for i, c in enumerate(counts)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in registry()["sample_token_budget_plan"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    avail = {f"src{i}": c for i, c in enumerate(counts)}
+    weights = {s: (int(s[3:]) % 5) + 1 for s in avail}
+    ref = _waterfill_reference(avail, weights)
+    budget = 2 * sum(avail.values())
+    total_alloc = 0
+    for s in avail:
+        got = rows[s]["allocated_tokens"]
+        assert got == ref[s], (s, counts)
+        assert got <= 3 * avail[s]
+        total_alloc += got
+    assert total_alloc <= budget
