@@ -179,6 +179,8 @@ HEADLINE = [
     "sess_lifecycle_states",
     "graph_modularity",
     "text_langid_confusion",
+    "val_key_skew_report",
+    "val_join_cardinality",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -397,6 +399,8 @@ BUDGETS: dict[str, float] = {
     "sess_lifecycle_states": 0.91,
     "graph_modularity": 2.00,
     "text_langid_confusion": 1.23,
+    "val_key_skew_report": 1.78,
+    "val_join_cardinality": 1.27,
 }
 
 

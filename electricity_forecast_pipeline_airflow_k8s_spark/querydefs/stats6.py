@@ -2085,3 +2085,194 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str):
         )
         .alias("f1"),
     ).orderBy("lang_class")
+
+
+# -- Join-key skew report ----------------------------------------------------
+# The partition-planning diagnostic a 100 TB join starts from: for each
+# candidate shuffle key, the key-frequency distribution's size, top-key
+# share, entropy (how evenly a hash shuffle will spread), and the
+# p99/median frequency ratio (how bad the stragglers get). One hash agg
+# per key column; the per-key entropy terms are quantized to the 1e9
+# grid before the order-free decimal sum; frequency quantiles use the
+# exact percentile == quantile_cont contract.
+@register(
+    "val_key_skew_report",
+    oracle=f"""
+WITH freqs AS (
+  SELECT 'events.user_id' AS key_col, user_id::VARCHAR AS k, count(*) AS c
+  FROM {EVENTS_SRC} AS e WHERE user_id IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', l_orderkey::VARCHAR, count(*)
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey::VARCHAR, count(*)
+  FROM orders GROUP BY 2
+),
+tot AS (SELECT key_col, sum(c) AS n, count(*) AS n_keys FROM freqs GROUP BY 1),
+ent AS (
+  SELECT f.key_col,
+         sum(CAST(floor(-(f.c * 1.0 / t.n) * log2(f.c * 1.0 / t.n)
+                        * {_FP} + 0.5) AS DECIMAL(28,0))) AS e_fp,
+         max(f.c) AS max_freq,
+         quantile_cont(f.c, 0.5) AS p50,
+         quantile_cont(f.c, 0.99) AS p99
+  FROM freqs f JOIN tot t ON t.key_col = f.key_col
+  GROUP BY 1
+)
+SELECT t.key_col,
+       CAST(t.n AS BIGINT) AS n_rows,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(e.max_freq AS BIGINT) AS max_freq,
+       floor(e.max_freq * 1.0 / t.n * 10000 + 0.5) / 10000 AS top1_share,
+       floor(CAST(e.e_fp AS DOUBLE) / {_FP} * 10000 + 0.5) / 10000
+         AS key_entropy_bits,
+       floor(e.p99 / e.p50 * 10000 + 0.5) / 10000 AS p99_over_median
+FROM tot t JOIN ent e ON e.key_col = t.key_col
+ORDER BY t.key_col
+""",
+)
+def q_val_key_skew_report(spark: SparkSession, sf_dir: str):
+    def freqs(df, col, name):
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(name).alias("key_col"), "k", "c")
+        )
+
+    ev = table(spark, "events", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    f = (
+        freqs(ev, "user_id", "events.user_id")
+        .unionAll(freqs(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(freqs(o, "o_custkey", "orders.o_custkey"))
+    )
+    tot = f.groupBy("key_col").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_keys")
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        f.join(F.broadcast(tot), "key_col")
+        .groupBy("key_col")
+        .agg(
+            F.sum(
+                F.floor(-p * F.log2(p) * _FP + 0.5).cast("decimal(28,0)")
+            ).alias("e_fp"),
+            F.max("c").alias("max_freq"),
+            F.percentile("c", F.lit(0.5)).alias("p50"),
+            F.percentile("c", F.lit(0.99)).alias("p99"),
+        )
+    )
+    return (
+        tot.join(ent, "key_col")
+        .select(
+            "key_col",
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_freq").cast("long").alias("max_freq"),
+            portable_round(F.col("max_freq") * 1.0 / F.col("n"), 4).alias(
+                "top1_share"
+            ),
+            portable_round(F.col("e_fp").cast("double") / _FP, 4).alias(
+                "key_entropy_bits"
+            ),
+            portable_round(F.col("p99") / F.col("p50"), 4).alias(
+                "p99_over_median"
+            ),
+        )
+        .orderBy("key_col")
+    )
+
+
+# -- Join-cardinality estimator ----------------------------------------------
+# Pre-join output-size estimation from per-side key histograms:
+# |A join B| = sum over shared keys of f_A(k) * f_B(k), computed from two
+# grouped counts instead of executing the join — the planner primitive
+# for deciding broadcast vs shuffle vs pre-aggregation. Exact integers
+# throughout; the three standard TPC-H join edges as rows.
+@register(
+    "val_join_cardinality",
+    oracle="""
+WITH lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+cc AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+lp AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+pp AS (SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY 1),
+est AS (
+  SELECT 'lineitem x orders ON orderkey' AS join_edge,
+         (SELECT sum(c) FROM lo) AS n_left, (SELECT sum(c) FROM oo) AS n_right,
+         count(*) AS n_shared_keys, sum(a.c * b.c) AS est_rows
+  FROM lo a JOIN oo b ON b.k = a.k
+  UNION ALL
+  SELECT 'orders x customer ON custkey',
+         (SELECT sum(c) FROM oc), (SELECT sum(c) FROM cc),
+         count(*), sum(a.c * b.c)
+  FROM oc a JOIN cc b ON b.k = a.k
+  UNION ALL
+  SELECT 'lineitem x part ON partkey',
+         (SELECT sum(c) FROM lp), (SELECT sum(c) FROM pp),
+         count(*), sum(a.c * b.c)
+  FROM lp a JOIN pp b ON b.k = a.k
+)
+SELECT join_edge, CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_shared_keys AS BIGINT) AS n_shared_keys,
+       CAST(est_rows AS BIGINT) AS est_rows
+FROM est ORDER BY join_edge
+""",
+)
+def q_val_join_cardinality(spark: SparkSession, sf_dir: str):
+    def hist(df, col):
+        return df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    cu = table(spark, "customer", sf_dir)
+    pa = table(spark, "part", sf_dir)
+
+    def edge(name, a, b):
+        na = a.agg(F.sum("c").alias("n_left"))
+        nb = b.agg(F.sum("c").alias("n_right"))
+        return (
+            a.join(b.withColumnRenamed("c", "cb"), "k")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared_keys"),
+                F.sum(F.col("c") * F.col("cb")).alias("est_rows"),
+            )
+            .crossJoin(F.broadcast(na))
+            .crossJoin(F.broadcast(nb))
+            .select(
+                F.lit(name).alias("join_edge"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("n_shared_keys").cast("long").alias("n_shared_keys"),
+                F.col("est_rows").cast("long").alias("est_rows"),
+            )
+        )
+
+    out = (
+        edge(
+            "lineitem x orders ON orderkey",
+            hist(li, "l_orderkey"),
+            hist(o, "o_orderkey"),
+        )
+        .unionAll(
+            edge(
+                "orders x customer ON custkey",
+                hist(o, "o_custkey"),
+                hist(cu, "c_custkey"),
+            )
+        )
+        .unionAll(
+            edge(
+                "lineitem x part ON partkey",
+                hist(li, "l_partkey"),
+                hist(pa, "p_partkey"),
+            )
+        )
+    )
+    return out.orderBy("join_edge")

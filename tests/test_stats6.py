@@ -628,3 +628,64 @@ def test_token_budget_plan_properties(spark, tmp_path_factory, counts, data):
         assert got <= 3 * avail[s]
         total_alloc += got
     assert total_alloc <= budget
+
+
+def test_join_cardinality_equals_actual_join(spark, sf_dir):
+    """The histogram estimate is EXACT for equi-joins: est_rows must equal
+    the actually-executed join count for every edge."""
+    rows = {
+        r["join_edge"]: r
+        for r in registry()["val_join_cardinality"].build(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    actual = {
+        "lineitem x orders ON orderkey": li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count(),
+        "orders x customer ON custkey": o.join(
+            cu, o.o_custkey == cu.c_custkey
+        ).count(),
+        "lineitem x part ON partkey": li.join(
+            pa, li.l_partkey == pa.p_partkey
+        ).count(),
+    }
+    for edge, n in actual.items():
+        assert rows[edge]["est_rows"] == n, edge
+
+
+def test_key_skew_report_uniform_vs_skewed(spark, tmp_path):
+    # planted skew: one user holds half the events; a uniform orders
+    # custkey distribution must report near-max entropy and ratio 1
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(50):
+        rows.append((eid, base + dt.timedelta(minutes=eid), 7, "view", 1.0, "{}"))
+        eid += 1
+    for u in range(50):
+        rows.append((eid, base + dt.timedelta(minutes=eid), 100 + u, "view", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    orders = [(i, i % 10, base + dt.timedelta(days=i)) for i in range(100)]
+    _write_orders(spark, str(tmp_path), orders)
+    # lineitem: uniform 2 rows per orderkey
+    spark.createDataFrame(
+        [(i // 2, float(i)) for i in range(200)], "l_orderkey long, l_dummy double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["key_col"]: r
+        for r in registry()["val_key_skew_report"].build(spark, str(tmp_path)).collect()
+    }
+    ev = got["events.user_id"]
+    assert ev["n_rows"] == 100 and ev["n_keys"] == 51
+    assert ev["max_freq"] == 50 and ev["top1_share"] == pytest.approx(0.5, abs=1e-4)
+    # skewed entropy far below log2(51); the p99/median ratio blows up
+    assert ev["key_entropy_bits"] < 4.0
+    assert ev["p99_over_median"] > 10
+    oc = got["orders.o_custkey"]
+    assert oc["n_keys"] == 10 and oc["max_freq"] == 10
+    assert oc["key_entropy_bits"] == pytest.approx(math.log2(10), abs=1e-3)
+    assert oc["p99_over_median"] == pytest.approx(1.0, abs=1e-4)
