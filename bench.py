@@ -181,6 +181,7 @@ HEADLINE = [
     "text_langid_confusion",
     "val_key_skew_report",
     "val_join_cardinality",
+    "val_median_of_means",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -401,6 +402,7 @@ BUDGETS: dict[str, float] = {
     "text_langid_confusion": 1.23,
     "val_key_skew_report": 1.78,
     "val_join_cardinality": 1.27,
+    "val_median_of_means": 0.60,
 }
 
 

@@ -2276,3 +2276,51 @@ def q_val_join_cardinality(spark: SparkSession, sf_dir: str):
         )
     )
     return out.orderBy("join_edge")
+
+
+# -- Median-of-means robust mean --------------------------------------------
+# The distributed-robust-statistics primitive: values hash into 32
+# deterministic buckets (event_id % 32, partition-independent), each
+# bucket's mean comes from exact DECIMAL sums, and the estimator is the
+# exact interpolated median of the 32 bucket means — one heavy-tailed
+# contaminator can move the plain mean but shifts only one bucket here.
+# Scale: one hash agg to 32 rows; the median runs on 32 values.
+@register(
+    "val_median_of_means",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id % 32 AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS bmean,
+         count(*) AS bn
+  FROM {EVENTS_SRC} AS e WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(sum(bn) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS k_buckets,
+       CAST(min(bn) AS BIGINT) AS min_bucket_n,
+       floor(quantile_cont(bmean, 0.5) * 10000 + 0.5) / 10000
+         AS median_of_means
+FROM b
+""",
+)
+def q_val_median_of_means(spark: SparkSession, sf_dir: str):
+    b = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy((F.col("event_id") % 32).alias("bucket"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bmean"),
+            F.count(F.lit(1)).alias("bn"),
+        )
+    )
+    return b.agg(
+        F.sum("bn").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("k_buckets"),
+        F.min("bn").cast("long").alias("min_bucket_n"),
+        portable_round(F.percentile("bmean", F.lit(0.5)), 4).alias(
+            "median_of_means"
+        ),
+    )

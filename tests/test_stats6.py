@@ -689,3 +689,19 @@ def test_key_skew_report_uniform_vs_skewed(spark, tmp_path):
     assert oc["n_keys"] == 10 and oc["max_freq"] == 10
     assert oc["key_entropy_bits"] == pytest.approx(math.log2(10), abs=1e-3)
     assert oc["p99_over_median"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_median_of_means_robust_to_contamination(spark, tmp_path):
+    # 320 clean values of 10.0 plus one 1e6 outlier: the plain mean moves
+    # by ~3000, the median of means stays at 10 (the outlier poisons only
+    # its own bucket).
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "view", 10.0, "{}")
+        for i in range(320)
+    ]
+    rows.append((320, base + dt.timedelta(minutes=320), 1, "view", 1e6, "{}"))
+    _write_events(spark, str(tmp_path), rows)
+    [r] = registry()["val_median_of_means"].build(spark, str(tmp_path)).collect()
+    assert r["n_values"] == 321 and r["k_buckets"] == 32
+    assert r["median_of_means"] == pytest.approx(10.0, abs=1e-4)
