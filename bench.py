@@ -182,6 +182,7 @@ HEADLINE = [
     "val_key_skew_report",
     "val_join_cardinality",
     "val_median_of_means",
+    "text_tokenizer_fertility",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -403,6 +404,7 @@ BUDGETS: dict[str, float] = {
     "val_key_skew_report": 1.78,
     "val_join_cardinality": 1.27,
     "val_median_of_means": 0.60,
+    "text_tokenizer_fertility": 1.30,
 }
 
 

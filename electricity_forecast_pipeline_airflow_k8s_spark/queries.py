@@ -39,6 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "text_tokenizer_fertility",
     "val_median_of_means",
     "val_key_skew_report",
     "val_join_cardinality",
@@ -185,13 +186,14 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_window_counts",
     "val_domain_violations",
     "val_extreme_gate",
-    # Round-6 rotation TODO: the 26 newest never-proven queries above push
-    # the cut boundary 26 rows up — the last 26 window rows before this
-    # note (sim_topk_lsh onward) now overflow the driver's 50-query cut
-    # and lead round 6 together with emb_top_pc_power_iteration and any
-    # round-6 additions, then the late-r4 rows (ts_cusum_changepoint
-    # onward), then the displaced r1 cohort, then the remaining r2 cohort,
-    # then start re-proving the oldest r3 greens.
+    # Round-6 rotation TODO: 45 never-driver-proven queries now lead the
+    # window (the 19 latest-batch additions — val_median_of_means through
+    # rel_km_repurchase — plus the 26 earlier round-5 ones), so the
+    # driver's 50-query cut covers them plus the next ~5 rows. Round 6
+    # should promote whatever it adds, then the overflow (graph_kcore
+    # onward), then the late-r4 rows (ts_cusum_changepoint onward), then
+    # the displaced r1 cohort, then the remaining r2 cohort, then start
+    # re-proving the oldest r3 greens.
 )
 
 

@@ -2324,3 +2324,65 @@ def q_val_median_of_means(spark: SparkSession, sf_dir: str):
             "median_of_means"
         ),
     )
+
+
+# -- Tokenizer fertility by language ----------------------------------------
+# The tokenizer-budget planning metric: per language, subword tokens per
+# whitespace word (fertility) and characters per subword token, from the
+# repo's integer-exact BPE-ish estimate (ceil(len/4) per piece) and the
+# shared whitespace tokenizer. High-fertility languages cost more tokens
+# per word — the number that drives multilingual sampling budgets.
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x != '')) AS ws_tokens,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+           p -> (length(p) + 3) // 4)), 0) AS bpe_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       floor(sum(bpe_tokens) * 1.0 / sum(ws_tokens) * 10000 + 0.5) / 10000
+         AS fertility,
+       floor(sum(n_chars) * 1.0 / sum(bpe_tokens) * 10000 + 0.5) / 10000
+         AS chars_per_token
+FROM d GROUP BY lang ORDER BY lang
+""",
+)
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        bpe_token_estimate,
+        tokens,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    bpe = bpe_token_estimate(docs).select("doc_id", "est_bpe_tokens")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(tokens("text")).alias("ws_tokens"),
+    ).join(bpe, "doc_id")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("est_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            portable_round(
+                F.sum("est_bpe_tokens") * 1.0 / F.sum("ws_tokens"), 4
+            ).alias("fertility"),
+            portable_round(
+                F.sum("n_chars") * 1.0 / F.sum("est_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

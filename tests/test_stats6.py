@@ -705,3 +705,16 @@ def test_median_of_means_robust_to_contamination(spark, tmp_path):
     [r] = registry()["val_median_of_means"].build(spark, str(tmp_path)).collect()
     assert r["n_values"] == 321 and r["k_buckets"] == 32
     assert r["median_of_means"] == pytest.approx(10.0, abs=1e-4)
+
+
+def test_tokenizer_fertility_hand_model(spark, tmp_path):
+    # "abcdefgh ij" -> pieces [abcdefgh, ij] -> ceil(8/4)+ceil(2/4) = 3 bpe
+    # tokens over 2 whitespace words -> fertility 1.5; 11 chars / 3 bpe.
+    docs = [(0, "abcdefgh ij", "en", "src0", 11)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    [r] = registry()["text_tokenizer_fertility"].build(spark, str(tmp_path)).collect()
+    assert (r["ws_tokens"], r["bpe_tokens"], r["n_chars"]) == (2, 3, 11)
+    assert r["fertility"] == pytest.approx(1.5, abs=1e-4)
+    assert r["chars_per_token"] == pytest.approx(11 / 3, abs=1e-4)
