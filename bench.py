@@ -218,6 +218,8 @@ ITERATIVE = [
     "graph_kcore",
     # distributed prefix-sum: per-partition sum offsets job at build time
     "rel_abc_classification",
+    # exact global rank: range-sort + offsets jobs at build time
+    "sample_curriculum_order",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -405,6 +407,7 @@ BUDGETS: dict[str, float] = {
     "val_join_cardinality": 1.27,
     "val_median_of_means": 0.60,
     "text_tokenizer_fertility": 1.30,
+    "sample_curriculum_order": 2.40,
 }
 
 

@@ -2386,3 +2386,84 @@ def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+# -- Curriculum ordering (short -> long, decorrelated within stage) ----------
+# Training-order assignment: four length stages cut at the exact BPE-token
+# quartiles (percentile == quantile_cont contract), then a deterministic
+# md5 shuffle within each stage, then ONE exact global rank over
+# (stage, md5, doc_id) — the curriculum position. Spark computes the rank
+# with operators/ranking.py::global_rank (range repartition + per-
+# partition offsets, partitioning-independent, NO single-task window);
+# the oracle re-derives it with a plain window — independent paths.
+@register(
+    "sample_curriculum_order",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+           p -> (length(p) + 3) // 4)), 0) AS bpe
+  FROM documents
+),
+qs AS (
+  SELECT quantile_cont(bpe, 0.25) AS q25, quantile_cont(bpe, 0.5) AS q50,
+         quantile_cont(bpe, 0.75) AS q75
+  FROM d
+),
+staged AS (
+  SELECT d.doc_id, d.bpe,
+         1 + CASE WHEN d.bpe > q.q25 THEN 1 ELSE 0 END
+           + CASE WHEN d.bpe > q.q50 THEN 1 ELSE 0 END
+           + CASE WHEN d.bpe > q.q75 THEN 1 ELSE 0 END AS stage,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM d CROSS JOIN qs q
+)
+SELECT doc_id, CAST(bpe AS BIGINT) AS bpe_tokens, CAST(stage AS BIGINT) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+         AS curriculum_rank
+FROM staged ORDER BY doc_id
+""",
+)
+def q_sample_curriculum_order(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        global_rank,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        bpe_token_estimate,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    d = bpe_token_estimate(docs).select(
+        "doc_id", F.col("est_bpe_tokens").alias("bpe")
+    )
+    qs = d.agg(
+        F.percentile("bpe", F.lit(0.25)).alias("q25"),
+        F.percentile("bpe", F.lit(0.5)).alias("q50"),
+        F.percentile("bpe", F.lit(0.75)).alias("q75"),
+    )
+    staged = d.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        "bpe",
+        (
+            1
+            + F.when(F.col("bpe") > F.col("q25"), 1).otherwise(0)
+            + F.when(F.col("bpe") > F.col("q50"), 1).otherwise(0)
+            + F.when(F.col("bpe") > F.col("q75"), 1).otherwise(0)
+        ).alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    import os
+
+    ranked = global_rank(
+        staged,
+        ["stage", "h", "doc_id"],
+        rank_col="curriculum_rank",
+        persist=os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0",
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("bpe").cast("long").alias("bpe_tokens"),
+        F.col("stage").cast("long").alias("stage"),
+        F.col("curriculum_rank").cast("long").alias("curriculum_rank"),
+    ).orderBy("doc_id")

@@ -718,3 +718,31 @@ def test_tokenizer_fertility_hand_model(spark, tmp_path):
     assert (r["ws_tokens"], r["bpe_tokens"], r["n_chars"]) == (2, 3, 11)
     assert r["fertility"] == pytest.approx(1.5, abs=1e-4)
     assert r["chars_per_token"] == pytest.approx(11 / 3, abs=1e-4)
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    rows = (
+        registry()["sample_curriculum_order"].build(spark, sf_dir).collect()
+    )
+    n = len(rows)
+    # ranks are an exact permutation of 1..n
+    assert sorted(r["curriculum_rank"] for r in rows) == list(range(1, n + 1))
+    # stages are monotone in rank: every stage-s rank < every stage-(s+1) rank
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["curriculum_rank"])
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) < min(by_stage[b])
+    # shorter stages really contain shorter docs (boundary ties aside,
+    # stage max bpe <= next stage min is NOT guaranteed at ties, but
+    # stage medians must be non-decreasing)
+    import statistics
+
+    medians = [
+        statistics.median(
+            [r["bpe_tokens"] for r in rows if r["stage"] == s]
+        )
+        for s in stages
+    ]
+    assert medians == sorted(medians)
