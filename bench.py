@@ -183,6 +183,7 @@ HEADLINE = [
     "val_join_cardinality",
     "val_median_of_means",
     "text_tokenizer_fertility",
+    "val_k_anonymity",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -408,6 +409,7 @@ BUDGETS: dict[str, float] = {
     "val_median_of_means": 0.60,
     "text_tokenizer_fertility": 1.30,
     "sample_curriculum_order": 2.40,
+    "val_k_anonymity": 0.60,
 }
 
 

@@ -2467,3 +2467,65 @@ def q_sample_curriculum_order(spark: SparkSession, sf_dir: str):
         F.col("stage").cast("long").alias("stage"),
         F.col("curriculum_rank").cast("long").alias("curriculum_rank"),
     ).orderBy("doc_id")
+
+
+# -- k-anonymity / l-diversity audit -----------------------------------------
+# Privacy posture of a release: group customers by the quasi-identifier
+# pair (nation, market segment); k-anonymity is the smallest group, the
+# re-identification tail is the share of rows in groups under 5/10, and
+# l-diversity is the minimum number of distinct sensitive values
+# (account-balance k$-bucket) within any group. Exact integers; one hash
+# agg on the QI key, group-level reductions after.
+@register(
+    "val_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS k_anonymity,
+       floor(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1.0 / sum(sz)
+             * 10000 + 0.5) / 10000 AS pct_rows_k_lt_5,
+       floor(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1.0 / sum(sz)
+             * 10000 + 0.5) / 10000 AS pct_rows_k_lt_10,
+       CAST(min(l_div) AS BIGINT) AS l_diversity_min,
+       floor(quantile_cont(sz, 0.5) * 10000 + 0.5) / 10000
+         AS median_group_size
+FROM g
+""",
+)
+def q_val_k_anonymity(spark: SparkSession, sf_dir: str):
+    g = (
+        table(spark, "customer", sf_dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+            ).alias("l_div"),
+        )
+    )
+    return g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        portable_round(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            * 1.0
+            / F.sum("sz"),
+            4,
+        ).alias("pct_rows_k_lt_5"),
+        portable_round(
+            F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+            * 1.0
+            / F.sum("sz"),
+            4,
+        ).alias("pct_rows_k_lt_10"),
+        F.min("l_div").cast("long").alias("l_diversity_min"),
+        portable_round(F.percentile("sz", F.lit(0.5)), 4).alias(
+            "median_group_size"
+        ),
+    )

@@ -746,3 +746,26 @@ def test_curriculum_order_invariants(spark, sf_dir):
         for s in stages
     ]
     assert medians == sorted(medians)
+
+
+def test_k_anonymity_hand_model(spark, tmp_path):
+    # QI groups: (0, A) x 6 members with 2 distinct balance buckets,
+    # (0, B) x 2 members with 1 bucket, (1, A) x 12 with 3 buckets.
+    rows = []
+    ck = 0
+    for nation, seg, sizes in ((0, "A", [1000.0] * 3 + [2500.0] * 3),
+                               (0, "B", [500.0] * 2),
+                               (1, "A", [0.0] * 4 + [1500.0] * 4 + [3200.0] * 4)):
+        for bal in sizes:
+            rows.append((ck, nation, seg, bal))
+            ck += 1
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    [r] = registry()["val_k_anonymity"].build(spark, str(tmp_path)).collect()
+    assert r["n_rows"] == 20 and r["n_groups"] == 3
+    assert r["k_anonymity"] == 2
+    assert r["pct_rows_k_lt_5"] == pytest.approx(2 / 20, abs=1e-4)
+    assert r["pct_rows_k_lt_10"] == pytest.approx(8 / 20, abs=1e-4)
+    assert r["l_diversity_min"] == 1
+    assert r["median_group_size"] == pytest.approx(6.0, abs=1e-4)
