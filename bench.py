@@ -184,6 +184,7 @@ HEADLINE = [
     "val_median_of_means",
     "text_tokenizer_fertility",
     "val_k_anonymity",
+    "mm_audio_frame_energy",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -410,6 +411,7 @@ BUDGETS: dict[str, float] = {
     "text_tokenizer_fertility": 1.30,
     "sample_curriculum_order": 2.40,
     "val_k_anonymity": 0.60,
+    "mm_audio_frame_energy": 1.40,
 }
 
 

@@ -2529,3 +2529,146 @@ def q_val_k_anonymity(spark: SparkSession, sf_dir: str):
             "median_group_size"
         ),
     )
+
+
+# -- Audio-style frame energy over binary-ish media --------------------------
+# The framing stage of an audio pipeline (frame 64, hop 32 — the
+# overlapping-window layout of real STFT/VAD front ends), run over the
+# deterministic stand-in signal "code points of the media text" so an
+# independent SQL engine can recompute every frame: amplitude
+# a = (cp % 256 - 128)/128, per-frame energy from the exact integer
+# sum of (cp % 256 - 128)^2, RMS = sqrt(s2/64)/128. Per media: frame
+# count, mean frame RMS (per-frame 1e9 grid before the decimal mean),
+# and the integer-argmax peak frame. Each sample joins its <= 2 member
+# frames via the two floor(pos/hop) candidates — no range join, no
+# per-sample Python.
+@register(
+    "mm_audio_frame_energy",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id < 50
+),
+samp AS (
+  SELECT media_id, n,
+         generate_subscripts(regexp_extract_all(text, '[\s\S]'), 1) - 1 AS pos0,
+         ord(unnest(regexp_extract_all(text, '[\s\S]'))) AS cp
+  FROM m
+),
+memb AS (
+  SELECT media_id, n, pos0, cp, f
+  FROM (
+    SELECT s.*, unnest([pos0 // 32 - 1, pos0 // 32]) AS f FROM samp s
+  )
+  WHERE f >= 0 AND pos0 >= f * 32 AND pos0 < f * 32 + 64
+        AND f * 32 + 64 <= n
+),
+frames AS (
+  SELECT media_id, f,
+         sum((cp % 256 - 128) * (cp % 256 - 128)) AS s2
+  FROM memb GROUP BY 1, 2
+),
+rms AS (
+  SELECT media_id, f, s2,
+         CAST(floor(sqrt(s2 * 1.0 / 64) / 128 * 1000000000 + 0.5)
+              AS DECIMAL(28,0)) AS rms_fp
+  FROM frames
+),
+peak AS (
+  SELECT media_id, f AS peak_frame, s2,
+         row_number() OVER (PARTITION BY media_id ORDER BY s2 DESC, f) AS rn
+  FROM rms JOIN (SELECT 1) ON true
+),
+agg AS (
+  SELECT media_id, count(*) AS n_frames,
+         CAST(sum(rms_fp) AS DOUBLE) / 1000000000 / count(*) AS mean_rms
+  FROM rms GROUP BY 1
+)
+SELECT a.media_id,
+       CAST((SELECT first(n) FROM samp s WHERE s.media_id = a.media_id)
+            AS BIGINT) AS n_samples,
+       CAST(a.n_frames AS BIGINT) AS n_frames,
+       floor(a.mean_rms * 1000000 + 0.5) / 1000000 AS mean_rms,
+       CAST(p.peak_frame AS BIGINT) AS peak_frame,
+       floor(sqrt(p.s2 * 1.0 / 64) / 128 * 1000000 + 0.5) / 1000000
+         AS peak_rms
+FROM agg a JOIN (SELECT * FROM peak WHERE rn = 1) p ON p.media_id = a.media_id
+ORDER BY a.media_id
+""",
+)
+def q_mm_audio_frame_energy(spark: SparkSession, sf_dir: str):
+    m = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            "text",
+            F.length("text").alias("n"),
+        )
+    )
+    samp = m.select(
+        "media_id",
+        "n",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)
+        ).alias("pos0", "ch"),
+    ).select("media_id", "n", "pos0", F.ascii("ch").alias("cp"))
+    cand = samp.select(
+        "media_id",
+        "n",
+        "pos0",
+        "cp",
+        F.explode(
+            F.array(
+                F.floor(F.col("pos0") / 32) - 1, F.floor(F.col("pos0") / 32)
+            )
+        ).alias("f"),
+    )
+    memb = cand.filter(
+        (F.col("f") >= 0)
+        & (F.col("pos0") >= F.col("f") * 32)
+        & (F.col("pos0") < F.col("f") * 32 + 64)
+        & (F.col("f") * 32 + 64 <= F.col("n"))
+    )
+    amp2 = (F.col("cp") % 256 - 128) * (F.col("cp") % 256 - 128)
+    frames = memb.groupBy("media_id", "f").agg(F.sum(amp2).alias("s2"))
+    rms_col = F.sqrt(F.col("s2") * 1.0 / 64) / 128
+    rms = frames.select(
+        "media_id",
+        "f",
+        "s2",
+        F.floor(rms_col * 1000000000 + 0.5).cast("decimal(28,0)").alias("rms_fp"),
+    )
+    wpk = Window.partitionBy("media_id").orderBy(F.col("s2").desc(), "f")
+    peak = (
+        rms.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select("media_id", F.col("f").alias("peak_frame"), F.col("s2").alias("ps2"))
+    )
+    agg = rms.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.sum("rms_fp").cast("double") / 1000000000 / F.count(F.lit(1))).alias(
+            "mean_rms"
+        ),
+    )
+    nsamp = m.select("media_id", F.col("n").alias("n_samples"))
+    return (
+        agg.join(peak, "media_id")
+        .join(F.broadcast(nsamp), "media_id")
+        .select(
+            "media_id",
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            (F.floor(F.col("mean_rms") * 1000000 + 0.5) / 1000000).alias(
+                "mean_rms"
+            ),
+            F.col("peak_frame").cast("long").alias("peak_frame"),
+            (
+                F.floor(
+                    F.sqrt(F.col("ps2") * 1.0 / 64) / 128 * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("peak_rms"),
+        )
+        .orderBy("media_id")
+    )

@@ -769,3 +769,27 @@ def test_k_anonymity_hand_model(spark, tmp_path):
     assert r["pct_rows_k_lt_10"] == pytest.approx(8 / 20, abs=1e-4)
     assert r["l_diversity_min"] == 1
     assert r["median_group_size"] == pytest.approx(6.0, abs=1e-4)
+
+
+def test_audio_frame_energy_hand_model(spark, tmp_path):
+    # 96 chars -> exactly two full frames: [0..63] and [32..95].
+    text = "".join(chr(65 + (i % 26)) for i in range(96))
+    docs = [(0, text, "en", "src0", 96)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    [r] = registry()["mm_audio_frame_energy"].build(spark, str(tmp_path)).collect()
+    assert r["n_samples"] == 96 and r["n_frames"] == 2
+
+    def rms(lo, hi):
+        s2 = sum((ord(text[i]) % 256 - 128) ** 2 for i in range(lo, hi))
+        return math.sqrt(s2 / 64) / 128
+
+    r0, r1 = rms(0, 64), rms(32, 96)
+    assert r["mean_rms"] == pytest.approx((r0 + r1) / 2, abs=1e-5)
+    # peak = argmax s2 with ties to the smaller frame id
+    s2_0 = sum((ord(text[i]) % 256 - 128) ** 2 for i in range(0, 64))
+    s2_1 = sum((ord(text[i]) % 256 - 128) ** 2 for i in range(32, 96))
+    expected_peak = 0 if s2_0 >= s2_1 else 1
+    assert r["peak_frame"] == expected_peak
+    assert r["peak_rms"] == pytest.approx(max(r0, r1), abs=1e-5)
