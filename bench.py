@@ -185,6 +185,8 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "val_k_anonymity",
     "mm_audio_frame_energy",
+    "rel_cdf_normalize",
+    "ts_forecast_ensemble",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -412,6 +414,8 @@ BUDGETS: dict[str, float] = {
     "sample_curriculum_order": 2.40,
     "val_k_anonymity": 0.60,
     "mm_audio_frame_energy": 1.40,
+    "rel_cdf_normalize": 0.75,
+    "ts_forecast_ensemble": 1.60,
 }
 
 

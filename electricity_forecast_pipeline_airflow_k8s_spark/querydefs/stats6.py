@@ -2672,3 +2672,342 @@ def q_mm_audio_frame_energy(spark: SparkSession, sf_dir: str):
         )
         .orderBy("media_id")
     )
+
+
+# -- Cross-period CDF normalization ------------------------------------------
+# Score normalization against a reference period: 19 interpolated ventile
+# edges of 1995-96 order totals (exact percentile == quantile_cont)
+# broadcast to the 1997 orders; each order's normalized rank = #edges
+# strictly below its value. If the distribution is stationary the bucket
+# shares are ~uniform — the drift view that complements KS/W1/PSI with an
+# actionable per-order transform. One scan per period; the edge table is
+# 19 doubles.
+@register(
+    "rel_cdf_normalize",
+    oracle="""
+WITH ref AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45, 0.50,
+            0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95]) AS edges
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+tgt AS (
+  SELECT len(list_filter(r.edges, e -> o.o_totalprice > e)) AS bucket
+  FROM orders o CROSS JOIN ref r
+  WHERE year(o.o_orderdate) = 1997
+),
+tot AS (SELECT count(*) AS n FROM tgt)
+SELECT bucket, count(*) AS n_orders,
+       floor(count(*) * 1.0 / (SELECT n FROM tot) * 10000 + 0.5) / 10000
+         AS share
+FROM tgt GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_rel_cdf_normalize(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir)
+    qs = [round(0.05 * i, 2) for i in range(1, 20)]
+    ref = o.filter(F.year("o_orderdate").isin(1995, 1996)).agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "edges"
+        )
+    )
+    tgt = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.size(
+                F.filter(
+                    F.col("edges"), lambda e: F.col("o_totalprice") > e
+                )
+            ).alias("bucket")
+        )
+    )
+    tot = tgt.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tgt.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            portable_round(F.col("n_orders") * 1.0 / F.col("n"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- Inverse-MAE forecast ensemble -------------------------------------------
+# Model combination done the way production forecasting stacks do it:
+# two base forecasters per event type — the seasonal hour-of-day train
+# mean and an OLS trend line — blended with weights proportional to
+# 1/train-MAE, then all three scored on the 20% holdout. Hourly means
+# ride the 1e-6 fixed-point grid (exact decimal sums), OLS coefficients
+# come from centered sums over exact integers, and every |error| is
+# quantized to the 1e9 grid before its decimal mean, so both engines
+# walk the identical double sequence.
+@register(
+    "ts_forecast_ensemble",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(value) * 1000000 + 0.5) AS BIGINT) AS hv_fp
+  FROM {EVENTS_SRC} AS e
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+days AS (SELECT min(hour_idx // 24) AS d0, max(hour_idx // 24) AS d1 FROM hourly),
+split AS (
+  SELECT d0 + CAST(floor((d1 - d0 + 1) * 0.8) AS BIGINT) AS cut FROM days
+),
+base AS (
+  SELECT h.*, h.hour_idx % 24 AS how,
+         CASE WHEN h.hour_idx // 24 < s.cut THEN 1 ELSE 0 END AS is_train
+  FROM hourly h CROSS JOIN split s
+),
+x0 AS (SELECT event_type, min(hour_idx) AS hmin FROM base WHERE is_train = 1 GROUP BY 1),
+seas AS (
+  SELECT event_type, how,
+         CAST(sum(hv_fp) AS DOUBLE) / 1000000 / count(*) AS f_seas
+  FROM base WHERE is_train = 1 GROUP BY 1, 2
+),
+ols AS (
+  SELECT b.event_type,
+         count(*) AS n, sum(b.hour_idx - x.hmin) AS sx,
+         sum((b.hour_idx - x.hmin) * (b.hour_idx - x.hmin)) AS sxx,
+         sum(b.hv_fp) AS sy, sum((b.hour_idx - x.hmin) * b.hv_fp) AS sxy
+  FROM base b JOIN x0 x ON x.event_type = b.event_type
+  WHERE b.is_train = 1 GROUP BY 1
+),
+coef AS (
+  SELECT event_type,
+         (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)
+           / 1000000 AS slope,
+         (sy * 1.0 / n / 1000000)
+           - (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)
+             / 1000000 * (sx * 1.0 / n) AS intercept
+  FROM ols
+),
+pred AS (
+  SELECT b.event_type, b.is_train, b.hv_fp / 1000000.0 AS y,
+         s.f_seas,
+         c.intercept + c.slope * (b.hour_idx - x.hmin) AS f_trend
+  FROM base b
+  JOIN seas s ON s.event_type = b.event_type AND s.how = b.how
+  JOIN coef c ON c.event_type = b.event_type
+  JOIN x0 x ON x.event_type = b.event_type
+),
+train_mae AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(abs(y - f_seas) * 1000000000 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*)
+           AS mae_seas,
+         CAST(sum(CAST(floor(abs(y - f_trend) * 1000000000 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*)
+           AS mae_trend
+  FROM pred WHERE is_train = 1 GROUP BY 1
+),
+wts AS (
+  SELECT event_type,
+         (1.0 / mae_seas) / (1.0 / mae_seas + 1.0 / mae_trend) AS w_seas,
+         (1.0 / mae_trend) / (1.0 / mae_seas + 1.0 / mae_trend) AS w_trend
+  FROM train_mae
+),
+test_err AS (
+  SELECT p.event_type,
+         CAST(sum(CAST(floor(abs(p.y - p.f_seas) * 1000000000 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*)
+           AS mae_seas,
+         CAST(sum(CAST(floor(abs(p.y - p.f_trend) * 1000000000 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*)
+           AS mae_trend,
+         CAST(sum(CAST(floor(abs(p.y - (w.w_seas * p.f_seas
+                                        + w.w_trend * p.f_trend))
+                             * 1000000000 + 0.5)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*)
+           AS mae_ens,
+         count(*) AS n_test
+  FROM pred p JOIN wts w ON w.event_type = p.event_type
+  WHERE p.is_train = 0 GROUP BY 1
+)
+SELECT t.event_type AS event_type, m.model,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       floor(CASE m.model WHEN 'seasonal' THEN t.mae_seas
+                          WHEN 'trend' THEN t.mae_trend
+                          ELSE t.mae_ens END * 10000 + 0.5) / 10000 AS mae_test,
+       CASE m.model WHEN 'seasonal' THEN floor(w.w_seas * 10000 + 0.5) / 10000
+                    WHEN 'trend' THEN floor(w.w_trend * 10000 + 0.5) / 10000
+                    ELSE NULL END AS weight
+FROM test_err t
+JOIN wts w ON w.event_type = t.event_type
+CROSS JOIN (SELECT unnest(['seasonal', 'trend', 'ensemble']) AS model) m
+ORDER BY event_type, model
+""",
+)
+def q_ts_forecast_ensemble(spark: SparkSession, sf_dir: str):
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("hv_fp")
+        )
+    )
+    days = hourly.agg(
+        F.min(F.floor(F.col("hour_idx") / 24)).alias("d0"),
+        F.max(F.floor(F.col("hour_idx") / 24)).alias("d1"),
+    )
+    split = days.select(
+        (
+            F.col("d0")
+            + F.floor((F.col("d1") - F.col("d0") + 1) * 0.8).cast("long")
+        ).alias("cut")
+    )
+    base = (
+        hourly.crossJoin(F.broadcast(split))
+        .select(
+            "event_type",
+            "hour_idx",
+            "hv_fp",
+            (F.col("hour_idx") % 24).alias("how"),
+            F.when(F.floor(F.col("hour_idx") / 24) < F.col("cut"), 1)
+            .otherwise(0)
+            .alias("is_train"),
+        )
+    )
+    train = base.filter(F.col("is_train") == 1)
+    x0 = train.groupBy("event_type").agg(F.min("hour_idx").alias("hmin"))
+    seas = train.groupBy("event_type", "how").agg(
+        (F.sum("hv_fp").cast("double") / 1000000 / F.count(F.lit(1))).alias(
+            "f_seas"
+        )
+    )
+    xo = F.col("hour_idx") - F.col("hmin")
+    ols = (
+        train.join(F.broadcast(x0), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xo).alias("sx"),
+            F.sum(xo * xo).alias("sxx"),
+            F.sum("hv_fp").alias("sy"),
+            F.sum(xo * F.col("hv_fp")).alias("sxy"),
+        )
+    )
+    slope_expr = (
+        (F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        / (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+        / 1000000
+    )
+    coef = ols.select(
+        "event_type",
+        slope_expr.alias("slope"),
+        (
+            (F.col("sy") * 1.0 / F.col("n") / 1000000)
+            - slope_expr * (F.col("sx") * 1.0 / F.col("n"))
+        ).alias("intercept"),
+    )
+    pred = (
+        base.join(F.broadcast(seas), ["event_type", "how"])
+        .join(F.broadcast(coef), "event_type")
+        .join(F.broadcast(x0), "event_type")
+        .select(
+            "event_type",
+            "is_train",
+            (F.col("hv_fp") / 1000000.0).alias("y"),
+            "f_seas",
+            (
+                F.col("intercept")
+                + F.col("slope") * (F.col("hour_idx") - F.col("hmin"))
+            ).alias("f_trend"),
+        )
+    )
+
+    def mae_fp(err_col):
+        return (
+            F.sum(
+                F.floor(F.abs(err_col) * 1000000000 + 0.5).cast(
+                    "decimal(28,0)"
+                )
+            ).cast("double")
+            / 1000000000
+            / F.count(F.lit(1))
+        )
+
+    train_mae = (
+        pred.filter(F.col("is_train") == 1)
+        .groupBy("event_type")
+        .agg(
+            mae_fp(F.col("y") - F.col("f_seas")).alias("mae_seas"),
+            mae_fp(F.col("y") - F.col("f_trend")).alias("mae_trend"),
+        )
+    )
+    wts = train_mae.select(
+        "event_type",
+        (
+            (1.0 / F.col("mae_seas"))
+            / (1.0 / F.col("mae_seas") + 1.0 / F.col("mae_trend"))
+        ).alias("w_seas"),
+        (
+            (1.0 / F.col("mae_trend"))
+            / (1.0 / F.col("mae_seas") + 1.0 / F.col("mae_trend"))
+        ).alias("w_trend"),
+    )
+    test_err = (
+        pred.filter(F.col("is_train") == 0)
+        .join(F.broadcast(wts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            mae_fp(F.col("y") - F.col("f_seas")).alias("mae_seas"),
+            mae_fp(F.col("y") - F.col("f_trend")).alias("mae_trend"),
+            mae_fp(
+                F.col("y")
+                - (
+                    F.col("w_seas") * F.col("f_seas")
+                    + F.col("w_trend") * F.col("f_trend")
+                )
+            ).alias("mae_ens"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+    )
+    models = spark.createDataFrame(
+        [("seasonal",), ("trend",), ("ensemble",)], "model string"
+    )
+    out = (
+        test_err.join(F.broadcast(wts), "event_type")
+        .crossJoin(F.broadcast(models))
+        .select(
+            "event_type",
+            "model",
+            F.col("n_test").cast("long").alias("n_test"),
+            portable_round(
+                F.when(F.col("model") == "seasonal", F.col("mae_seas"))
+                .when(F.col("model") == "trend", F.col("mae_trend"))
+                .otherwise(F.col("mae_ens")),
+                4,
+            ).alias("mae_test"),
+            F.when(
+                F.col("model") == "seasonal",
+                portable_round(F.col("w_seas"), 4),
+            )
+            .when(
+                F.col("model") == "trend", portable_round(F.col("w_trend"), 4)
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("weight"),
+        )
+    )
+    return out.orderBy("event_type", "model")

@@ -793,3 +793,25 @@ def test_audio_frame_energy_hand_model(spark, tmp_path):
     expected_peak = 0 if s2_0 >= s2_1 else 1
     assert r["peak_frame"] == expected_peak
     assert r["peak_rms"] == pytest.approx(max(r0, r1), abs=1e-5)
+
+
+def test_cdf_normalize_shares_sum_to_one(spark, sf_dir):
+    rows = registry()["rel_cdf_normalize"].build(spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) > 0
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=2e-3)
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+
+
+def test_forecast_ensemble_weights_and_sanity(spark, sf_dir):
+    rows = registry()["ts_forecast_ensemble"].build(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], {})[r["model"]] = r
+    for t, models in by.items():
+        assert set(models) == {"seasonal", "trend", "ensemble"}
+        w = models["seasonal"]["weight"] + models["trend"]["weight"]
+        assert w == pytest.approx(1.0, abs=2e-4), t
+        assert models["ensemble"]["weight"] is None
+        # the ensemble can't be catastrophically worse than both bases
+        worst = max(models["seasonal"]["mae_test"], models["trend"]["mae_test"])
+        assert models["ensemble"]["mae_test"] <= worst * 1.05, t
