@@ -187,6 +187,8 @@ HEADLINE = [
     "mm_audio_frame_energy",
     "rel_cdf_normalize",
     "ts_forecast_ensemble",
+    "val_duplicate_payments",
+    "text_code_detect_stats",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -416,6 +418,8 @@ BUDGETS: dict[str, float] = {
     "mm_audio_frame_energy": 1.40,
     "rel_cdf_normalize": 0.75,
     "ts_forecast_ensemble": 1.60,
+    "val_duplicate_payments": 0.80,
+    "text_code_detect_stats": 1.10,
 }
 
 

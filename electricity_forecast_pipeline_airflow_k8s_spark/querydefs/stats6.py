@@ -3011,3 +3011,132 @@ def q_ts_forecast_ensemble(spark: SparkSession, sf_dir: str):
         )
     )
     return out.orderBy("event_type", "model")
+
+
+# -- Duplicate-payment detection ---------------------------------------------
+# The AP-forensics staple: same customer, near-identical order totals
+# (within $1000), order dates within 30 days — the double-submission
+# candidate set. Blocked self-join on o_custkey (orders-per-customer is
+# bounded, so blocks stay tiny — never orders x orders), band predicates
+# inside the block, each pair reported once (earlier key first).
+@register(
+    "val_duplicate_payments",
+    oracle="""
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       CAST(abs(b.o_totalprice - a.o_totalprice) AS DOUBLE) AS price_diff,
+       CAST(b.o_orderdate::DATE - a.o_orderdate::DATE AS BIGINT) AS days_apart
+FROM orders a
+JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderkey > a.o_orderkey
+ AND abs(b.o_totalprice - a.o_totalprice) <= 1000.0
+ AND b.o_orderdate::DATE >= a.o_orderdate::DATE - 30
+ AND b.o_orderdate::DATE <= a.o_orderdate::DATE + 30
+ORDER BY custkey, orderkey_a, orderkey_b
+""",
+)
+def q_val_duplicate_payments(spark: SparkSession, sf_dir: str):
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    dd = F.datediff(F.col("b.d"), F.col("a.d"))
+    pd_ = F.abs(F.col("b.o_totalprice") - F.col("a.o_totalprice"))
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.o_orderkey") > F.col("a.o_orderkey")),
+        )
+        .filter((pd_ <= 1000.0) & (dd >= -30) & (dd <= 30))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            pd_.cast("double").alias("price_diff"),
+            dd.cast("long").alias("days_apart"),
+        )
+        .orderBy("custkey", "orderkey_a", "orderkey_b")
+    )
+
+
+# -- Code-vs-prose detection -------------------------------------------------
+# Corpus-filtering heuristic for code contamination in a text corpus:
+# per document, symbol density ({};()=<>[] per char), indented-line
+# share, and semicolon line-ending share vote a code flag; per source,
+# the flagged share. All ratios exact-integer-derived; the same three
+# regex counts in both engines.
+@register(
+    "text_code_detect_stats",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[{};()=<>\[\]]', '', 'g'))
+           AS n_sym,
+         len(regexp_split_to_array(text, '\n')) AS n_lines,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         x -> regexp_matches(x, '^(    |\t)'))) AS n_indent,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         x -> regexp_matches(x, ';\s*$'))) AS n_semi
+  FROM documents WHERE length(text) > 0
+),
+flags AS (
+  SELECT doc_id, source,
+         CASE WHEN n_sym * 1.0 / n_chars > 0.03
+                   AND (n_indent + n_semi) * 1.0 / n_lines > 0.2
+              THEN 1 ELSE 0 END AS is_code
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(is_code) AS BIGINT) AS n_code_docs,
+       floor(sum(is_code) * 1.0 / count(*) * 10000 + 0.5) / 10000
+         AS code_share
+FROM flags GROUP BY source ORDER BY source
+""",
+)
+def q_text_code_detect_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    lines = F.split("text", "\n")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[{};()=<>\[\]]", ""))
+        ).alias("n_sym"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"^(    |\t)"))
+        ).alias("n_indent"),
+        F.size(F.filter(lines, lambda x: x.rlike(r";\s*$"))).alias("n_semi"),
+    )
+    flags = d.select(
+        "source",
+        F.when(
+            (F.col("n_sym") * 1.0 / F.col("n_chars") > 0.03)
+            & (
+                (F.col("n_indent") + F.col("n_semi")) * 1.0 / F.col("n_lines")
+                > 0.2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_code"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code_docs"),
+            portable_round(F.sum("is_code") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "code_share"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -815,3 +815,44 @@ def test_forecast_ensemble_weights_and_sanity(spark, sf_dir):
         # the ensemble can't be catastrophically worse than both bases
         worst = max(models["seasonal"]["mae_test"], models["trend"]["mae_test"])
         assert models["ensemble"]["mae_test"] <= worst * 1.05, t
+
+
+def test_duplicate_payments_hand_model(spark, tmp_path):
+    base = dt.datetime(2020, 1, 1)
+    orders = [
+        # cust 1: two near-identical totals 5 days apart -> pair (1, 2)
+        (1, 1, base, 1000.0),
+        (2, 1, base + dt.timedelta(days=5), 1500.0),
+        # cust 1: far in time -> excluded
+        (3, 1, base + dt.timedelta(days=100), 1000.0),
+        # cust 2: price gap too big -> excluded
+        (4, 2, base, 1000.0),
+        (5, 2, base + dt.timedelta(days=1), 5000.0),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = registry()["val_duplicate_payments"].build(spark, str(tmp_path)).collect()
+    assert [(r["orderkey_a"], r["orderkey_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["price_diff"] == 500.0 and rows[0]["days_apart"] == 5
+
+
+def test_code_detect_hand_model(spark, tmp_path):
+    code = "def f(x):\n    y = x * 2;\n    return {x: y};\n" * 5
+    prose = "The quiet afternoon passed slowly as the rain fell on the old roof. " * 5
+    docs = [
+        (0, code, "en", "srcA", len(code)),
+        (1, prose, "en", "srcA", len(prose)),
+        (2, prose, "en", "srcB", len(prose)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in registry()["text_code_detect_stats"].build(spark, str(tmp_path)).collect()
+    }
+    assert got["srcA"]["n_docs"] == 2 and got["srcA"]["n_code_docs"] == 1
+    assert got["srcA"]["code_share"] == pytest.approx(0.5, abs=1e-4)
+    assert got["srcB"]["n_code_docs"] == 0
