@@ -189,6 +189,8 @@ HEADLINE = [
     "ts_forecast_ensemble",
     "val_duplicate_payments",
     "text_code_detect_stats",
+    "ts_intermittency_stats",
+    "text_boilerplate_share",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -420,6 +422,8 @@ BUDGETS: dict[str, float] = {
     "ts_forecast_ensemble": 1.60,
     "val_duplicate_payments": 0.80,
     "text_code_detect_stats": 1.10,
+    "ts_intermittency_stats": 1.20,
+    "text_boilerplate_share": 1.40,
 }
 
 

@@ -3140,3 +3140,157 @@ def q_text_code_detect_stats(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# -- Demand intermittency classification (Syntetos-Boylan) -------------------
+# The forecasting-method selector: per part brand, ADI (mean gap between
+# demand days) and CV^2 of nonzero daily demand place the series in the
+# smooth / intermittent / erratic / lumpy quadrant (cuts 1.32 / 0.49).
+# ADI from exact integer day spans; CV^2 from exact DECIMAL demand sums
+# — identical doubles at the division edge.
+@register(
+    "ts_intermittency_stats",
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand, l.l_shipdate::DATE AS d,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT p_brand, count(*) AS n_demand_days,
+         max(d) - min(d) AS span_days,
+         CAST(sum(q) AS DOUBLE) AS sq,
+         CAST(sum(q * q) AS DOUBLE) AS sqq
+  FROM daily GROUP BY 1
+),
+m AS (
+  SELECT p_brand, n_demand_days,
+         CASE WHEN n_demand_days > 1
+              THEN span_days * 1.0 / (n_demand_days - 1) ELSE NULL END AS adi,
+         (sqq / n_demand_days - (sq / n_demand_days) * (sq / n_demand_days))
+           / ((sq / n_demand_days) * (sq / n_demand_days)) AS cv2
+  FROM spans
+)
+SELECT p_brand, CAST(n_demand_days AS BIGINT) AS n_demand_days,
+       floor(adi * 10000 + 0.5) / 10000 AS adi,
+       floor(cv2 * 10000 + 0.5) / 10000 AS cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class
+FROM m ORDER BY p_brand
+""",
+)
+def q_ts_intermittency_stats(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    spans = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_demand_days"),
+        F.datediff(F.max("d"), F.min("d")).alias("span_days"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+    )
+    mean_q = F.col("sq") / F.col("n_demand_days")
+    adi = F.when(
+        F.col("n_demand_days") > 1,
+        F.col("span_days") * 1.0 / (F.col("n_demand_days") - 1),
+    ).otherwise(F.lit(None))
+    cv2 = (F.col("sqq") / F.col("n_demand_days") - mean_q * mean_q) / (
+        mean_q * mean_q
+    )
+    m = spans.select(
+        "p_brand",
+        F.col("n_demand_days").cast("long").alias("n_demand_days"),
+        adi.alias("adi_raw"),
+        cv2.alias("cv2_raw"),
+    )
+    return m.select(
+        "p_brand",
+        "n_demand_days",
+        portable_round(F.col("adi_raw"), 4).alias("adi"),
+        portable_round(F.col("cv2_raw"), 4).alias("cv2"),
+        F.when(
+            (F.col("adi_raw") < 1.32) & (F.col("cv2_raw") < 0.49), "smooth"
+        )
+        .when((F.col("adi_raw") >= 1.32) & (F.col("cv2_raw") < 0.49), "intermittent")
+        .when(F.col("adi_raw") < 1.32, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    ).orderBy("p_brand")
+
+
+# -- Boilerplate-line detection ----------------------------------------------
+# Corpus cleaning: normalized lines appearing in >= 5 distinct documents
+# are boilerplate (headers, footers, nav chrome); report per source the
+# share of lines that are boilerplate and the worst offender line count.
+# Explode-to-lines + two hash aggs — the word-count shape; the line
+# table carries md5 keys so the shuffle rides 16-byte keys, not text.
+@register(
+    "text_boilerplate_share",
+    oracle=r"""
+WITH lines AS (
+  SELECT doc_id, source,
+         md5(trim(x)) AS lh
+  FROM (
+    SELECT doc_id, source, unnest(regexp_split_to_array(text, '\n')) AS x
+    FROM documents
+  )
+  WHERE trim(x) != ''
+),
+common AS (
+  SELECT lh, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 5
+)
+SELECT l.source,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN c.lh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_boiler_lines,
+       floor(sum(CASE WHEN c.lh IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*)
+             * 10000 + 0.5) / 10000 AS boiler_share,
+       CAST(max(coalesce(c.n_docs, 0)) AS BIGINT) AS worst_line_doc_count
+FROM lines l LEFT JOIN common c ON c.lh = l.lh
+GROUP BY l.source ORDER BY l.source
+""",
+)
+def q_text_boilerplate_share(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", "\n")).alias("x"),
+        )
+        .filter(F.trim("x") != "")
+        .select("doc_id", "source", F.md5(F.trim("x")).alias("lh"))
+    )
+    common = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+    joined = lines.join(F.broadcast(common), "lh", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("n_docs").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_boiler_lines"),
+            portable_round(
+                F.sum(F.when(F.col("n_docs").isNull(), 0).otherwise(1))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("boiler_share"),
+            F.max(F.coalesce("n_docs", F.lit(0)))
+            .cast("long")
+            .alias("worst_line_doc_count"),
+        )
+        .orderBy("source")
+    )

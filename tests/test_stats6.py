@@ -856,3 +856,56 @@ def test_code_detect_hand_model(spark, tmp_path):
     assert got["srcA"]["n_docs"] == 2 and got["srcA"]["n_code_docs"] == 1
     assert got["srcA"]["code_share"] == pytest.approx(0.5, abs=1e-4)
     assert got["srcB"]["n_code_docs"] == 0
+
+
+def test_intermittency_classification_hand_model(spark, tmp_path):
+    base = dt.datetime(2020, 1, 1)
+    # brand S: daily demand of constant 10 for 10 consecutive days ->
+    # ADI = 1, CV2 = 0 -> smooth.
+    # brand L: two demand days 20 days apart with sizes 1 and 100 ->
+    # ADI = 20, CV2 large -> lumpy.
+    li, pk = [], []
+    pk.append((1, "Brand#S")); pk.append((2, "Brand#L"))
+    k = 0
+    for d in range(10):
+        li.append((1, base + dt.timedelta(days=d), 10.0)); k += 1
+    li.append((2, base, 1.0))
+    li.append((2, base + dt.timedelta(days=20), 100.0))
+    spark.createDataFrame(pk, "p_partkey long, p_brand string").coalesce(1)\
+        .write.parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        li, "l_partkey long, l_shipdate timestamp, l_quantity double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["p_brand"]: r
+        for r in registry()["ts_intermittency_stats"].build(spark, str(tmp_path)).collect()
+    }
+    s, l = got["Brand#S"], got["Brand#L"]
+    assert s["adi"] == pytest.approx(1.0, abs=1e-4)
+    assert s["cv2"] == pytest.approx(0.0, abs=1e-4)
+    assert s["demand_class"] == "smooth"
+    assert l["adi"] == pytest.approx(20.0, abs=1e-4)
+    mean = 50.5
+    var = ((1 - mean) ** 2 + (100 - mean) ** 2) / 2
+    assert l["cv2"] == pytest.approx(var / mean**2, abs=1e-3)
+    assert l["demand_class"] == "lumpy"
+
+
+def test_boilerplate_share_hand_model(spark, tmp_path):
+    footer = "(c) 2020 Example Corp - all rights reserved"
+    docs = []
+    for i in range(6):
+        docs.append((i, f"unique body {i}\n{footer}", "en", "srcA", 50))
+    docs.append((6, "no footer here\njust text", "en", "srcB", 24))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in registry()["text_boilerplate_share"].build(spark, str(tmp_path)).collect()
+    }
+    a = got["srcA"]
+    assert a["n_lines"] == 12 and a["n_boiler_lines"] == 6
+    assert a["boiler_share"] == pytest.approx(0.5, abs=1e-4)
+    assert a["worst_line_doc_count"] == 6
+    assert got["srcB"]["n_boiler_lines"] == 0
