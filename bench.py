@@ -191,6 +191,8 @@ HEADLINE = [
     "text_code_detect_stats",
     "ts_intermittency_stats",
     "text_boilerplate_share",
+    "text_negative_sampling_dist",
+    "rel_discount_elasticity",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -424,6 +426,8 @@ BUDGETS: dict[str, float] = {
     "text_code_detect_stats": 1.10,
     "ts_intermittency_stats": 1.20,
     "text_boilerplate_share": 1.40,
+    "text_negative_sampling_dist": 1.10,
+    "rel_discount_elasticity": 0.90,
 }
 
 

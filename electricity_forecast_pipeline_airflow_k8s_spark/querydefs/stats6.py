@@ -3294,3 +3294,155 @@ def q_text_boilerplate_share(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# -- Negative-sampling distribution (unigram^0.75) ---------------------------
+# The word2vec/contrastive-training sampling table: corpus unigram
+# frequencies raised to 0.75 and normalized. pow() is a per-row
+# transcendental -> quantized to the 1e9 grid immediately, so the
+# normalizing sum and every probability are exact-integer-derived and
+# engine-identical. Top 100 tokens by (count, token) — deterministic.
+@register(
+    "text_negative_sampling_dist",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+top AS (
+  SELECT token, c FROM freq ORDER BY c DESC, token LIMIT 100
+),
+fp AS (
+  SELECT token, c,
+         CAST(floor(pow(c, 0.75) * 1000000000 + 0.5) AS DECIMAL(28,0)) AS w_fp
+  FROM top
+),
+z AS (SELECT sum(w_fp) AS z FROM fp)
+SELECT f.token, CAST(f.c AS BIGINT) AS freq,
+       floor(CAST(f.w_fp AS DOUBLE) / CAST(z.z AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS p_neg
+FROM fp f CROSS JOIN z ORDER BY freq DESC, token
+""",
+)
+def q_text_negative_sampling_dist(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
+
+    docs = table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.col("c").desc(), "token").limit(100)
+    fp = top.select(
+        "token",
+        "c",
+        F.floor(F.pow("c", 0.75) * 1000000000 + 0.5)
+        .cast("decimal(28,0)")
+        .alias("w_fp"),
+    )
+    z = fp.agg(F.sum("w_fp").alias("z"))
+    return (
+        fp.crossJoin(F.broadcast(z))
+        .select(
+            "token",
+            F.col("c").cast("long").alias("freq"),
+            (
+                F.floor(
+                    F.col("w_fp").cast("double")
+                    / F.col("z").cast("double")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("p_neg"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+    )
+
+
+# -- Discount elasticity ------------------------------------------------------
+# How quantity responds to discounting: per discount level, mean
+# quantity from exact DECIMAL sums; then the log-log OLS slope of
+# ln(mean_qty) on ln(1 - discount) — the elasticity estimate. Logs are
+# per-level transcendentals quantized to the 1e9 grid before the
+# closed-form regression over ~11 level rows (exact decimal sums).
+@register(
+    "rel_discount_elasticity",
+    oracle=f"""
+WITH lvl AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS mean_qty
+  FROM lineitem GROUP BY 1
+),
+pts AS (
+  SELECT disc_pct, n, mean_qty,
+         CAST(floor(ln(1.0 - disc_pct / 100.0) * {_FP} + 0.5)
+              AS DECIMAL(28,0)) AS x_fp,
+         CAST(floor(ln(mean_qty) * {_FP} + 0.5) AS DECIMAL(28,0)) AS y_fp
+  FROM lvl WHERE disc_pct < 100
+),
+fit AS (
+  SELECT (count(*) * CAST(sum(x_fp * y_fp) AS DOUBLE)
+            - CAST(sum(x_fp) AS DOUBLE) * CAST(sum(y_fp) AS DOUBLE))
+         / (count(*) * CAST(sum(x_fp * x_fp) AS DOUBLE)
+            - CAST(sum(x_fp) AS DOUBLE) * CAST(sum(x_fp) AS DOUBLE))
+           AS slope
+  FROM pts
+)
+SELECT p.disc_pct, CAST(p.n AS BIGINT) AS n_lineitems,
+       floor(p.mean_qty * 10000 + 0.5) / 10000 AS mean_qty,
+       floor((SELECT slope FROM fit) * 10000 + 0.5) / 10000 AS elasticity
+FROM pts p ORDER BY p.disc_pct
+""",
+)
+def q_rel_discount_elasticity(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    lvl = li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_qty"),
+    )
+    pts = lvl.filter(F.col("disc_pct") < 100).select(
+        "disc_pct",
+        "n",
+        "mean_qty",
+        F.floor(F.log(1.0 - F.col("disc_pct") / 100.0) * _FP + 0.5)
+        .cast("decimal(28,0)")
+        .alias("x_fp"),
+        F.floor(F.log(F.col("mean_qty")) * _FP + 0.5)
+        .cast("decimal(28,0)")
+        .alias("y_fp"),
+    )
+    fit = pts.agg(
+        (
+            (
+                F.count(F.lit(1))
+                * F.sum(F.col("x_fp") * F.col("y_fp")).cast("double")
+                - F.sum("x_fp").cast("double") * F.sum("y_fp").cast("double")
+            )
+            / (
+                F.count(F.lit(1))
+                * F.sum(F.col("x_fp") * F.col("x_fp")).cast("double")
+                - F.sum("x_fp").cast("double") * F.sum("x_fp").cast("double")
+            )
+        ).alias("slope")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "disc_pct",
+            F.col("n").cast("long").alias("n_lineitems"),
+            portable_round(F.col("mean_qty"), 4).alias("mean_qty"),
+            portable_round(F.col("slope"), 4).alias("elasticity"),
+        )
+        .orderBy("disc_pct")
+    )

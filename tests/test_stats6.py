@@ -909,3 +909,38 @@ def test_boilerplate_share_hand_model(spark, tmp_path):
     assert a["boiler_share"] == pytest.approx(0.5, abs=1e-4)
     assert a["worst_line_doc_count"] == 6
     assert got["srcB"]["n_boiler_lines"] == 0
+
+
+def test_negative_sampling_dist_hand_model(spark, tmp_path):
+    docs = [(0, "a a a a b b c", "en", "src0", 13)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = registry()["text_negative_sampling_dist"].build(spark, str(tmp_path)).collect()
+    got = {r["token"]: r for r in rows}
+    assert [r["token"] for r in rows] == ["a", "b", "c"]
+    w = {t: c**0.75 for t, c in (("a", 4), ("b", 2), ("c", 1))}
+    z = sum(w.values())
+    for t in w:
+        assert got[t]["p_neg"] == pytest.approx(w[t] / z, abs=1e-5), t
+    assert sum(r["p_neg"] for r in rows) == pytest.approx(1.0, abs=3e-6)
+
+
+def test_discount_elasticity_recovers_planted_exponent(spark, tmp_path):
+    # mean qty per discount level follows qty = 100 * (1-d)^(-2) exactly
+    # -> log-log slope = -2.
+    base = dt.datetime(2020, 1, 1)
+    li = []
+    k = 0
+    for pct in (0, 5, 10, 20):
+        q = 100.0 * (1 - pct / 100.0) ** -2
+        for _ in range(3):
+            li.append((k, base, q, pct / 100.0))
+            k += 1
+    spark.createDataFrame(
+        li, "l_orderkey long, l_shipdate timestamp, l_quantity double, l_discount double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    rows = registry()["rel_discount_elasticity"].build(spark, str(tmp_path)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["elasticity"] == pytest.approx(-2.0, abs=1e-3)
