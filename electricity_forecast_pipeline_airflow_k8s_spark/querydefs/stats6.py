@@ -388,7 +388,7 @@ scored AS (
            unnest([f.f10, f.f50, f.f90]) AS f
   ) q
 )
-SELECT event_type, q AS quantile, count(*) AS n_test_hours,
+SELECT event_type, CAST(q AS DOUBLE) AS quantile, count(*) AS n_test_hours,
        floor(CAST(sum(term_fp) AS DOUBLE) / {_FP} / count(*) * 10000 + 0.5)
          / 10000 AS pinball_loss
 FROM scored GROUP BY 1, 2 ORDER BY event_type, quantile
