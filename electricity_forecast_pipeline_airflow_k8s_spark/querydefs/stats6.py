@@ -1,7 +1,17 @@
-"""Round-5 continuation: survival / long-memory / forecast-evaluation
-operators — Kaplan-Meier repurchase survival, Hurst R/S exponent,
-pinball-loss quantile-forecast evaluation, decile lift table, and the
-Ljung-Box autocorrelation test.
+"""Round-5 continuation operators.
+
+Survival / long-memory / forecast evaluation: Kaplan-Meier repurchase
+survival, Hurst R/S, pinball loss, Ljung-Box, Granger lag-1, spectral
+flatness, inverse-MAE ensemble, demand-intermittency classification,
+discount elasticity. Model/data evaluation: decile lift, next-event
+prediction accuracy, lang-ID confusion, k-means iteration step.
+Scale/planning diagnostics: packed-bitmap audience overlap, join-key
+skew report, histogram join-cardinality estimation, median-of-means,
+Cramer's V, k-anonymity, CDF normalization, price-volume-mix bridge,
+duplicate-payment forensics, weekly growth accounting, transition-graph
+modularity. LLM-pipeline: token-budget waterfill, tokenizer fertility,
+curriculum ordering, code-vs-prose detection, boilerplate-line
+detection, negative-sampling distribution, audio-style frame energy.
 
 Numeric policy (same as stats5/timeseries2): every group/window sum runs
 on exact integers or fixed-decimal quantities so accumulation is
