@@ -193,6 +193,8 @@ HEADLINE = [
     "text_boilerplate_share",
     "text_negative_sampling_dist",
     "rel_discount_elasticity",
+    "graph_reciprocity",
+    "rel_holiday_lift",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -428,6 +430,8 @@ BUDGETS: dict[str, float] = {
     "text_boilerplate_share": 1.40,
     "text_negative_sampling_dist": 1.10,
     "rel_discount_elasticity": 0.90,
+    "graph_reciprocity": 0.80,
+    "rel_holiday_lift": 0.70,
 }
 
 

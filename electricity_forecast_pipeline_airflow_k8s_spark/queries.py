@@ -39,6 +39,8 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "graph_reciprocity",
+    "rel_holiday_lift",
     "text_negative_sampling_dist",
     "rel_discount_elasticity",
     "ts_intermittency_stats",

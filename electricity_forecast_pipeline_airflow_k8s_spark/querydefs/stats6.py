@@ -3456,3 +3456,128 @@ def q_rel_discount_elasticity(spark: SparkSession, sf_dir: str):
         )
         .orderBy("disc_pct")
     )
+
+
+# -- Weighted reciprocity of the transition graph ----------------------------
+# How bidirectional the event-type flow is: r = sum min(w_uv, w_vu) /
+# sum w_uv over ordered pairs u != v (1 = perfectly mutual, 0 = purely
+# one-way). Exact integer edge weights; the mutual join is node-pair
+# sized.
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+edges AS (
+  SELECT event_type AS u, nxt AS v, count(*) AS w
+  FROM seq WHERE nxt IS NOT NULL AND nxt <> event_type GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.u, a.v, a.w, coalesce(b.w, 0) AS w_rev
+  FROM edges a LEFT JOIN edges b ON b.u = a.v AND b.v = a.u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+       CAST(sum(w) AS BIGINT) AS total_weight,
+       CAST(sum(least(w, w_rev)) AS BIGINT) AS mutual_weight,
+       floor(sum(least(w, w_rev)) * 1.0 / sum(w) * 10000 + 0.5) / 10000
+         AS reciprocity
+FROM paired
+""",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("u"),
+            F.lead("event_type").over(w).alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("v") != F.col("u")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rev = edges.select(
+        F.col("v").alias("u"), F.col("u").alias("v"), F.col("w").alias("w_rev")
+    )
+    paired = edges.join(F.broadcast(rev), ["u", "v"], "left").select(
+        "u", "v", "w", F.coalesce("w_rev", F.lit(0)).alias("w_rev")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        F.sum("w").cast("long").alias("total_weight"),
+        F.sum(F.least("w", "w_rev")).cast("long").alias("mutual_weight"),
+        portable_round(
+            F.sum(F.least("w", "w_rev")) * 1.0 / F.sum("w"), 4
+        ).alias("reciprocity"),
+    )
+
+
+# -- Holiday lift -------------------------------------------------------------
+# Calendar-effect estimation with an embedded holiday table (New Year,
+# Independence Day, Christmas): mean daily order count and revenue on
+# holidays vs regular days, and the lift ratio. Exact integer counts and
+# DECIMAL revenue; the holiday dimension is a literal broadcast.
+@register(
+    "rel_holiday_lift",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS d, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+flagged AS (
+  SELECT d, n, rev,
+         CASE WHEN (month(d), day(d)) IN ((1, 1), (7, 4), (12, 25))
+              THEN 1 ELSE 0 END AS is_holiday
+  FROM daily
+)
+SELECT is_holiday, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       floor(sum(n) * 1.0 / count(*) * 10000 + 0.5) / 10000
+         AS orders_per_day,
+       floor(CAST(sum(rev) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+         AS revenue_per_day
+FROM flagged GROUP BY is_holiday ORDER BY is_holiday
+""",
+)
+def q_rel_holiday_lift(spark: SparkSession, sf_dir: str):
+    daily = (
+        table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    is_holiday = (
+        ((F.month("d") == 1) & (F.dayofmonth("d") == 1))
+        | ((F.month("d") == 7) & (F.dayofmonth("d") == 4))
+        | ((F.month("d") == 12) & (F.dayofmonth("d") == 25))
+    )
+    flagged = daily.select(
+        "n", "rev", F.when(is_holiday, 1).otherwise(0).alias("is_holiday")
+    )
+    return (
+        flagged.groupBy("is_holiday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("n_orders"),
+            portable_round(F.sum("n") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "orders_per_day"
+            ),
+            (
+                F.floor(
+                    F.sum("rev").cast("double") / F.count(F.lit(1)) * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue_per_day"),
+        )
+        .orderBy("is_holiday")
+    )
