@@ -39,6 +39,9 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "ts_max_drawdown",
+    "ts_variance_ratio",
+    "ts_pacf",
     "graph_reciprocity",
     "rel_holiday_lift",
     "text_negative_sampling_dist",

@@ -11,6 +11,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     sessions,
     stats5,
     stats6,
+    stats7,
     textops,
     tpch_sql,
     timeseries,

@@ -1,0 +1,427 @@
+"""Round-5 closing-stretch operators (batch 7).
+
+Time-series risk/diagnostics: maximum drawdown of the hourly load level,
+Lo-MacKinlay variance-ratio test for mean reversion, partial
+autocorrelation (PACF) via the Durbin-Levinson recursion. Planning /
+governance: power-law degree-distribution fit, largest-remainder integer
+allocation, t-closeness privacy audit, sequential compaction planning,
+out-of-vocabulary rate, K-step absorbing-Markov conversion probability,
+Croston's intermittent-demand forecast.
+
+Numeric policy (same as stats5/stats6/timeseries2): every group/window
+sum runs on exact integers or fixed-decimal quantities so accumulation is
+order-free; transcendentals (ln/exp/sqrt) are applied once per row to
+IDENTICAL doubles on both engines and quantized through the 1e9
+fixed-point grid before any further summation; final outputs go through
+the portable 1e-4 rounding grid.
+
+Reference parity: extends the validation/drift family of
+/root/reference/core/data_validation.py (gap/coverage/outlier reporting)
+with the risk, privacy, and planning diagnostics a production pipeline
+runs beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+    portable_round,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
+)
+
+_FP = 1_000_000_000  # 1e9 fixed-point grid for per-row transcendentals
+
+# Dense zero-filled hourly count series per event type -- the same spine
+# construction ts_ljung_box uses (counts are exact integers, so every
+# downstream sum is order-free). Shared by the variance-ratio and PACF
+# operators below.
+_SERIES_SQL = f"""
+ev AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS h
+  FROM {EVENTS_SRC} AS e WHERE ts IS NOT NULL
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds))) AS h
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+series AS (
+  SELECT g.event_type, g.h - (SELECT h0 FROM bounds) AS idx,
+         coalesce(c.n, 0) AS x
+  FROM (SELECT t.event_type, s.h FROM types t CROSS JOIN spine s) g
+  LEFT JOIN (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2) c
+    ON c.event_type = g.event_type AND c.h = g.h
+)
+"""
+
+
+def _dense_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, idx, x): zero-filled hourly event counts on a shared
+    integer spine. One shuffle for the (type, hour) count, the spine and
+    type list broadcast into the fill join."""
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"), "h0")
+    types = ev.select("event_type").distinct()
+    cnts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(cnts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("h0")).alias("idx"),
+            F.coalesce("n", F.lit(0)).alias("x"),
+        )
+    )
+
+
+# -- Maximum drawdown of the hourly load level -------------------------------
+# Per event type, treat the hourly mean value as a level series and
+# report the worst peak-to-trough decline: running peak via a cumulative
+# max window, drawdown = peak - level at each hour, plus the relative
+# drawdown against the peak at the same hour. The classic risk metric for
+# "how far below its best level has this meter/series fallen".
+#
+# Numerics: the hourly mean is an exact DECIMAL sum divided by an integer
+# count -- one double, identical on both engines; the running max and the
+# final maxima only SELECT among those identical doubles (no double
+# accumulation anywhere).
+#
+# Scale: one shuffle for the hourly aggregate, one repartition by type
+# for the cumulative window. The window partition is a single series
+# whose length is bounded by the retention span in hours (tens of
+# thousands of rows), never by event volume -- safe at 100x data.
+@register(
+    "ts_max_drawdown",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS hv
+  FROM {EVENTS_SRC} AS e
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+dd AS (
+  SELECT event_type, hv,
+         max(hv) OVER (PARTITION BY event_type ORDER BY hour_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM hourly
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       floor(max(peak) * 10000 + 0.5) / 10000 AS peak_value,
+       floor(max(peak - hv) * 10000 + 0.5) / 10000 AS max_drawdown,
+       floor(max(CASE WHEN peak <> 0 THEN (peak - hv) / peak END)
+             * 10000 + 0.5) / 10000 AS max_drawdown_pct
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_ts_max_drawdown(spark: SparkSession, sf_dir: str):
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = hourly.select(
+        "event_type", "hv", F.max("hv").over(w).alias("peak")
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            portable_round(F.max("peak"), 4).alias("peak_value"),
+            portable_round(F.max(F.col("peak") - F.col("hv")), 4).alias(
+                "max_drawdown"
+            ),
+            portable_round(
+                F.max(
+                    F.when(
+                        F.col("peak") != 0,
+                        (F.col("peak") - F.col("hv")) / F.col("peak"),
+                    )
+                ),
+                4,
+            ).alias("max_drawdown_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- Lo-MacKinlay variance-ratio test ----------------------------------------
+# Per event type on the dense zero-filled hourly count series: VR(q) =
+# Var(q-period differences) / (q * Var(1-period differences)), with
+# overlapping q-period differences. VR < 1 signals mean reversion, VR > 1
+# trending/persistence -- the complement of ts_hurst_rs from the
+# long-memory family. q = 4 hours.
+#
+# Numerics: differences of integer counts are integers; both variances
+# come from exact integer (sum, sum-of-squares) pairs, so every double is
+# derived identically on both engines from exact sums.
+#
+# Scale: the spine-fill join broadcasts the spine; the per-type lag
+# windows partition by series (bounded by span hours, not event volume).
+@register(
+    "ts_variance_ratio",
+    oracle=f"""
+WITH {_SERIES_SQL},
+d1 AS (
+  SELECT a.event_type, a.x - b.x AS d
+  FROM series a JOIN series b
+    ON b.event_type = a.event_type AND b.idx = a.idx - 1
+),
+dq AS (
+  SELECT a.event_type, a.x - b.x AS d
+  FROM series a JOIN series b
+    ON b.event_type = a.event_type AND b.idx = a.idx - 4
+),
+v1 AS (
+  SELECT event_type, count(*) AS m1, sum(d) AS s1, sum(d * d) AS ss1
+  FROM d1 GROUP BY 1
+),
+vq AS (
+  SELECT event_type, count(*) AS mq, sum(d) AS sq, sum(d * d) AS ssq
+  FROM dq GROUP BY 1
+)
+SELECT v1.event_type,
+       CAST(v1.m1 AS BIGINT) AS n_diffs_1,
+       CAST(vq.mq AS BIGINT) AS n_diffs_q,
+       floor((v1.ss1 * 1.0 / v1.m1 - (v1.s1 * 1.0 / v1.m1) * (v1.s1 * 1.0 / v1.m1))
+             * 10000 + 0.5) / 10000 AS var_1,
+       floor((vq.ssq * 1.0 / vq.mq - (vq.sq * 1.0 / vq.mq) * (vq.sq * 1.0 / vq.mq))
+             * 10000 + 0.5) / 10000 AS var_q,
+       floor((vq.ssq * 1.0 / vq.mq - (vq.sq * 1.0 / vq.mq) * (vq.sq * 1.0 / vq.mq))
+             / (4.0 * (v1.ss1 * 1.0 / v1.m1
+                       - (v1.s1 * 1.0 / v1.m1) * (v1.s1 * 1.0 / v1.m1)))
+             * 10000 + 0.5) / 10000 AS variance_ratio
+FROM v1 JOIN vq ON vq.event_type = v1.event_type
+ORDER BY v1.event_type
+""",
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str):
+    series = _dense_hourly_counts(spark, sf_dir)
+    lagged = series
+    for k in (1, 4):
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("idx")
+            .rangeBetween(-k, -k)
+        )
+        lagged = lagged.withColumn(f"x_lag{k}", F.first("x").over(w))
+    diffs = lagged.select(
+        "event_type",
+        (F.col("x") - F.col("x_lag1")).alias("d1"),
+        (F.col("x") - F.col("x_lag4")).alias("dq"),
+    )
+    agg = diffs.groupBy("event_type").agg(
+        F.count("d1").alias("m1"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).alias("ss1"),
+        F.count("dq").alias("mq"),
+        F.sum("dq").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).alias("ssq"),
+    )
+    var_1 = F.col("ss1") * 1.0 / F.col("m1") - (
+        F.col("s1") * 1.0 / F.col("m1")
+    ) * (F.col("s1") * 1.0 / F.col("m1"))
+    var_q = F.col("ssq") * 1.0 / F.col("mq") - (
+        F.col("sq") * 1.0 / F.col("mq")
+    ) * (F.col("sq") * 1.0 / F.col("mq"))
+    return agg.select(
+        "event_type",
+        F.col("m1").cast("long").alias("n_diffs_1"),
+        F.col("mq").cast("long").alias("n_diffs_q"),
+        portable_round(var_1, 4).alias("var_1"),
+        portable_round(var_q, 4).alias("var_q"),
+        portable_round(var_q / (4.0 * var_1), 4).alias("variance_ratio"),
+    ).orderBy("event_type")
+
+
+# -- Partial autocorrelation via Durbin-Levinson -----------------------------
+# Per event type on the dense hourly count series: autocorrelations
+# rho_1..rho_3 with the standard full-series-mean autocovariance (same
+# estimator ts_ljung_box pins), then the Durbin-Levinson recursion for
+# the partial autocorrelations:
+#   phi_11 = r1
+#   phi_22 = (r2 - r1^2) / (1 - r1^2)
+#   phi_21 = r1 * (1 - phi_22)
+#   phi_33 = (r3 - phi_21*r2 - phi_22*r1) / (1 - phi_21*r1 - phi_22*r2)
+# The PACF is what an AR-order selection actually reads -- rho alone
+# (ts_acf / ts_ljung_box) cannot separate direct lag-k dependence from
+# propagated lag-1 dependence.
+#
+# Numerics: rho_k comes from exact integer sums; the recursion is scalar
+# double arithmetic applied identically on both engines -- no double is
+# ever summed across rows.
+@register(
+    "ts_pacf",
+    oracle=f"""
+WITH {_SERIES_SQL},
+stats AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM series GROUP BY 1
+),
+lags AS (SELECT unnest([1, 2, 3]) AS k),
+pairs AS (
+  SELECT a.event_type, l.k,
+         sum(a.x * b.x) AS sxy, sum(a.x) AS sa, sum(b.x) AS sb,
+         count(*) AS m
+  FROM series a
+  CROSS JOIN lags l
+  JOIN series b ON b.event_type = a.event_type AND b.idx = a.idx - l.k
+  GROUP BY 1, 2
+),
+rho AS (
+  SELECT p.event_type, p.k,
+         (p.sxy - (s.sx * 1.0 / s.n) * p.sa - (s.sx * 1.0 / s.n) * p.sb
+            + (s.sx * 1.0 / s.n) * (s.sx * 1.0 / s.n) * p.m)
+         / (s.sxx - (s.sx * 1.0 / s.n) * s.sx) AS r
+  FROM pairs p JOIN stats s ON s.event_type = p.event_type
+),
+piv AS (
+  SELECT event_type,
+         max(CASE WHEN k = 1 THEN r END) AS r1,
+         max(CASE WHEN k = 2 THEN r END) AS r2,
+         max(CASE WHEN k = 3 THEN r END) AS r3
+  FROM rho GROUP BY 1
+),
+phi AS (
+  SELECT event_type, r1, r2, r3,
+         r1 AS phi11,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+  FROM piv
+),
+phi2 AS (
+  SELECT event_type, r1, r2, r3, phi11, phi22,
+         r1 * (1 - phi22) AS phi21
+  FROM phi
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       floor(pacf * 10000 + 0.5) / 10000 AS pacf
+FROM (
+  SELECT event_type, 1 AS lag, phi11 AS pacf FROM phi2
+  UNION ALL
+  SELECT event_type, 2, phi22 FROM phi2
+  UNION ALL
+  SELECT event_type, 3,
+         (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+  FROM phi2
+)
+ORDER BY event_type, lag
+""",
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str):
+    lags = [1, 2, 3]
+    series = _dense_hourly_counts(spark, sf_dir)
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lagged = series
+    for k in lags:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("idx")
+            .rangeBetween(-k, -k)
+        )
+        lagged = lagged.withColumn(f"x_lag{k}", F.first("x").over(w))
+    stacked = lagged.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"x_lag{k}").alias("y"))
+                    for k in lags
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"), "x", F.col("p.y").alias("y"))
+    pairs = (
+        stacked.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("x").alias("sa"),
+            F.sum("y").alias("sb"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    m_mean = F.col("sx") * 1.0 / F.col("n")
+    rho = pairs.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "k",
+        (
+            (
+                F.col("sxy")
+                - m_mean * F.col("sa")
+                - m_mean * F.col("sb")
+                + m_mean * m_mean * F.col("m")
+            )
+            / (F.col("sxx") - m_mean * F.col("sx"))
+        ).alias("r"),
+    )
+    piv = rho.groupBy("event_type").agg(
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r"))).alias("r3"),
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    phi = piv.select("event_type", "r1", "r2", "r3", phi22.alias("phi22"))
+    phi = phi.withColumn("phi21", F.col("r1") * (1 - F.col("phi22")))
+    phi33 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1")
+    ) / (
+        F.lit(1.0)
+        - F.col("phi21") * F.col("r1")
+        - F.col("phi22") * F.col("r2")
+    )
+    out = phi.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("r1").alias("pacf")),
+                F.struct(F.lit(2).alias("lag"), F.col("phi22").alias("pacf")),
+                F.struct(F.lit(3).alias("lag"), phi33.alias("pacf")),
+            )
+        ).alias("p"),
+    ).select(
+        "event_type",
+        F.col("p.lag").cast("long").alias("lag"),
+        portable_round(F.col("p.pacf"), 4).alias("pacf"),
+    )
+    return out.orderBy("event_type", "lag")

@@ -1,0 +1,149 @@
+"""Hand-model tests for the stats7 batch: max drawdown, variance ratio,
+PACF (Durbin-Levinson), and the later planning/governance operators.
+
+Each test writes a tiny parquet fixture dir, runs the registered query,
+and compares against an independent pure-Python computation, so
+correctness is pinned without the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{path}/events.parquet")
+
+
+def _hourly_rows(values, etype="load", start=None):
+    start = start or dt.datetime(2021, 3, 1)
+    return [
+        (i, start + dt.timedelta(hours=i), 1, etype, float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+
+
+def test_max_drawdown_hand_model(spark, tmp_path):
+    # level series with a known worst decline: peak 10 -> trough 4
+    vals = [5.0, 10.0, 7.0, 4.0, 9.0, 12.0, 11.0]
+    _write_events(spark, str(tmp_path), _hourly_rows(vals))
+    row = (
+        registry()["ts_max_drawdown"].build(spark, str(tmp_path)).collect()[0]
+    )
+    assert row.n_hours == 7
+    assert row.peak_value == 12.0
+    assert row.max_drawdown == 6.0  # 10 - 4
+    assert abs(row.max_drawdown_pct - 0.6) < 1e-9  # 6 / 10
+
+
+def test_max_drawdown_monotonic_series_is_zero(spark, tmp_path):
+    _write_events(spark, str(tmp_path), _hourly_rows([1.0, 2.0, 3.0, 4.0]))
+    row = (
+        registry()["ts_max_drawdown"].build(spark, str(tmp_path)).collect()[0]
+    )
+    assert row.max_drawdown == 0.0
+    assert row.max_drawdown_pct == 0.0
+
+
+def _dense_counts(rows):
+    """Zero-filled hourly count series for the single event type."""
+    hours = [int(r[1].timestamp() // 3600) for r in rows]
+    h0, h1 = min(hours), max(hours)
+    xs = [0] * (h1 - h0 + 1)
+    for h in hours:
+        xs[h - h0] += 1
+    return xs
+
+
+def test_variance_ratio_matches_reference(spark, tmp_path):
+    # multiple events in some hours, gaps in others -> nontrivial counts
+    base = dt.datetime(2021, 3, 1)
+    rows = []
+    eid = 0
+    pattern = [3, 0, 1, 4, 0, 0, 2, 5, 1, 0, 3, 2, 4, 0, 1, 6]
+    for i, n in enumerate(pattern):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=i), 1, "load", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    xs = _dense_counts(rows)
+    assert xs == pattern
+
+    def popvar(ds):
+        m = sum(ds) / len(ds)
+        return sum((d - m) ** 2 for d in ds) / len(ds)
+
+    d1 = [xs[i] - xs[i - 1] for i in range(1, len(xs))]
+    dq = [xs[i] - xs[i - 4] for i in range(4, len(xs))]
+    expect = popvar(dq) / (4.0 * popvar(d1))
+    row = (
+        registry()["ts_variance_ratio"].build(spark, str(tmp_path)).collect()[0]
+    )
+    assert row.n_diffs_1 == len(d1)
+    assert row.n_diffs_q == len(dq)
+    assert abs(row.variance_ratio - expect) < 2e-4
+
+
+def _pacf_reference(xs, kmax=3):
+    """Durbin-Levinson from full-series-mean autocovariances."""
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs)
+    r = {}
+    for k in range(1, kmax + 1):
+        r[k] = sum((xs[i] - m) * (xs[i - k] - m) for i in range(k, n)) / c0
+    phi11 = r[1]
+    phi22 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+    phi21 = r[1] * (1 - phi22)
+    phi33 = (r[3] - phi21 * r[2] - phi22 * r[1]) / (
+        1 - phi21 * r[1] - phi22 * r[2]
+    )
+    return {1: phi11, 2: phi22, 3: phi33}
+
+
+def test_pacf_matches_reference(spark, tmp_path):
+    base = dt.datetime(2021, 3, 1)
+    rows = []
+    eid = 0
+    pattern = [2, 5, 3, 6, 1, 4, 7, 2, 5, 3, 8, 1, 4, 6, 2, 7, 3, 5]
+    for i, n in enumerate(pattern):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=i), 1, "load", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    expect = _pacf_reference(pattern)
+    got = {
+        r.lag: r.pacf
+        for r in registry()["ts_pacf"].build(spark, str(tmp_path)).collect()
+    }
+    for k in (1, 2, 3):
+        assert abs(got[k] - expect[k]) < 2e-4, (k, got[k], expect[k])
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, tmp_path):
+    # phi_11 is rho_1 by construction; sanity-pin the recursion base case
+    base = dt.datetime(2021, 3, 1)
+    rows = []
+    eid = 0
+    for i, n in enumerate([1, 3, 2, 4, 1, 5, 2, 3]):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=i), 1, "load", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    xs = [1, 3, 2, 4, 1, 5, 2, 3]
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs)
+    r1 = sum((xs[i] - m) * (xs[i - 1] - m) for i in range(1, n)) / c0
+    got = {
+        r.lag: r.pacf
+        for r in registry()["ts_pacf"].build(spark, str(tmp_path)).collect()
+    }
+    assert abs(got[1] - r1) < 2e-4
