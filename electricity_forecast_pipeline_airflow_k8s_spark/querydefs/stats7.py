@@ -425,3 +425,180 @@ def q_ts_pacf(spark: SparkSession, sf_dir: str):
         portable_round(F.col("p.pacf"), 4).alias("pacf"),
     )
     return out.orderBy("event_type", "lag")
+
+
+# -- Power-law degree-distribution fit ---------------------------------------
+# Degree of each customer in the customer->part bipartite purchase graph
+# (distinct parts ever ordered), log2-bucketed histogram plus the
+# continuous maximum-likelihood power-law exponent
+#   alpha = 1 + n / sum(ln(d / (dmin - 1/2)))          (dmin = 1)
+# (Clauset-Shalizi-Newman continuous approximation). The shape of this
+# fit is what decides whether degree-skew mitigations (salting, skew-join
+# hints) are needed downstream.
+#
+# Numerics: ln(2d) is one transcendental per row on identical integers,
+# quantized to the 1e9 grid and summed in DECIMAL (exact, order-free;
+# BIGINT sums would overflow at 100x cardinality). The log2 bucket is a
+# per-row double op on identical inputs -> identical bucket ids.
+#
+# Scale: one join shuffle (orders |x| lineitem on orderkey), one distinct
+# agg on (custkey, partkey), one count agg -- all key-partitioned; the
+# histogram and alpha reductions run on degree-bounded rows.
+@register(
+    "graph_degree_powerlaw",
+    oracle="""
+WITH deg AS (
+  SELECT o_custkey AS c, count(DISTINCT l_partkey) AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+fit AS (
+  SELECT count(*) AS n,
+         sum(CAST(floor(ln(2.0 * d) * 1000000000 + 0.5) AS DECIMAL(38,0)))
+           AS slnq
+  FROM deg
+),
+hist AS (
+  SELECT CAST(floor(ln(d) / ln(2.0)) AS BIGINT) AS deg_bucket,
+         count(*) AS n_custs
+  FROM deg GROUP BY 1
+)
+SELECT deg_bucket, CAST(n_custs AS BIGINT) AS n_custs,
+       floor(n_custs * 1.0 / (SELECT n FROM fit) * 10000 + 0.5) / 10000
+         AS share,
+       floor((1.0 + (SELECT n FROM fit)
+                    / (CAST((SELECT slnq FROM fit) AS DOUBLE) / 1000000000))
+             * 10000 + 0.5) / 10000 AS alpha_mle
+FROM hist ORDER BY deg_bucket
+""",
+)
+def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str):
+    orders = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    deg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+    )
+    fit = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.log(2.0 * F.col("d")) * _FP + 0.5).cast("decimal(38,0)")
+        ).alias("slnq"),
+    )
+    hist = deg.groupBy(
+        F.floor(F.log("d") / F.log(F.lit(2.0))).cast("long").alias("deg_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_custs"))
+    return (
+        hist.crossJoin(F.broadcast(fit))
+        .select(
+            "deg_bucket",
+            F.col("n_custs").cast("long").alias("n_custs"),
+            portable_round(F.col("n_custs") * 1.0 / F.col("n"), 4).alias(
+                "share"
+            ),
+            portable_round(
+                1.0 + F.col("n") / (F.col("slnq").cast("double") / _FP), 4
+            ).alias("alpha_mle"),
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+# -- Largest-remainder integer allocation ------------------------------------
+# Allocate a fixed integer budget (1000 capacity units) across nations
+# proportionally to customer-order revenue using the Hare-quota
+# largest-remainder method: floor every quota, then hand the leftover
+# units to the largest fractional remainders (nation key breaks ties).
+# The standard exact-integer answer to "split N shards / slots / seats
+# proportionally" -- float rounding would over- or under-allocate.
+#
+# Numerics: revenue is an exact DECIMAL(18,2) sum; the quota is scalar
+# double arithmetic on identical inputs; floors, ranks, and the leftover
+# count are exact integers. The final seat vector provably sums to the
+# budget (pinned in tests).
+#
+# Scale: one fact shuffle (orders grouped by custkey->nation via a
+# broadcast dim join); everything after the nation rollup is
+# dimension-sized (25 rows), so the single-partition ranking window is
+# metadata work.
+@register(
+    "rel_largest_remainder_alloc",
+    oracle="""
+WITH rev AS (
+  SELECT n_nationkey, n_name,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(r) AS t FROM rev),
+quota AS (
+  SELECT n_nationkey, n_name, r,
+         CAST(r AS DOUBLE) * 1000 / CAST((SELECT t FROM tot) AS DOUBLE) AS q
+  FROM rev
+),
+base AS (
+  SELECT *, CAST(floor(q) AS BIGINT) AS b, q - floor(q) AS frac FROM quota
+),
+leftover AS (SELECT 1000 - sum(b) AS k FROM base),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, n_nationkey) AS rk
+  FROM base
+)
+SELECT n_nationkey, n_name,
+       floor(CAST(r AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor(q * 10000 + 0.5) / 10000 AS quota,
+       CAST(b + CASE WHEN rk <= (SELECT k FROM leftover) THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM ranked ORDER BY n_nationkey
+""",
+)
+def q_rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str):
+    orders = table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cust = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_nationkey",
+        "n_name",
+        "r",
+        (F.col("r").cast("double") * 1000 / F.col("t").cast("double")).alias(
+            "q"
+        ),
+    )
+    base = quota.select(
+        "*",
+        F.floor("q").cast("long").alias("b"),
+        (F.col("q") - F.floor("q")).alias("frac"),
+    )
+    leftover = base.agg((F.lit(1000) - F.sum("b")).alias("k"))
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("frac").desc(), F.col("n_nationkey"))
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "n_nationkey",
+            "n_name",
+            portable_round(F.col("r").cast("double"), 2).alias("revenue"),
+            portable_round(F.col("q"), 4).alias("quota"),
+            (
+                F.col("b")
+                + F.when(F.col("rk") <= F.col("k"), F.lit(1)).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -147,3 +147,75 @@ def test_pacf_lag1_equals_acf_lag1(spark, tmp_path):
         for r in registry()["ts_pacf"].build(spark, str(tmp_path)).collect()
     }
     assert abs(got[1] - r1) < 2e-4
+
+
+def _write_alloc_tables(spark, path, orders, customers, nations):
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        customers, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(f"{path}/customer.parquet")
+    spark.createDataFrame(
+        nations, "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(f"{path}/nation.parquet")
+
+
+def test_largest_remainder_allocation_sums_to_budget(spark, tmp_path):
+    # revenue 37 / 21 / 42 -> quotas 370 / 210 / 420, exact floors, no
+    # leftover; then a fractional case below
+    orders = [(1, 1, 37.0), (2, 2, 21.0), (3, 3, 42.0)]
+    customers = [(1, 10), (2, 20), (3, 30)]
+    nations = [(10, "A"), (20, "B"), (30, "C")]
+    _write_alloc_tables(spark, str(tmp_path), orders, customers, nations)
+    rows = (
+        registry()["rel_largest_remainder_alloc"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert sum(r.seats for r in rows) == 1000
+    assert {r.n_name: r.seats for r in rows} == {"A": 370, "B": 210, "C": 420}
+
+
+def test_largest_remainder_fractional_case(spark, tmp_path):
+    # revenue 1/1/1 -> quota 333.33.. each; floors sum to 999, the
+    # leftover unit goes to the smallest nation key (remainders tie)
+    orders = [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0)]
+    customers = [(1, 10), (2, 20), (3, 30)]
+    nations = [(10, "A"), (20, "B"), (30, "C")]
+    _write_alloc_tables(spark, str(tmp_path), orders, customers, nations)
+    rows = (
+        registry()["rel_largest_remainder_alloc"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert sum(r.seats for r in rows) == 1000
+    seats = {r.n_name: r.seats for r in rows}
+    assert seats == {"A": 334, "B": 333, "C": 333}
+
+
+def test_degree_powerlaw_alpha_reference(spark, tmp_path):
+    # customers with degrees 1, 2, 4: alpha = 1 + n / sum(ln(2d))
+    orders = [(i, c, 1.0) for i, c in enumerate([1, 2, 3])]
+    li = []
+    # orderkey 0 -> cust 1 (1 part), 1 -> cust 2 (2 parts), 2 -> cust 3 (4)
+    parts = {0: [100], 1: [100, 200], 2: [100, 200, 300, 400]}
+    ln = 0
+    for ok, ps in parts.items():
+        for p in ps:
+            li.append((ok, p, ln))
+            ln += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_linenumber long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    rows = (
+        registry()["graph_degree_powerlaw"].build(spark, str(tmp_path)).collect()
+    )
+    degrees = [1, 2, 4]
+    expect_alpha = 1 + len(degrees) / sum(math.log(2 * d) for d in degrees)
+    assert all(abs(r.alpha_mle - expect_alpha) < 2e-4 for r in rows)
+    # buckets: floor(log2(d)) = 0, 1, 2 with one customer each
+    assert {r.deg_bucket: r.n_custs for r in rows} == {0: 1, 1: 1, 2: 1}
