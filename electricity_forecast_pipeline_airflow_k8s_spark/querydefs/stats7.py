@@ -602,3 +602,204 @@ def q_rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str):
         )
         .orderBy("n_nationkey")
     )
+
+
+# -- t-closeness privacy audit ------------------------------------------------
+# Completes the k-anonymity / l-diversity suite (val_k_anonymity): for
+# each quasi-identifier group (nation, market segment), the Earth Mover's
+# Distance between the group's distribution of the ordered sensitive
+# attribute (account-balance k$ bucket) and the global distribution:
+#   EMD = sum_i |cumP_i - cumQ_i| / (m - 1)
+# over the global ordered bucket domain. A group with small size can
+# still leak if its balance distribution diverges -- that is what
+# t-closeness catches and k-anonymity cannot.
+#
+# Numerics: cumP and cumQ are ratios of integer cumulative counts
+# (exact); the per-bucket |diff| is quantized to the 1e9 grid and
+# integer-summed, so the EMD sum is order-free.
+#
+# Scale: one shuffle for the (group, bucket) counts; the dense
+# group x bucket grid is dimension-sized (quasi-identifier cardinality x
+# bucket domain), so the windows run on metadata-scale rows no matter how
+# many customer rows feed them.
+@register(
+    "val_t_closeness",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+  FROM customer
+),
+gb AS (SELECT nat, seg, b, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+groups AS (SELECT nat, seg, sum(cnt) AS gn FROM gb GROUP BY 1, 2),
+buckets AS (SELECT b, sum(cnt) AS tot FROM gb GROUP BY 1),
+n AS (SELECT sum(cnt) AS nt, count(DISTINCT b) AS m FROM gb),
+grid AS (
+  SELECT g.nat, g.seg, g.gn, k.b, k.tot, coalesce(x.cnt, 0) AS cnt
+  FROM groups g CROSS JOIN buckets k
+  LEFT JOIN gb x ON x.nat = g.nat AND x.seg = g.seg AND x.b = k.b
+),
+cum AS (
+  SELECT nat, seg, gn,
+         sum(cnt) OVER (PARTITION BY nat, seg ORDER BY b) AS cp,
+         sum(tot) OVER (PARTITION BY nat, seg ORDER BY b) AS cq
+  FROM grid
+),
+emd AS (
+  SELECT nat, seg, gn,
+         sum(CAST(floor(abs(cp * 1.0 / gn - cq * 1.0 / (SELECT nt FROM n))
+                        * 1000000000 + 0.5) AS BIGINT)) AS s
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT nat AS c_nationkey, seg AS c_mktsegment,
+       CAST(gn AS BIGINT) AS group_size,
+       floor((s / 1000000000.0) / ((SELECT m FROM n) - 1) * 10000 + 0.5)
+         / 10000 AS emd
+FROM emd ORDER BY c_nationkey, c_mktsegment
+""",
+)
+def q_val_t_closeness(spark: SparkSession, sf_dir: str):
+    c = table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b"),
+    )
+    gb = c.groupBy("nat", "seg", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    groups = gb.groupBy("nat", "seg").agg(F.sum("cnt").alias("gn"))
+    buckets = gb.groupBy("b").agg(F.sum("cnt").alias("tot"))
+    n = gb.agg(
+        F.sum("cnt").alias("nt"), F.countDistinct("b").alias("m")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(gb, ["nat", "seg", "b"], "left")
+        .select(
+            "nat",
+            "seg",
+            "gn",
+            "b",
+            "tot",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "nat",
+        "seg",
+        "gn",
+        F.sum("cnt").over(w).alias("cp"),
+        F.sum("tot").over(w).alias("cq"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("nat", "seg", "gn", "m")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.abs(
+                        F.col("cp") * 1.0 / F.col("gn")
+                        - F.col("cq") * 1.0 / F.col("nt")
+                    )
+                    * _FP
+                    + 0.5
+                ).cast("long")
+            ).alias("s")
+        )
+    )
+    return emd.select(
+        F.col("nat").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("gn").cast("long").alias("group_size"),
+        portable_round(
+            (F.col("s") / float(_FP)) / (F.col("m") - 1), 4
+        ).alias("emd"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# -- Sequential compaction plan ----------------------------------------------
+# Small-file compaction planning: treat each order day as one input file
+# (bytes estimated from its row count), walk the files in date order, and
+# cut output bins every time the running byte total crosses the target
+# size (total/32 -- one output file per shuffle slot). Exactly the greedy
+# plan a table-maintenance job (OPTIMIZE / compaction) executes; the
+# output reports per-bin file counts, bytes, and fill ratio so skewed
+# bins are visible before any data is rewritten.
+#
+# Numerics/semantics: byte counts and the running cumulative sum are
+# exact integers; bin id = floor((cum-1)/target) assigns each file to the
+# bin its cumulative end lands in, so bins can overshoot by at most one
+# file -- the standard streaming bin-packing bound, documented here.
+#
+# Scale: the per-day size listing is metadata (one row per file/day, not
+# per data row) produced by one key-partitioned count shuffle; only that
+# listing flows through the single-partition cumulative window, same as a
+# real compaction planner reading a file manifest.
+@register(
+    "layout_compaction_plan",
+    oracle="""
+WITH files AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) * 120 AS bytes
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT sum(bytes) AS tb,
+         CAST(ceil(sum(bytes) / 32.0) AS BIGINT) AS target
+  FROM files
+),
+packed AS (
+  SELECT day, bytes,
+         CAST(floor((sum(bytes) OVER (ORDER BY day) - 1)
+                    * 1.0 / (SELECT target FROM tot)) AS BIGINT) AS bin
+  FROM files
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(min(day) AS VARCHAR) AS first_day,
+       CAST(max(day) AS VARCHAR) AS last_day,
+       floor(sum(bytes) * 1.0 / (SELECT target FROM tot) * 10000 + 0.5)
+         / 10000 AS fill_ratio
+FROM packed GROUP BY bin ORDER BY bin
+""",
+)
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str):
+    files = (
+        table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.count(F.lit(1)) * 120).alias("bytes"))
+    )
+    tot = files.agg(
+        F.ceil(F.sum("bytes") / 32.0).cast("long").alias("target")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    packed = files.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "bytes",
+        "target",
+        F.floor((F.sum("bytes").over(w) - 1) * 1.0 / F.col("target"))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        packed.groupBy("bin", "target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("day").cast("string").alias("first_day"),
+            F.max("day").cast("string").alias("last_day"),
+        )
+        .select(
+            "bin",
+            "n_files",
+            "bytes",
+            "first_day",
+            "last_day",
+            portable_round(
+                F.col("bytes") * 1.0 / F.col("target"), 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin")
+    )

@@ -219,3 +219,70 @@ def test_degree_powerlaw_alpha_reference(spark, tmp_path):
     assert all(abs(r.alpha_mle - expect_alpha) < 2e-4 for r in rows)
     # buckets: floor(log2(d)) = 0, 1, 2 with one customer each
     assert {r.deg_bucket: r.n_custs for r in rows} == {0: 1, 1: 1, 2: 1}
+
+
+def test_t_closeness_uniform_groups_emd_zero(spark, tmp_path):
+    # every group has the same balance distribution as the global one
+    rows = []
+    ck = 1
+    for nat in (1, 2):
+        for seg in ("A", "B"):
+            for bal in (500.0, 1500.0, 2500.0):
+                rows.append((ck, f"c{ck}", nat, bal, seg))
+                ck += 1
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    out = registry()["val_t_closeness"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.emd == 0.0 for r in out)
+
+
+def test_t_closeness_divergent_group(spark, tmp_path):
+    # group (1, A) holds only bucket 0; group (2, B) only bucket 2 ->
+    # EMD = sum|cumP-cumQ|/(m-1) with cumQ = (1/2, 1/2, 1) -> 0.5 each
+    rows = [
+        (1, "a", 1, 100.0, "A"),
+        (2, "b", 1, 150.0, "A"),
+        (3, "c", 2, 2100.0, "B"),
+        (4, "d", 2, 2200.0, "B"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r.emd
+        for r in registry()["val_t_closeness"].build(spark, str(tmp_path)).collect()
+    }
+    # buckets: 0 and 2 -> m = 2, denominator m-1 = 1
+    # group (1,A): cumP = (1, 1); cumQ = (0.5, 1) -> EMD = 0.5
+    assert abs(out[(1, "A")] - 0.5) < 1e-9
+    assert abs(out[(2, "B")] - 0.5) < 1e-9
+
+
+def test_compaction_plan_covers_all_files_and_bytes(spark, tmp_path):
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    ok = 1
+    counts = [3, 1, 4, 2, 5, 1, 2, 3, 4, 1]
+    for i, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((ok, 1, "O", 10.0, base + dt.timedelta(days=i), "1-URGENT"))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    out = registry()["layout_compaction_plan"].build(spark, str(tmp_path)).collect()
+    assert sum(r.n_files for r in out) == len(counts)
+    assert sum(r.bytes for r in out) == sum(counts) * 120
+    # bins are contiguous date ranges: each bin's first day follows the
+    # previous bin's last day
+    ordered = sorted(out, key=lambda r: r.bin)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.last_day < b.first_day
