@@ -39,6 +39,8 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "sess_absorbing_markov",
+    "text_oov_rate",
     "val_t_closeness",
     "layout_compaction_plan",
     "graph_degree_powerlaw",

@@ -803,3 +803,226 @@ def q_layout_compaction_plan(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bin")
     )
+
+
+_P6 = 10**6  # transition-probability fixed-point scale (same as pagerank)
+_R9 = 10**9  # probability fixed-point scale
+
+
+def _absorbing_oracle() -> str:
+    head = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+trans AS (
+  SELECT a.event_type AS u, b.event_type AS v, count(*) AS c
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  WHERE a.event_type <> 'purchase'
+  GROUP BY 1, 2
+),
+outdeg AS (SELECT u, sum(c) AS tot FROM trans GROUP BY 1),
+pm AS (
+  SELECT t.u, t.v, (t.c * {_P6}) // o.tot AS p_fp
+  FROM trans t JOIN outdeg o ON o.u = t.u
+),
+p1 AS (
+  SELECT o.u, coalesce((
+    SELECT (t.c * {_R9}) // o.tot FROM trans t
+    WHERE t.u = o.u AND t.v = 'purchase'), 0) AS p_fp
+  FROM outdeg o
+)"""
+    steps = []
+    prev = "p1"
+    for i in (2, 3):
+        steps.append(
+            f""",
+p{i} AS (
+  SELECT b.u, b.p_fp + coalesce((
+    SELECT sum((w.p_fp * q.p_fp) // {_P6})
+    FROM pm w JOIN {prev} q ON q.u = w.v
+    WHERE w.u = b.u AND w.v <> 'purchase'), 0) AS p_fp
+  FROM p1 b
+)"""
+        )
+        prev = f"p{i}"
+    tail = f"""
+SELECT p1.u AS event_type,
+       floor(p1.p_fp * 1.0 / {_R9 // 10000} + 0.5) / 10000 AS p_within_1,
+       floor(p2.p_fp * 1.0 / {_R9 // 10000} + 0.5) / 10000 AS p_within_2,
+       floor(p3.p_fp * 1.0 / {_R9 // 10000} + 0.5) / 10000 AS p_within_3
+FROM p1 JOIN p2 ON p2.u = p1.u JOIN p3 ON p3.u = p1.u
+ORDER BY event_type
+"""
+    return head + "".join(steps) + tail
+
+
+# -- K-step absorbing-Markov conversion probability ---------------------------
+# From the per-user event-type transition chain (same edge derivation as
+# graph_pagerank / sess_markov_transitions), treat 'purchase' as an
+# absorbing state and report, for every other state s, the probability
+# of converting within 1, 2, and 3 steps:
+#   p_k(s) = P(s->purchase) + sum_{m != purchase} P(s->m) * p_{k-1}(m).
+# This answers "how close is each behavior state to a purchase" --
+# next-step accuracy (sess_next_pred_accuracy) can't see multi-hop paths.
+#
+# Determinism: all probabilities live on fixed-point integer grids
+# (transitions 1e6, probabilities 1e9) with per-term quantization before
+# any sum -- integer sums are associative, so Spark matches the oracle's
+# unrolled CTE iterations bit-for-bit (same policy as graph_pagerank).
+#
+# Scale: one events-sized pass for the bigram window + transition agg;
+# every iteration joins node-bounded tables (|event types|^2 edges).
+@register("sess_absorbing_markov", oracle=_absorbing_oracle())
+def q_sess_absorbing_markov(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("v", F.lead("event_type").over(wseq))
+        .filter(F.col("v").isNotNull() & (F.col("event_type") != "purchase"))
+        .groupBy(F.col("event_type").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    outdeg = trans.groupBy("u").agg(F.sum("c").alias("tot"))
+    pm = trans.join(outdeg, "u").select(
+        "u", "v", F.expr(f"(c * {_P6}) div tot").alias("p_fp")
+    )
+    p_direct = (
+        trans.filter(F.col("v") == "purchase")
+        .join(outdeg, "u")
+        .select("u", F.expr(f"(c * {_R9}) div tot").alias("d_fp"))
+    )
+    p1 = outdeg.join(p_direct, "u", "left").select(
+        "u", F.coalesce("d_fp", F.lit(0)).alias("p_fp")
+    )
+    prev = p1
+    outs = {1: p1}
+    for i in (2, 3):
+        cont = (
+            pm.filter(F.col("v") != "purchase")
+            .join(
+                prev.select(F.col("u").alias("v"), F.col("p_fp").alias("q_fp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.sum(F.expr(f"(p_fp * q_fp) div {_P6}")).alias("s"))
+        )
+        prev = p1.join(cont, "u", "left").select(
+            "u",
+            (F.col("p_fp") + F.coalesce("s", F.lit(0))).alias("p_fp"),
+        )
+        outs[i] = prev
+    j = (
+        outs[1]
+        .select("u", F.col("p_fp").alias("f1"))
+        .join(outs[2].select("u", F.col("p_fp").alias("f2")), "u")
+        .join(outs[3].select("u", F.col("p_fp").alias("f3")), "u")
+    )
+    q = _R9 // 10000
+    return j.select(
+        F.col("u").alias("event_type"),
+        (F.floor(F.col("f1") * 1.0 / q + 0.5) / 10000).alias("p_within_1"),
+        (F.floor(F.col("f2") * 1.0 / q + 0.5) / 10000).alias("p_within_2"),
+        (F.floor(F.col("f3") * 1.0 / q + 0.5) / 10000).alias("p_within_3"),
+    ).orderBy("event_type")
+
+
+# -- Out-of-vocabulary rate ---------------------------------------------------
+# Tokenizer-coverage audit: build the top-256 global token vocabulary
+# (count desc, token asc -- a total order, so the cut is deterministic)
+# and report per source the share of token OCCURRENCES and of distinct
+# token TYPES that fall outside it. The standard pre-training check for
+# "does the tokenizer/vocab cover this source, or will it shatter into
+# bytes" -- complements text_tokenizer_fertility (cost) with coverage.
+#
+# Numerics: counts and distinct counts are exact integers; the two rates
+# are single divisions rounded through the portable grid.
+#
+# Scale: one explode+agg for global counts (shuffle bounded by vocab
+# cardinality after map-side combine), the 256-row vocabulary broadcast
+# into the per-source probe join -- no second corpus-sized shuffle.
+@register(
+    "text_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t.tok
+  FROM documents, unnest({{toks}}) AS t(tok)
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, tok LIMIT 256
+  )
+),
+per AS (
+  SELECT s.source,
+         count(*) AS n_occ,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_occ
+  FROM tok s LEFT JOIN vocab v ON v.tok = s.tok
+  GROUP BY 1
+),
+types AS (
+  SELECT s.source,
+         count(DISTINCT s.tok) AS n_types,
+         count(DISTINCT CASE WHEN v.tok IS NULL THEN s.tok END) AS oov_types
+  FROM tok s LEFT JOIN vocab v ON v.tok = s.tok
+  GROUP BY 1
+)
+SELECT p.source,
+       CAST(p.n_occ AS BIGINT) AS n_occurrences,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       floor(p.oov_occ * 1.0 / p.n_occ * 10000 + 0.5) / 10000
+         AS oov_occurrence_rate,
+       floor(t.oov_types * 1.0 / t.n_types * 10000 + 0.5) / 10000
+         AS oov_type_rate
+FROM per p JOIN types t ON t.source = p.source
+ORDER BY p.source
+""".replace(
+        "{toks}",
+        r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')",
+    ),
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        tokens,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(256)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "tok", "left")
+    per = probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "oov_occ"
+        ),
+        F.countDistinct("tok").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("tok"))
+        ).alias("oov_types"),
+    )
+    return per.select(
+        "source",
+        F.col("n_occ").cast("long").alias("n_occurrences"),
+        F.col("n_types").cast("long").alias("n_types"),
+        portable_round(F.col("oov_occ") * 1.0 / F.col("n_occ"), 4).alias(
+            "oov_occurrence_rate"
+        ),
+        portable_round(F.col("oov_types") * 1.0 / F.col("n_types"), 4).alias(
+            "oov_type_rate"
+        ),
+    ).orderBy("source")

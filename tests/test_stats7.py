@@ -286,3 +286,64 @@ def test_compaction_plan_covers_all_files_and_bytes(spark, tmp_path):
     ordered = sorted(out, key=lambda r: r.bin)
     for a, b in zip(ordered, ordered[1:]):
         assert a.last_day < b.first_day
+
+
+def test_absorbing_markov_hand_chain(spark, tmp_path):
+    # user chain: view -> click -> purchase, repeated; plus a view -> view
+    # self-ish loop via a second user. Transition counts are exact.
+    base = dt.datetime(2021, 3, 1)
+    rows = []
+    eid = 0
+
+    def emit(uid, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=eid), uid, et, 1.0, "{}")
+            )
+            eid += 1
+
+    emit(1, ["view", "click", "purchase"])
+    emit(2, ["view", "click", "purchase"])
+    emit(3, ["view", "view", "click"])
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.event_type: r
+        for r in registry()["sess_absorbing_markov"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    # click -> purchase 2 of 2 times observed (third click is terminal)
+    assert out["click"].p_within_1 == 1.0
+    # view: transitions view->click (3), view->view (1); no direct purchase
+    assert out["view"].p_within_1 == 0.0
+    # within 2: view -> click -> purchase: P(view->click) * 1.0 = 0.75
+    assert abs(out["view"].p_within_2 - 0.75) < 1e-3
+    # within 3 adds view -> view -> click -> ... (click within 2 = 1.0):
+    # 0.75 + 0.25 * p2(view)? no -- view->view then p2(view) = 0.75:
+    # p3(view) = 0.75 + 0.25 * 0.75 = 0.9375
+    assert abs(out["view"].p_within_3 - 0.9375) < 1e-3
+    # probabilities are monotone in the horizon for every state
+    for r in out.values():
+        assert r.p_within_1 <= r.p_within_2 + 1e-9
+        assert r.p_within_2 <= r.p_within_3 + 1e-9
+
+
+def test_oov_rate_hand_model(spark, tmp_path):
+    # vocab will be the 256 most frequent tokens; with a tiny corpus all
+    # tokens fit -> oov 0; then check with distinct rare tokens per source
+    docs = [
+        (1, "aa bb aa", "en", "s1", 8),
+        (2, "aa bb cc", "en", "s2", 8),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.source: r
+        for r in registry()["text_oov_rate"].build(spark, str(tmp_path)).collect()
+    }
+    assert out["s1"].oov_occurrence_rate == 0.0
+    assert out["s2"].oov_occurrence_rate == 0.0
+    assert out["s1"].n_occurrences == 3
+    assert out["s2"].n_types == 3
