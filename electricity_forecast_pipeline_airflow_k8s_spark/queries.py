@@ -39,6 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # (a) new in round 5 — never driver-proven (newest first: these have
     # never had a driver row at all, so they take the head of the cut)
+    "ts_croston",
     "sess_absorbing_markov",
     "text_oov_rate",
     "val_t_closeness",

@@ -1026,3 +1026,122 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str):
             "oov_type_rate"
         ),
     ).orderBy("source")
+
+
+# -- Croston's intermittent-demand forecast -----------------------------------
+# The forecasting companion to ts_intermittency_stats (same brand x
+# ship-day demand series): simple exponential smoothing (alpha = 0.1)
+# over (a) nonzero demand sizes and (b) inter-demand intervals, closed
+# form instead of a sequential scan:
+#   z_n = (1-a)^(n-1) d_1 + a * sum_{k>=2} (1-a)^(n-k) d_k
+# and the same for intervals; forecast/day = z/p, with the
+# Syntetos-Boylan (SBA) bias correction (1 - a/2) z/p. Croston is the
+# standard method when most periods have zero demand and plain SES
+# systematically overshoots.
+#
+# Numerics: the geometric weight is one exp/ln pair per row on identical
+# (n - k) integers; each weighted term is quantized to the 1e9 grid and
+# integer-summed (order-free), divisions happen once per brand at the
+# edge.
+#
+# Scale: one shuffle for the daily demand agg, one brand-partitioned
+# window pass for (row_number, lag, count) -- series length per brand is
+# bounded by the date span, never by lineitem volume.
+@register(
+    "ts_croston",
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand, l.l_shipdate::DATE AS d,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT p_brand, d, q,
+         row_number() OVER (PARTITION BY p_brand ORDER BY d) AS k,
+         count(*) OVER (PARTITION BY p_brand) AS n,
+         d - lag(d) OVER (PARTITION BY p_brand ORDER BY d) AS iv
+  FROM daily
+),
+dsum AS (
+  SELECT p_brand, max(n) AS n,
+         sum(CAST(floor(q * (CASE WHEN k = 1 THEN 1.0 ELSE 0.1 END)
+                        * exp((n - k) * ln(0.9)) * 1000000000 + 0.5)
+                  AS BIGINT)) AS z_fp
+  FROM seq GROUP BY 1
+),
+psum AS (
+  SELECT p_brand,
+         sum(CAST(floor(iv * (CASE WHEN k = 2 THEN 1.0 ELSE 0.1 END)
+                        * exp((n - k) * ln(0.9)) * 1000000000 + 0.5)
+                  AS BIGINT)) AS p_fp
+  FROM seq WHERE iv IS NOT NULL GROUP BY 1
+)
+SELECT d.p_brand,
+       CAST(d.n AS BIGINT) AS n_demand_days,
+       floor(d.z_fp / 1000000000.0 * 10000 + 0.5) / 10000 AS croston_size,
+       floor(p.p_fp / 1000000000.0 * 10000 + 0.5) / 10000
+         AS croston_interval_days,
+       floor((d.z_fp * 1.0 / p.p_fp) * 10000 + 0.5) / 10000
+         AS forecast_per_day,
+       floor((d.z_fp * 1.0 / p.p_fp) * 0.95 * 10000 + 0.5) / 10000
+         AS forecast_sba
+FROM dsum d JOIN psum p ON p.p_brand = d.p_brand
+WHERE d.n >= 2
+ORDER BY d.p_brand
+""",
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str):
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("q")
+        )
+    )
+    wo = Window.partitionBy("p_brand").orderBy("d")
+    wall = Window.partitionBy("p_brand")
+    seq = daily.select(
+        "p_brand",
+        "q",
+        F.row_number().over(wo).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.datediff(F.col("d"), F.lag("d").over(wo)).alias("iv"),
+    )
+    # geometric SES weight: exp((n-k) ln 0.9), leading term unscaled
+    decay = F.exp((F.col("n") - F.col("k")) * F.log(F.lit(0.9)))
+    a_or_1 = F.when(F.col("k") == 1, F.lit(1.0)).otherwise(F.lit(0.1))
+    a_or_1_iv = F.when(F.col("k") == 2, F.lit(1.0)).otherwise(F.lit(0.1))
+    dsum = seq.groupBy("p_brand").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(F.col("q") * a_or_1 * decay * _FP + 0.5).cast("long")
+        ).alias("z_fp"),
+    )
+    psum = (
+        seq.filter(F.col("iv").isNotNull())
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(F.col("iv") * a_or_1_iv * decay * _FP + 0.5).cast(
+                    "long"
+                )
+            ).alias("p_fp")
+        )
+    )
+    out = dsum.join(psum, "p_brand").filter(F.col("n") >= 2)
+    rate = F.col("z_fp") * 1.0 / F.col("p_fp")
+    return out.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_demand_days"),
+        portable_round(F.col("z_fp") / float(_FP), 4).alias("croston_size"),
+        portable_round(F.col("p_fp") / float(_FP), 4).alias(
+            "croston_interval_days"
+        ),
+        portable_round(rate, 4).alias("forecast_per_day"),
+        portable_round(rate * 0.95, 4).alias("forecast_sba"),
+    ).orderBy("p_brand")

@@ -347,3 +347,30 @@ def test_oov_rate_hand_model(spark, tmp_path):
     assert out["s2"].oov_occurrence_rate == 0.0
     assert out["s1"].n_occurrences == 3
     assert out["s2"].n_types == 3
+
+
+def test_croston_hand_model(spark, tmp_path):
+    # one brand, demand days 0, 2, 6 (sizes 10, 20, 30), alpha = 0.1:
+    #   z_3 = 0.9^2*10 + 0.1*0.9*20 + 0.1*30 = 8.1 + 1.8 + 3 = 12.9
+    #   intervals: 2, 4 -> p = 0.9*2 + 0.1*4 = 2.2
+    #   forecast = 12.9 / 2.2; sba = * 0.95
+    base = dt.datetime(1995, 1, 1)
+    li = []
+    ln = 0
+    for day, qty in [(0, 10.0), (2, 20.0), (6, 30.0)]:
+        li.append((ln, 100, ln, qty, base + dt.timedelta(days=day)))
+        ln += 1
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_linenumber long,"
+        " l_quantity double, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(100, "BrandX")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+    row = registry()["ts_croston"].build(spark, str(tmp_path)).collect()[0]
+    assert row.n_demand_days == 3
+    assert abs(row.croston_size - 12.9) < 1e-3
+    assert abs(row.croston_interval_days - 2.2) < 1e-3
+    assert abs(row.forecast_per_day - 12.9 / 2.2) < 1e-3
+    assert abs(row.forecast_sba - 12.9 / 2.2 * 0.95) < 1e-3
