@@ -195,6 +195,17 @@ HEADLINE = [
     "rel_discount_elasticity",
     "graph_reciprocity",
     "rel_holiday_lift",
+    # stats7 batch: risk/diagnostics + planning/governance
+    "ts_max_drawdown",
+    "ts_variance_ratio",
+    "ts_pacf",
+    "graph_degree_powerlaw",
+    "rel_largest_remainder_alloc",
+    "val_t_closeness",
+    "layout_compaction_plan",
+    "sess_absorbing_markov",
+    "text_oov_rate",
+    "ts_croston",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -432,6 +443,17 @@ BUDGETS: dict[str, float] = {
     "rel_discount_elasticity": 0.90,
     "graph_reciprocity": 0.80,
     "rel_holiday_lift": 0.70,
+    # stats7 batch: 1.5x idle-machine best-of-3 (2026-08-15)
+    "ts_max_drawdown": 0.62,
+    "ts_variance_ratio": 0.70,
+    "ts_pacf": 0.85,
+    "graph_degree_powerlaw": 1.91,
+    "rel_largest_remainder_alloc": 0.77,
+    "val_t_closeness": 0.66,
+    "layout_compaction_plan": 0.48,
+    "sess_absorbing_markov": 1.92,
+    "text_oov_rate": 1.07,
+    "ts_croston": 1.89,
 }
 
 
