@@ -1145,3 +1145,185 @@ def q_ts_croston(spark: SparkSession, sf_dir: str):
         portable_round(rate, 4).alias("forecast_per_day"),
         portable_round(rate * 0.95, 4).alias("forecast_sba"),
     ).orderBy("p_brand")
+
+
+# -- Load duration curve -------------------------------------------------------
+# The power-engineering standard summary: per event type, the hourly load
+# level (mean value) that is EXCEEDED during p% of all hours, for the
+# canonical exceedance points 1/5/10/25/50/75/90%. Capacity planning
+# reads this curve directly ("what load must we cover 95% of the time");
+# it is the sorted-duration view that plain moment stats can't give.
+#
+# Numerics: hv is an exact DECIMAL sum over an integer count; the
+# exceedance level is one exact interpolated percentile (Spark
+# `percentile` == DuckDB `quantile_cont`, the A8-pinned pair) per point
+# on identical doubles.
+#
+# Scale: one hourly-aggregate shuffle; the exact percentile runs per
+# type over span-bounded hourly rows (the quarantine note on exact
+# whole-partition percentiles in operators/profile.py applies -- at 100x
+# the sketch path quality_profile_scale demonstrates the swap).
+@register(
+    "ts_load_duration_curve",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS hv
+  FROM {EVENTS_SRC} AS e
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         quantile_cont(hv, 0.99) AS q1,
+         quantile_cont(hv, 0.95) AS q5,
+         quantile_cont(hv, 0.90) AS q10,
+         quantile_cont(hv, 0.75) AS q25,
+         quantile_cont(hv, 0.50) AS q50,
+         quantile_cont(hv, 0.25) AS q75,
+         quantile_cont(hv, 0.10) AS q90
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, CAST(p AS BIGINT) AS exceedance_pct,
+       floor(lv * 10000 + 0.5) / 10000 AS load_level
+FROM agg, (VALUES (1), (5), (10), (25), (50), (75), (90)) pts(p),
+LATERAL (SELECT CASE p WHEN 1 THEN q1 WHEN 5 THEN q5 WHEN 10 THEN q10
+                       WHEN 25 THEN q25 WHEN 50 THEN q50 WHEN 75 THEN q75
+                       ELSE q90 END AS lv)
+ORDER BY event_type, exceedance_pct
+""",
+)
+def q_ts_load_duration_curve(spark: SparkSession, sf_dir: str):
+    pts = [1, 5, 10, 25, 50, 75, 90]
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    curve = hourly.groupBy("event_type").agg(
+        *[
+            F.percentile("hv", F.lit(1.0 - p / 100.0)).alias(f"q{p}")
+            for p in pts
+        ]
+    )
+    return (
+        curve.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).cast("long").alias("exceedance_pct"),
+                            F.col(f"q{p}").alias("lv"),
+                        )
+                        for p in pts
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            "event_type",
+            "e.exceedance_pct",
+            portable_round(F.col("e.lv"), 4).alias("load_level"),
+        )
+        .orderBy("event_type", "exceedance_pct")
+    )
+
+
+# -- Conditional value-at-risk of hourly ramps --------------------------------
+# Per event type: the 95th-percentile absolute hour-over-hour ramp
+# (VaR95) and the MEAN absolute ramp beyond it (CVaR / expected
+# shortfall) -- what reserve capacity must actually absorb once the rare
+# ramp happens. Complements ts_ramp_rate_stats (moments) with the tail
+# expectation.
+#
+# Numerics: ramps are differences of identical doubles; VaR is the exact
+# interpolated percentile; the tail mean quantizes each selected |ramp|
+# to the 1e9 grid and integer-sums, so the only double sums are
+# order-free fixed-point.
+@register(
+    "ts_cvar_ramp",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS hv
+  FROM {EVENTS_SRC} AS e
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+ramp AS (
+  SELECT event_type,
+         abs(hv - lag(hv) OVER (PARTITION BY event_type ORDER BY h)) AS r
+  FROM hourly
+),
+thr AS (
+  SELECT event_type, quantile_cont(r, 0.95) AS var95
+  FROM ramp WHERE r IS NOT NULL GROUP BY 1
+),
+tail AS (
+  SELECT ramp.event_type, count(*) AS n_tail,
+         sum(CAST(floor(r * 1000000000 + 0.5) AS BIGINT)) AS s_fp
+  FROM ramp JOIN thr ON thr.event_type = ramp.event_type
+  WHERE r > var95
+  GROUP BY 1
+)
+SELECT t.event_type,
+       floor(h.var95 * 10000 + 0.5) / 10000 AS var95_ramp,
+       CAST(t.n_tail AS BIGINT) AS n_tail,
+       floor(t.s_fp / 1000000000.0 / t.n_tail * 10000 + 0.5) / 10000
+         AS cvar95_ramp
+FROM tail t JOIN thr h ON h.event_type = t.event_type
+ORDER BY t.event_type
+""",
+)
+def q_ts_cvar_ramp(spark: SparkSession, sf_dir: str):
+    hourly = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("hv")
+        )
+    )
+    wseq = Window.partitionBy("event_type").orderBy("h")
+    ramp = hourly.select(
+        "event_type",
+        F.abs(F.col("hv") - F.lag("hv").over(wseq)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    thr = ramp.groupBy("event_type").agg(
+        F.percentile("r", F.lit(0.95)).alias("var95")
+    )
+    tail = (
+        ramp.join(F.broadcast(thr), "event_type")
+        .filter(F.col("r") > F.col("var95"))
+        .groupBy("event_type", "var95")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.floor(F.col("r") * _FP + 0.5).cast("long")).alias("s_fp"),
+        )
+    )
+    return tail.select(
+        "event_type",
+        portable_round(F.col("var95"), 4).alias("var95_ramp"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        portable_round(
+            F.col("s_fp") / float(_FP) / F.col("n_tail"), 4
+        ).alias("cvar95_ramp"),
+    ).orderBy("event_type")
