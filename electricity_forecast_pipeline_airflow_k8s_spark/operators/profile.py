@@ -147,9 +147,25 @@ def quality_profile_scale(
     round_to: int = 4,
     bucket: str = "day",
     scoped_cache: bool | None = None,
+    quantile_mode: str = "sketch",
+    grid_decimals: int = 2,
 ) -> DataFrame:
     """The 100 TB layout of :func:`quality_profile` (same output schema;
-    quantile-derived columns are percentile_approx sketches).
+    quantile-derived columns are percentile_approx sketches, or -- with
+    ``quantile_mode="grid"`` -- exact-on-grid quantiles from a
+    (group, rounded-value-bin) histogram).
+
+    Grid mode (round 6, the oracle-able scale path): bin values to a
+    10^-grid_decimals grid with the portable floor-round, count per
+    (group, bin) in one mergeable agg, then take the discrete quantile as
+    the smallest bin whose cumulative count reaches ceil(p * n). State per
+    group is the distinct-bin count (value range x 10^grid_decimals),
+    bounded regardless of row count, and the result is DETERMINISTIC and
+    bit-replayable by any engine -- unlike percentile_approx sketches.
+    Accuracy: within half a grid step of the exact DISCRETE quantile
+    (vs the interpolated continuous quantile, add the local sample
+    spacing at that rank). The cumulative window runs over the tiny bins
+    frame (one task per group over its bins), never the fact.
 
     The exact flagship's whole-partition windows put each group's entire
     history into ONE task, so its reduce stage parallelizes at the GROUP
@@ -188,9 +204,12 @@ def quality_profile_scale(
     r = lambda c: portable_round(c, round_to)  # noqa: E731
     tol_us = gap_tolerance_seconds * 1_000_000
 
+    if quantile_mode not in ("sketch", "grid"):
+        raise ValueError(f"quantile_mode must be sketch|grid, got {quantile_mode!r}")
+    _roll_handle = None
+
     # -- pass 1: mergeable stats + sketches, full map-side combine ----------
-    qs = F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    stats = df.groupBy(group_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_nulls"),
         F.min(t).alias("min_ts"),
@@ -199,15 +218,64 @@ def quality_profile_scale(
             F.sum(v.cast("decimal(18,2)")).cast("double"), F.count(v)
         ).alias("_mean"),
         F.stddev_samp(v).alias("_std"),
-        qs.alias("_qs"),
-    )
-    bounds = stats.withColumns(
-        {
-            "_q1": F.element_at("_qs", 1),
-            "_median": F.element_at("_qs", 2),
-            "_q3": F.element_at("_qs", 3),
-        }
-    ).withColumns(
+    ]
+    if quantile_mode == "sketch":
+        aggs.append(
+            F.percentile_approx(
+                v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_qs")
+        )
+        stats = df.groupBy(group_col).agg(*aggs)
+        bounds = stats.withColumns(
+            {
+                "_q1": F.element_at("_qs", 1),
+                "_median": F.element_at("_qs", 2),
+                "_q3": F.element_at("_qs", 3),
+            }
+        )
+    else:
+        # ONE fact scan serves both grains via ROLLUP(group, bin): the
+        # (group) level carries the scalar stats, the (group, bin) level
+        # the histogram counts -- partial aggregation map-side for both,
+        # the shuffle moves (groups x bins) + (groups) partials, never
+        # rows. grouping(bin) splits the levels back apart.
+        binc = portable_round(v, grid_decimals).alias("_bin")
+        roll = (
+            df.select(g.alias(group_col), t.alias(ts_col), v.alias(value_col), binc)
+            .rollup(group_col, "_bin")
+            .agg(*aggs, F.grouping("_bin").alias("_gb"), F.grouping(group_col).alias("_gg"))
+        )
+        roll = roll.persist()
+        _roll_handle = roll
+        stats = roll.filter((F.col("_gb") == 1) & (F.col("_gg") == 0)).drop(
+            "_bin", "_gb", "_gg"
+        )
+        bins = (
+            roll.filter((F.col("_gb") == 0) & (F.col("_gg") == 0) & F.col("_bin").isNotNull())
+            .select(
+                F.col(group_col).alias("_qg"),
+                "_bin",
+                (F.col("n_rows") - F.col("n_nulls")).alias("_c"),
+            )
+        )
+        wcum = Window.partitionBy("_qg").orderBy("_bin")
+        wtot = Window.partitionBy("_qg")
+        cum = bins.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+            "_n", F.sum("_c").over(wtot)
+        )
+
+        def _gq(p: float):
+            return F.min(
+                F.when(F.col("_cum") >= F.ceil(F.col("_n") * p), F.col("_bin"))
+            )
+
+        gq = cum.groupBy("_qg").agg(
+            _gq(0.25).alias("_q1"), _gq(0.5).alias("_median"), _gq(0.75).alias("_q3")
+        )
+        bounds = stats.join(
+            gq, on=F.col(group_col).eqNullSafe(F.col("_qg")), how="left"
+        ).drop("_qg")
+    bounds = bounds.withColumns(
         {
             "_lower": F.col("_q1") - iqr_k * (F.col("_q3") - F.col("_q1")),
             "_upper": F.col("_q3") + iqr_k * (F.col("_q3") - F.col("_q1")),
@@ -308,6 +376,8 @@ def quality_profile_scale(
     if scoped_cache:
         result = result.localCheckpoint(eager=True)
         bounds.unpersist()
+        if _roll_handle is not None:
+            _roll_handle.unpersist()
     return result
 
 
@@ -346,6 +416,104 @@ WITH stats AS (
          _q1 - {iqr_k} * (_q3 - _q1) AS _lower,
          _q3 + {iqr_k} * (_q3 - _q1) AS _upper
   FROM stats
+), outliers AS (
+  SELECT t.{group_col},
+         CAST(sum(CASE WHEN t.{value_col} < b._lower OR t.{value_col} > b._upper
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM {table} t JOIN bounds b
+    ON t.{group_col} IS NOT DISTINCT FROM b.{group_col}
+  GROUP BY t.{group_col}
+), gaps AS (
+  SELECT {group_col},
+         CAST(sum(CASE WHEN _gap_us > {tol_us} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gaps,
+         max(_gap_us) / 1000000.0 AS _max_gap_s
+  FROM (
+    SELECT {group_col},
+           epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER
+             (PARTITION BY {group_col} ORDER BY {ts_col})) AS _gap_us
+    FROM {table}
+  ) GROUP BY {group_col}
+)
+SELECT b.{group_col},
+       b.n_rows,
+       b.n_nulls,
+       floor((b.n_nulls * 100.0 / b.n_rows) * {p} + 0.5) / {p} AS null_pct,
+       b.min_ts,
+       b.max_ts,
+       floor(b._mean * {p} + 0.5) / {p} AS mean_value,
+       floor(b._std * {p} + 0.5) / {p} AS std_value,
+       floor(b._median * {p} + 0.5) / {p} AS median_value,
+       floor(b._q1 * {p} + 0.5) / {p} AS q1,
+       floor(b._q3 * {p} + 0.5) / {p} AS q3,
+       floor(b._lower * {p} + 0.5) / {p} AS lower_bound,
+       floor(b._upper * {p} + 0.5) / {p} AS upper_bound,
+       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+       floor((coalesce(o.n_outliers, 0) * 100.0 / b.n_rows) * {p} + 0.5) / {p}
+         AS outlier_pct,
+       CAST(b.n_dups AS BIGINT) AS n_dups,
+       CAST(coalesce(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+       floor(g._max_gap_s * {p} + 0.5) / {p} AS max_gap_seconds
+FROM bounds b
+LEFT JOIN outliers o ON b.{group_col} IS NOT DISTINCT FROM o.{group_col}
+LEFT JOIN gaps g ON b.{group_col} IS NOT DISTINCT FROM g.{group_col}
+ORDER BY b.{group_col}
+"""
+
+
+def profile_grid_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_tolerance_seconds: int = DEFAULT_GAP_TOLERANCE_SECONDS,
+    iqr_k: float = 3.0,
+    round_to: int = 4,
+    grid_decimals: int = 2,
+) -> str:
+    """DuckDB equivalent of ``quality_profile_scale(quantile_mode="grid")``
+    -- identical math to the Spark side: portable-floor-round values to the
+    grid, per-(group, bin) counts, discrete quantile = smallest bin whose
+    cumulative count reaches ceil(p * n), IQR bounds and outliers from
+    those grid quantiles. Same column names/rounding as the flagship."""
+    tol_us = gap_tolerance_seconds * 1_000_000
+    p = 10**round_to
+    gp = 10**grid_decimals
+    return f"""
+WITH stats AS (
+  SELECT {group_col},
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN {value_col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         min({ts_col}) AS min_ts,
+         max({ts_col}) AS max_ts,
+         CAST(sum(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)
+           / count({value_col}) AS _mean,
+         stddev_samp({value_col}) AS _std,
+         count(*) - count(DISTINCT ROW({ts_col})) AS n_dups
+  FROM {table} GROUP BY {group_col}
+), bins AS (
+  SELECT {group_col},
+         floor({value_col} * {gp} + 0.5) / {gp} AS _bin,
+         count(*) AS _c
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT {group_col}, _bin,
+         sum(_c) OVER (PARTITION BY {group_col} ORDER BY _bin) AS _cum,
+         sum(_c) OVER (PARTITION BY {group_col}) AS _n
+  FROM bins
+), quants AS (
+  SELECT {group_col},
+         min(CASE WHEN _cum >= ceil(_n * 0.25) THEN _bin END) AS _q1,
+         min(CASE WHEN _cum >= ceil(_n * 0.5) THEN _bin END) AS _median,
+         min(CASE WHEN _cum >= ceil(_n * 0.75) THEN _bin END) AS _q3
+  FROM cum GROUP BY 1
+), bounds AS (
+  SELECT s.*, q._q1, q._median, q._q3,
+         q._q1 - {iqr_k} * (q._q3 - q._q1) AS _lower,
+         q._q3 + {iqr_k} * (q._q3 - q._q1) AS _upper
+  FROM stats s LEFT JOIN quants q
+    ON s.{group_col} IS NOT DISTINCT FROM q.{group_col}
 ), outliers AS (
   SELECT t.{group_col},
          CAST(sum(CASE WHEN t.{value_col} < b._lower OR t.{value_col} > b._upper

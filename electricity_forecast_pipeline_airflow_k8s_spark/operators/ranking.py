@@ -449,3 +449,157 @@ def global_prefix_sum(
             yield out
 
     return sorted_df.mapInPandas(add_cum, schema=out_schema), total
+
+
+def tuples_at_ranks(
+    df: DataFrame,
+    order_cols: Iterable[str],
+    ranks,
+    *,
+    num_partitions: int | None = None,
+) -> tuple[list[tuple], int]:
+    """The rows (projected to ``order_cols``) sitting at the given 1-based
+    global ranks of ``ORDER BY order_cols`` -- the multi-column analogue of
+    :func:`exact_quantiles`'s rank selection. One parallel range sort of
+    the PROJECTED columns (the shuffle moves only the sort key, not the
+    row), one tiny offsets job, then a partition-pruned picker that emits
+    len(ranks) rows. ``ranks`` is an iterable of 1-based ranks, or a
+    callable ``n -> iterable`` when the targets depend on the total count
+    (saves a separate count job). Returns (sorted tuples, total n)."""
+    cols = list(order_cols)
+    proj = df.select(*cols)
+    sorted_df, offsets, counts, n = _range_sorted_with_offsets(
+        proj, cols, num_partitions, persist=True
+    )
+    if callable(ranks):
+        ranks = ranks(n)
+    want = sorted({int(r) for r in ranks})
+    if any(r < 1 or r > n for r in want):
+        raise ValueError(f"rank out of [1, {n}]: {want}")
+    if not want:
+        return [], n
+
+    pid_targets: dict[int, list[tuple[int, int]]] = {}
+    for r in want:
+        for pid in sorted(counts):
+            if offsets[pid] < r <= offsets[pid] + counts[pid]:
+                pid_targets.setdefault(pid, []).append((r - offsets[pid], r))
+                break
+
+    out_schema = StructType(
+        [f for f in sorted_df.schema.fields if f.name != _PID]
+        + [StructField("_rank", LongType(), False)]
+    )
+
+    def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = 0
+        targets: list[tuple[int, int]] | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if targets is None:
+                targets = pid_targets[int(pdf[_PID].iloc[0])]
+            hit_idx = [
+                (local - pos - 1, rank)
+                for local, rank in targets
+                if pos < local <= pos + len(pdf)
+            ]
+            pos += len(pdf)
+            if hit_idx:
+                out = pdf.iloc[[i for i, _ in hit_idx]][cols].copy()
+                out["_rank"] = pd.array([r for _, r in hit_idx], dtype="int64")
+                yield out
+
+    picked = (
+        sorted_df.where(F.col(_PID).isin(list(pid_targets)))
+        .mapInPandas(pick, schema=out_schema)
+        .collect()
+    )
+    sorted_df.unpersist()
+    rows = sorted(picked, key=lambda r: r["_rank"])
+    return [tuple(r[c] for c in cols) for r in rows], n
+
+
+def ntile_by_edges(
+    df: DataFrame,
+    order_cols: Iterable[str],
+    *,
+    k: int,
+    tile_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY order_cols)`` via broadcast boundary
+    tuples -- the cheap exact path when only the BUCKET is needed, not the
+    rank.
+
+    NTILE buckets are contiguous rank ranges, so the k-1 tuples sitting at
+    the bucket-end ranks split the total order exactly: a row's bucket is
+    ``1 + #boundaries strictly below its tuple`` (rank order and tuple
+    order coincide under a total order). That turns the whole operator
+    into (a) one narrow range sort of the PROJECTED key columns to pick
+    k-1 boundary rows (:func:`tuples_at_ranks`) and (b) a shuffle-free map
+    expression comparing each row's key struct against the broadcast
+    boundary array -- no Window, no full-frame rank materialization, no
+    second shuffle of the fact. This is the same boundary-derivation move
+    Delta's OPTIMIZE ZORDER uses (range_partition_id from sampled bounds),
+    but exact.
+
+    Requires ``order_cols`` to be a null-free TOTAL order (include a
+    tie-break key): a duplicated boundary tuple would make the bucket
+    assignment ambiguous -- violations raise.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cols = list(order_cols)
+    proj_types = dict(df.select(*cols).dtypes)
+
+    def _bounds(n: int) -> list[int]:
+        # exact NTILE sizing: first n mod k buckets take one extra row;
+        # boundary ranks are the cumulative bucket ends (last bucket open)
+        q, rem = divmod(n, k)
+        if q == 0:  # n <= k: bucket == rank; ranks 1..n-1 are boundaries
+            return list(range(1, n))
+        sizes = [q + 1] * rem + [q] * (k - rem)
+        out, acc = [], 0
+        for s in sizes[:-1]:
+            acc += s
+            out.append(acc)
+        return out
+
+    edges, n = tuples_at_ranks(df, cols, _bounds, num_partitions=num_partitions)
+    if n == 0:
+        return df.withColumn(tile_col, F.lit(None).cast("int"))
+    if len(set(edges)) != len(edges):
+        raise ValueError(
+            f"order_cols {cols} is not a total order: duplicated boundary "
+            f"tuple -- add a tie-break key"
+        )
+
+    def _lex_le(edge: tuple) -> Column:
+        # row_tuple <= edge, lexicographic, as plain boolean column ops
+        # (whole-stage-codegen friendly; struct/HOF comparisons are
+        # interpreted and would cost ~k comparisons per row at scale)
+        le: Column | None = None
+        for c, val in zip(reversed(cols), reversed(edge)):
+            lit = F.lit(val).cast(proj_types[c])
+            if le is None:
+                le = F.col(c) <= lit
+            else:
+                le = (F.col(c) < lit) | ((F.col(c) == lit) & le)
+        return le
+
+    n_buckets = len(edges) + 1
+
+    def _search(lo: int, hi: int) -> Column:
+        # binary search over candidate buckets [lo, hi]: bucket b iff
+        # edge_{b-1} < row <= edge_b (edge_b is bucket b's last tuple),
+        # so row <= edges[mid-1] sends the row left. ceil(log2 k)
+        # comparisons per row instead of k-1.
+        if lo == hi:
+            return F.lit(lo).cast("int")
+        mid = (lo + hi) // 2
+        return F.when(_lex_le(edges[mid - 1]), _search(lo, mid)).otherwise(
+            _search(mid + 1, hi)
+        )
+
+    return df.withColumn(tile_col, _search(1, n_buckets))

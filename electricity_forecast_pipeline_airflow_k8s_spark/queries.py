@@ -28,67 +28,22 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-5 window, by evidence priority:
-# (a) new round-5 queries (never driver-proven — first-proof beats
-# freshness; prepended as they land), (b) the 10 late-round-4 queries that
-# missed the r4 window (also never proven), (c) the 10 queries whose last
-# driver green is r1 (displaced from the r4 window by first-proof items),
-# (d) as much of the 28-query r2-evidence cohort as fits. Whatever r2
-# cohort overflows leads round 6, keeping every query's driver-evidence
-# age bounded at ~3 rounds.
+# registration order per round). Round-6 window: the full never-driver-
+# proven backlog (123 queries after r1+r2+r3+r5 evidence; no r04
+# artifacts exist), led by the two queries whose scale fixes landed this
+# round (layout_zorder_locality, rel_equidepth_histogram) so the driver
+# proves the FIXED plans. New round-6 queries are prepended as they land
+# (never-proven first-proof ties are broken newest-first). The ~73
+# overflow rows lead round 7; once the backlog clears, rotation resumes
+# oldest-evidence-first (r1 cohort, then r2, then r3).
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    # (a) new in round 5 — never driver-proven (newest first: these have
-    # never had a driver row at all, so they take the head of the cut)
-    "ts_croston",
-    "sess_absorbing_markov",
-    "text_oov_rate",
-    "val_t_closeness",
-    "layout_compaction_plan",
-    "graph_degree_powerlaw",
-    "rel_largest_remainder_alloc",
-    "ts_max_drawdown",
-    "ts_variance_ratio",
-    "ts_pacf",
-    "graph_reciprocity",
-    "rel_holiday_lift",
-    "text_negative_sampling_dist",
-    "rel_discount_elasticity",
-    "ts_intermittency_stats",
-    "text_boilerplate_share",
-    "val_duplicate_payments",
-    "text_code_detect_stats",
-    "rel_cdf_normalize",
-    "ts_forecast_ensemble",
-    "mm_audio_frame_energy",
-    "val_k_anonymity",
-    "sample_curriculum_order",
-    "text_tokenizer_fertility",
-    "val_median_of_means",
-    "val_key_skew_report",
-    "val_join_cardinality",
-    "text_langid_confusion",
-    "sess_lifecycle_states",
-    "graph_modularity",
-    "sess_next_pred_accuracy",
-    "sample_token_budget_plan",
-    "emb_kmeans_step",
-    "ts_spectral_flatness",
-    "val_cramers_v",
-    "rel_price_volume_mix",
-    "rel_bitmap_overlap",
-    "ts_granger_lag1",
-    "rel_km_repurchase",
-    "ts_hurst_rs",
-    "ts_pinball_loss",
-    "rel_decile_lift",
-    "ts_ljung_box",
-    "sess_entropy_rate",
-    "sim_topk_hamming",
-    "val_volume_anomaly_days",
-    "ts_missing_block_report",
-    "rel_purchase_gap_stats",
-    "sess_touch_attribution",
-    "rel_abc_classification",
+    # round-6 semantic changes first: these had prior driver evidence but
+    # their implementations changed this round (scale-fixed plans; the two
+    # rows-only -> oracle conversions), so the old evidence is stale
+    "layout_zorder_locality",
+    "rel_equidepth_histogram",
+    "ml_hpo_best_trials",
+    "quality_profile_approx",
     "ts_w1_drift",
     "stream_hopping_topk",
     "text_chunk_overlap",
@@ -151,14 +106,11 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "dedup_lsh_recall_eval",
     "graph_pagerank",
     "graph_triangle_count",
-    "layout_zorder_locality",
-    "rel_equidepth_histogram",
     "stream_upsert_replay_state",
     "sess_cogroup_hour_corr",
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
     "text_pmi_source_terms",
-    # (b) late round-4 additions that missed the r4 window — never proven
     "ts_cusum_changepoint",
     "sess_retention_cohorts",
     "rel_variant_props",
@@ -169,54 +121,50 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_seasonal_naive_error",
     "sample_weighted_topk",
     "text_pack_chunks",
-    # (c) last driver-green in r1
-    "rel_date_functions",
-    "rel_events_by_segment",
-    "rel_part_brand_stats",
-    "rel_promo_share",
-    "rel_regex_extract",
-    "rel_set_ops",
-    "rel_string_functions",
-    "rel_topk_orders",
-    "rel_union_pages",
-    "rel_window_analytic",
-    # (d) last driver-green in r2
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_codes",
-    "dedup_tokenset_groups",
-    "rel_math_functions",
-    "sim_topk_lsh",
-    "stream_windowed_stats",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_profile",
-    "text_quality_filter_stats",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_tokens",
-    "tpch_idle_rich_customers",
-    "tpch_min_balance_supplier",
-    "tpch_nation_volume",
-    "tpch_part_supplier_counts",
-    "tpch_significant_parts",
-    "tpch_top_supplier",
-    "ts_hour_coverage",
-    "ts_ks_drift",
-    "ts_scaled_values",
-    "ts_scaler_params",
-    "ts_tail_window",
-    "ts_window_counts",
-    "val_domain_violations",
-    "val_extreme_gate",
-    # Round-6 rotation TODO: 45 never-driver-proven queries now lead the
-    # window (the 19 latest-batch additions — val_median_of_means through
-    # rel_km_repurchase — plus the 26 earlier round-5 ones), so the
-    # driver's 50-query cut covers them plus the next ~5 rows. Round 6
-    # should promote whatever it adds, then the overflow (graph_kcore
-    # onward), then the late-r4 rows (ts_cusum_changepoint onward), then
-    # the displaced r1 cohort, then the remaining r2 cohort, then start
-    # re-proving the oldest r3 greens.
+    "val_mad_outliers",
+    "inc_agg_merge",
+    "val_drift_chi2",
+    "val_monotonic_event_ids",
+    "graph_link_prediction",
+    "graph_bfs_reachability",
+    "graph_assortativity",
+    "rel_ntile_deciles",
+    "rel_cohort_ltv",
+    "rel_basket_lift",
+    "rel_rfm_segments",
+    "rel_supplier_hhi",
+    "stream_quality_counts",
+    "stream_static_enrich",
+    "sess_dau_wau",
+    "sess_shapley_attribution",
+    "ts_pi_coverage",
+    "ts_load_profile_how",
+    "ts_ramp_rate_stats",
+    "ts_load_duration_curve",
+    "ts_cvar_ramp",
+    "text_pii_redaction",
+    "emb_norm_stats",
+    "sample_stratified_topk",
+    "text_packing_estimate",
+    "text_ngram_novelty",
+    "sample_split_assign",
+    "text_para_dedup",
+    "mm_frame_sample",
+    "dedup_semantic_clusters",
+    "dedup_simhash_neardup_pairs",
+    "emb_dim_stats",
+    "text_bigram_lm_score",
+    "emb_quantize_int8",
+    "emb_top_pc_power_iteration",
+    "emb_kcenter_seeds",
+    "emb_contrastive_triplets",
+    "sample_temperature_mix",
+    "text_ttr_by_source",
+    "tpch_discount_revenue",
+    "tpch_market_share",
+    "tpch_cust_order_dist",
+    "ts_ewma",
+    "ts_gap_fill_locf",
 )
 
 

@@ -10,18 +10,20 @@ measures what a reader would feel: how many files a single customer's
 orders span (point-lookup pruning) and each file's date span (range-scan
 pruning), against a md5-hash-bucketed baseline of the same file count.
 
-Determinism: bin assignment uses exact ntile with a total tie-broken
-order, bit interleaving is pure integer arithmetic, and the hash
-baseline derives from md5 hex — all bit-identical across engines. The
-exact global ntile is the oracle-determinism concession: a production
-z-order job derives the same bins from SAMPLED range boundaries
-(approximate, no global sort of the fact); the file-count/locality
-metrics are unaffected by that substitution.
+Determinism: bin assignment uses exact ntile semantics over a total
+tie-broken order, bit interleaving is pure integer arithmetic, and the
+hash baseline derives from md5 hex — all bit-identical across engines.
+Both ntiles are computed with the broadcast edge-binning operator
+(``operators/ranking.py ntile_by_edges``: one narrow range sort derives
+the 63 boundary tuples, then the fact is binned by a shuffle-free
+broadcast comparison), so no single-partition WindowExec ever touches
+the fact — the same boundary-derivation move Delta's OPTIMIZE ZORDER
+uses (range_partition_id from sampled bounds), but exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
@@ -86,17 +88,31 @@ ORDER BY 1
 
 @register("layout_zorder_locality", oracle=_ZORDER_ORACLE)
 def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
     o = table(spark, "orders", sf_dir)
-    wx = Window.orderBy("o_custkey", "o_orderkey")
-    wy = Window.orderBy("o_orderdate", "o_orderkey")
-    coded = o.select(
+    base = o.select(
         "o_orderkey",
         "o_custkey",
+        "o_orderdate",
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
             "dd"
         ),
-        (F.ntile(64).over(wx) - 1).alias("xb"),
-        (F.ntile(64).over(wy) - 1).alias("yb"),
+    )
+    # two narrow boundary-derivation sorts (key columns only) + broadcast
+    # edge binning on the fact -- no Window, no full-frame rank pass
+    binned = ntile_by_edges(base, ["o_custkey", "o_orderkey"], k=64, tile_col="xb1")
+    binned = ntile_by_edges(
+        binned, ["o_orderdate", "o_orderkey"], k=64, tile_col="yb1"
+    )
+    coded = binned.select(
+        "o_orderkey",
+        "o_custkey",
+        "dd",
+        (F.col("xb1") - 1).alias("xb"),
+        (F.col("yb1") - 1).alias("yb"),
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -148,7 +164,8 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
 # equi-DEPTH via ntile over a total tie-broken order — the shape optimizers
 # use for selectivity estimation and the sanity check for skewed money
 # columns (equal counts, widening bounds). Exact same ntile semantics in
-# both engines given the deterministic (price, key) order.
+# both engines given the deterministic (price, key) order; computed via
+# broadcast edge binning so the fact never funnels through one task.
 @register(
     "rel_equidepth_histogram",
     oracle="""
@@ -165,11 +182,19 @@ FROM d GROUP BY 1 ORDER BY 1
 """,
 )
 def q_rel_equidepth_histogram(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
     o = table(spark, "orders", sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = ntile_by_edges(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        k=10,
+        tile_col="decile",
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             (F.floor(F.min("o_totalprice") * 100 + 0.5) / 100).alias("lo_price"),

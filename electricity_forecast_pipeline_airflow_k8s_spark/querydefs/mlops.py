@@ -203,19 +203,138 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str):
     )
 
 
-@register("ml_hpo_best_trials")  # rows-only: Katib-analog trial fan-out
-def q_ml_hpo(spark: SparkSession, sf_dir: str):
-    from electricity_forecast_pipeline_airflow_k8s_spark.ml.hpo import (
-        best_trials,
-        run_trials,
-    )
+# -- HPO fan-out with full driver-oracle evidence (round 6) ------------------
+# The Katib-analog shape (`core/train_katib.py`: grid of trials x groups,
+# train on train split, pick argmin val loss) with a closed-form trial
+# objective both engines can replay exactly: 1-feature ridge
+# (y ~ a + b*x, L2 on the centered slope => b = Sxy / (Sxx + lambda),
+# a = avg_y - b*avg_x) over a chronological 70/15 train/val cut. The
+# MLP/torch trial bodies stay on the same fan-out machinery (ml/hpo.py
+# run_trials, pytest + goldens in tests/test_mlp_hpo.py) -- no SQL engine
+# can replay those, so THIS entry carries the hash-green driver evidence
+# for the U6 orchestration: grid broadcast, per-(group, trial) objective,
+# deterministic argmin with rounded-loss + lambda tiebreak.
+#
+# Scale: train moments are one mergeable hash-agg (6 numbers per group);
+# the lambda fan-out multiplies the n_groups-row moments frame, never the
+# fact; val MSE is one scan of the val slice joined to the broadcast
+# params (n_groups x n_lambda rows). Argmin runs over that tiny frame.
+_HPO_LAMBDAS = [0.0, 1.0e7, 1.0e9, 1.0e11]
+_HPO_ANCHOR = "2024-01-01 00:00:00"
 
-    wins = _windows(spark, sf_dir)
-    grid = {"hidden": [8, 16], "epochs": [5], "seed": [42]}
-    metrics = run_trials(wins, grid)
-    return best_trials(metrics).select(
-        "respondent", "trial_id", "params", portable_round("val_loss", 6).alias("val_loss")
-    ).orderBy("respondent")
+
+@register(
+    "ml_hpo_best_trials",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP - TIMESTAMP '{_HPO_ANCHOR}') / 3600000000.0 AS x,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+cuts AS (
+  SELECT event_type,
+         min(x) + 0.70 * (max(x) - min(x)) AS c1,
+         min(x) + 0.85 * (max(x) - min(x)) AS c2
+  FROM ev GROUP BY 1
+),
+m AS (
+  SELECT e.event_type,
+         count(*) AS n_train,
+         regr_sxx(e.y, e.x) AS sxx,
+         regr_sxy(e.y, e.x) AS sxy,
+         regr_avgx(e.y, e.x) AS ax,
+         regr_avgy(e.y, e.x) AS ay
+  FROM ev e JOIN cuts c ON e.event_type = c.event_type
+  WHERE e.x < c.c1 GROUP BY 1
+),
+params AS (
+  SELECT m.event_type, l.lam, m.n_train,
+         m.sxy / (m.sxx + l.lam) AS b,
+         m.ay - (m.sxy / (m.sxx + l.lam)) * m.ax AS a
+  FROM m CROSS JOIN (SELECT unnest([{", ".join(str(v) for v in _HPO_LAMBDAS)}]) AS lam) l
+),
+val_loss AS (
+  SELECT p.event_type, p.lam, p.n_train, p.b, p.a,
+         avg((e.y - p.a - p.b * e.x) * (e.y - p.a - p.b * e.x)) AS mse
+  FROM ev e
+  JOIN cuts c ON e.event_type = c.event_type
+  JOIN params p ON e.event_type = p.event_type
+  WHERE e.x >= c.c1 AND e.x < c.c2
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY floor(mse * 100 + 0.5) / 100, lam) AS rk
+  FROM val_loss
+)
+SELECT event_type,
+       lam AS best_lambda,
+       n_train,
+       {portable_round_sql("b", 6)} AS slope,
+       {portable_round_sql("a", 4)} AS intercept,
+       {portable_round_sql("mse", 2)} AS val_mse
+FROM ranked WHERE rk = 1 ORDER BY event_type
+""",
+)
+def q_ml_hpo(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    anchor = F.lit(_HPO_ANCHOR).cast("timestamp")
+    x = (F.unix_micros(F.col("ts")) - F.unix_micros(anchor)) / 3.6e9
+    ev = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    cuts = ev.groupBy("event_type").agg(
+        (F.min("x") + 0.70 * (F.max("x") - F.min("x"))).alias("c1"),
+        (F.min("x") + 0.85 * (F.max("x") - F.min("x"))).alias("c2"),
+    )
+    withc = ev.join(F.broadcast(cuts), "event_type")
+    m = (
+        withc.filter(F.col("x") < F.col("c1"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.regr_sxx("y", "x").alias("sxx"),
+            F.regr_sxy("y", "x").alias("sxy"),
+            F.regr_avgx("y", "x").alias("ax"),
+            F.regr_avgy("y", "x").alias("ay"),
+        )
+    )
+    lams = F.explode(F.array(*[F.lit(v) for v in _HPO_LAMBDAS])).alias("lam")
+    b = F.col("sxy") / (F.col("sxx") + F.col("lam"))
+    params = m.select("event_type", "n_train", "sxx", "sxy", "ax", "ay", lams).select(
+        "event_type",
+        "lam",
+        "n_train",
+        b.alias("b"),
+        (F.col("ay") - b * F.col("ax")).alias("a"),
+    )
+    val = withc.filter((F.col("x") >= F.col("c1")) & (F.col("x") < F.col("c2")))
+    resid = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    losses = (
+        val.join(F.broadcast(params), "event_type")
+        .groupBy("event_type", "lam", "n_train", "b", "a")
+        .agg(F.avg(resid * resid).alias("mse"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("mse") * 100 + 0.5) / 100, "lam"
+    )
+    return (
+        losses.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("lam").alias("best_lambda"),
+            "n_train",
+            portable_round("b", 6).alias("slope"),
+            portable_round("a", 4).alias("intercept"),
+            portable_round("mse", 2).alias("val_mse"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register("ml_forecast_next")  # rows-only: latest-window forecast per group

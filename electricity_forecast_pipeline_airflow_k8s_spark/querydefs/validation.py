@@ -12,6 +12,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
     portable_round,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+    profile_grid_oracle_sql,
     profile_oracle_sql,
     quality_profile,
     quality_profile_scale,
@@ -31,18 +32,25 @@ def q_quality_profile(spark: SparkSession, sf_dir: str):
 
 
 # -- flagship, scale mode (quality_profile_scale): mergeable groupBy
-# sketches + broadcast bounds + bucketed gap windows, so parallelism
+# stats + broadcast bounds + bucketed gap windows, so parallelism
 # follows data volume instead of being capped at the group count by
 # whole-partition windows (SCALING.md). This is the mode a 100 TB run
-# uses; rows-only (approx quantile sketches differ from DuckDB's, so
-# value equality is not claimed -- exactness is proven by
-# `quality_profile`, and the non-quantile columns are pinned equal to the
-# exact flagship by tests/test_validation.py).
-@register("quality_profile_approx")
+# uses. Round 6: quantiles switched from percentile_approx sketches to
+# exact-on-grid histogram quantiles (deterministic, mergeable, bounded
+# state per group) -- which makes the WHOLE output DuckDB-replayable, so
+# this entry now carries full hash-level driver evidence instead of
+# rows-only. The sketch mode stays available via
+# quality_profile_scale(quantile_mode="sketch") and keeps its structural
+# driver evidence through quality_profile_scale_contract below.
+@register(
+    "quality_profile_approx",
+    oracle=profile_grid_oracle_sql(table=EVENTS_SRC),
+)
 def q_quality_profile_approx(spark: SparkSession, sf_dir: str):
     ev = table(spark, "events", sf_dir)
     return quality_profile_scale(
-        ev, group_col="event_type", ts_col="ts", value_col="value"
+        ev, group_col="event_type", ts_col="ts", value_col="value",
+        quantile_mode="grid",
     )
 
 

@@ -55,3 +55,83 @@ def fetch_paginated(
                     yield pd.DataFrame.from_records(records)[cols]
 
     return page_specs(spark, total, page_size).mapInPandas(fetch, schema)
+
+
+# -- live-HTTP fetcher (stdlib, executor-side) --------------------------------
+# Mirrors the reference's EIA loop semantics (core/data_extraction.py:57-108)
+# but distributed: the driver probes `response.total` once, then each
+# executor task GETs its own (offset, length) page. Reference behaviors
+# preserved: non-200 -> raise (ref :81-85), missing response.data -> empty
+# page (ref :87-90), junk values pass through for downstream try_cast
+# coercion (sources/normalize.py), termination because page specs are
+# derived from total (ref :99-104's `offset + length >= total`).
+
+
+def _http_get_json(url: str, timeout: float) -> dict:
+    import json as _json
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    try:
+        with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (http scheme by design)
+            status = getattr(resp, "status", 200)
+            body = resp.read()
+    except HTTPError as e:  # urllib raises instead of returning non-200
+        raise RuntimeError(
+            f"API request failed: {e.code} ({e.read()[:200]!r})"
+        ) from e
+    if status != 200:
+        raise RuntimeError(f"API request failed: {status}")
+    return _json.loads(body)
+
+
+def http_page_fetcher(
+    base_url: str, params: dict[str, str] | None = None, timeout: float = 30.0
+) -> PageFetcher:
+    """Build a picklable (offset, length) -> records fetcher that GETs
+    ``base_url?offset=..&length=..&<params>`` and unwraps the EIA-shaped
+    envelope ``{"response": {"total": N, "data": [...]}}``."""
+    from functools import partial
+
+    return partial(_http_fetch_page, base_url, tuple(sorted((params or {}).items())), timeout)
+
+
+def _http_fetch_page(
+    base_url: str, params: tuple, timeout: float, offset: int, length: int
+) -> list[dict]:
+    from urllib.parse import urlencode
+
+    qs = urlencode(list(params) + [("offset", offset), ("length", length)])
+    data = _http_get_json(f"{base_url}?{qs}", timeout)
+    if "response" not in data or "data" not in data["response"]:
+        return []
+    return data["response"]["data"]
+
+
+def probe_total(
+    base_url: str, params: dict[str, str] | None = None, timeout: float = 30.0
+) -> int:
+    """Driver-side single probe of ``response.total`` (length=0 page): the
+    distributed replacement for the reference's per-iteration total check
+    (core/data_extraction.py:99-101)."""
+    from urllib.parse import urlencode
+
+    qs = urlencode(list((params or {}).items()) + [("offset", 0), ("length", 0)])
+    data = _http_get_json(f"{base_url}?{qs}", timeout)
+    return int(data.get("response", {}).get("total", 0))
+
+
+def fetch_paginated_http(
+    spark: SparkSession,
+    base_url: str,
+    schema: T.StructType,
+    page_size: int = 5000,
+    params: dict[str, str] | None = None,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """End-to-end live-HTTP paginated scan: probe total on the driver,
+    fan page GETs out across executors via :func:`fetch_paginated`."""
+    total = probe_total(base_url, params, timeout)
+    return fetch_paginated(
+        spark, http_page_fetcher(base_url, params, timeout), total, schema, page_size
+    )

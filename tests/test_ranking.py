@@ -219,3 +219,37 @@ def test_global_prefix_sum_desc_order_with_tiebreak(spark):
     )
     got = {r["k"]: r["c"] for r in out.collect()}
     assert got == {"a": 5, "b": 10, "c": 11} and total == 11
+
+
+def test_ntile_by_edges_matches_ntile(spark):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    for n, k in [(200, 4), (203, 10), (64, 64), (50, 64), (1000, 7)]:
+        df = spark.range(0, n).select(
+            (F.col("id") % 17).alias("key"), F.col("id").alias("tie")
+        )
+        got = ntile_by_edges(df, ["key", "tie"], k=k, tile_col="t")
+        expect = df.withColumn("t", F.ntile(k).over(Window.orderBy("key", "tie")))
+        assert sorted(_rows(got, "key", "tie", "t")) == sorted(
+            _rows(expect, "key", "tie", "t")
+        ), (n, k)
+
+
+def test_ntile_by_edges_no_window_and_rejects_partial_order(spark):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("v"), (F.col("id") * 7).alias("tie")
+    )
+    tiled = ntile_by_edges(df, ["v", "tie"], k=8, tile_col="b")
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # a non-total order duplicates a boundary tuple -> loud failure, never
+    # a silently ambiguous bucket assignment
+    dup = spark.range(0, 100).select(F.lit(1).alias("key"))
+    with pytest.raises(ValueError, match="not a total order"):
+        ntile_by_edges(dup, ["key"], k=4, tile_col="t")
