@@ -556,3 +556,28 @@ def test_setsim_prefix_join_property(spark, docs, num, den):
         if inter * den >= num * (len(sa) + len(sb) - inter):
             want.add((ia, ib))
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=1, max_value=64),
+    n_keys=st.integers(min_value=1, max_value=40),
+)
+@_settings
+def test_ntile_by_edges_equals_window_ntile(spark, n, k, n_keys):
+    """For ANY (n, k, duplicate structure), broadcast edge binning must be
+    value-identical to NTILE(k) OVER (ORDER BY key, tie)."""
+    from pyspark.sql import Window
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    df = spark.range(0, n).select(
+        (F.col("id") % n_keys).alias("key"), F.col("id").alias("tie")
+    )
+    got = ntile_by_edges(df, ["key", "tie"], k=k, tile_col="t")
+    expect = df.withColumn("t", F.ntile(k).over(Window.orderBy("key", "tie")))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in expect.collect())
+    assert a == b

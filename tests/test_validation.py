@@ -209,3 +209,47 @@ def test_incremental_merge_batching_invariant(spark):
     assert sorted(map(tuple, merged), key=lambda t: t[0]) == sorted(
         map(tuple, whole), key=lambda t: t[0]
     )
+
+
+def test_quality_profile_grid_quantiles_hand_model(spark):
+    """Grid-mode quantile definition pinned against a hand computation:
+    values rounded to the 0.01 grid, discrete quantile = smallest bin
+    whose cumulative count reaches ceil(p * n)."""
+    import datetime as dt
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile_scale,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.004, 2.006, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]  # n=8
+    rows = [(base + dt.timedelta(hours=i), "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "period timestamp, respondent string, value double")
+    out = quality_profile_scale(df, quantile_mode="grid").collect()[0]
+    # bins: 1.0, 2.01, 3.0 ... 8.0 (portable floor-round at 2dp)
+    # q1: ceil(0.25*8)=2 -> 2nd smallest bin = 2.01
+    # median: ceil(0.5*8)=4 -> 4.0 ; q3: ceil(0.75*8)=6 -> 6.0
+    assert out["q1"] == 2.01
+    assert out["median_value"] == 4.0
+    assert out["q3"] == 6.0
+    # IQR bounds derive from the grid quantiles (k=3)
+    assert out["lower_bound"] == round(2.01 - 3 * (6.0 - 2.01), 4)
+    assert out["upper_bound"] == round(6.0 + 3 * (6.0 - 2.01), 4)
+
+
+def test_quality_profile_grid_mode_rollup_single_fact_scan(spark, sf_dir):
+    """The grid layout's stats AND histogram ride ONE rollup over the
+    fact: the executed plan contains exactly one scan of the events
+    parquet feeding an Expand (rollup) node."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile_scale,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    q = quality_profile_scale(
+        ev, group_col="event_type", ts_col="ts", value_col="value",
+        quantile_mode="grid", scoped_cache=False,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan[:1500]
