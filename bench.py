@@ -120,8 +120,6 @@ HEADLINE = [
     "dedup_lsh_recall_eval",
     "graph_pagerank",
     "graph_triangle_count",
-    "layout_zorder_locality",
-    "rel_equidepth_histogram",
     "sess_cogroup_hour_corr",
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
@@ -237,6 +235,9 @@ ITERATIVE = [
     "val_winsorized_stats",
     # weight-sum offsets job at build time
     "rel_weighted_quantiles_scale",
+    # edge-binned NTILE: boundary-tuple derivation jobs run at build time
+    "layout_zorder_locality",
+    "rel_equidepth_histogram",
     # fixed-point peeling: per-iteration count jobs at build time
     "graph_kcore",
     # distributed prefix-sum: per-partition sum offsets job at build time
