@@ -257,20 +257,22 @@ ITERATIVE = [
 # Round-6 re-baseline (VERDICT r5 item 9): three lanes changed plans this
 # round and their budgets were refreshed from a quiet-machine best-of-3
 # at sf0.1 (warmup at sf0.001, noop sink):
-#   layout_zorder_locality  1.80 -> 8.50 (5.66 measured): the two global
-#     ntile(64) single-partition windows became distributed edge-binning
-#     (ranking.py ntile_by_edges) -- 2 narrow boundary-derivation sorts +
-#     codegen binary-search binning. At sf0.1 that trades ~4 s of fixed
-#     multi-job latency for a plan with no single-task stage at 100 TB.
-#   rel_equidepth_histogram 0.45 -> 1.90 (1.22 measured): same trade
-#     (ntile(10) window -> ntile_by_edges).
-#   quality_profile_approx  1.10 -> 3.40 (2.21 measured): quantiles moved
+#   layout_zorder_locality  1.80 -> 7.20 (4.77 quiet best-of-2): the two
+#     global ntile(64) single-partition windows became distributed
+#     edge-binning (ranking.py ntile_by_edges) -- 2 narrow
+#     boundary-derivation sorts + codegen binary-search binning, timed as
+#     ITERATIVE wall-clock (edge jobs run at build). At sf0.1 that trades
+#     ~3.5 s of fixed multi-job latency for a plan with no single-task
+#     stage at 100 TB.
+#   rel_equidepth_histogram 0.45 -> 1.50 (0.99 measured): same trade
+#     (ntile(10) window -> ntile_by_edges, ITERATIVE wall-clock).
+#   quality_profile_approx  1.10 -> 1.80 (1.18 measured): quantiles moved
 #     from percentile_approx sketches to exact-on-grid histogram deciles
-#     via ROLLUP(group, bin) (still one fact scan), buying full DuckDB
-#     hash-level driver evidence for the 100 TB layout.
+#     via ROLLUP(group, bin) -- still ONE fact scan, ~same cost, and the
+#     whole output is now DuckDB-hash-verifiable driver evidence.
 BUDGETS: dict[str, float] = {
     "quality_profile": 1.70,
-    "quality_profile_approx": 3.40,
+    "quality_profile_approx": 1.80,
     "val_grouped_stats": 0.40,
     "val_outlier_rows": 0.70,
     "val_gap_stats": 0.55,
@@ -375,8 +377,8 @@ BUDGETS: dict[str, float] = {
     # the node^2-bounded edge lists instead (see querydefs/graph.py)
     "graph_pagerank": 4.40,
     "graph_triangle_count": 7.90,
-    "layout_zorder_locality": 8.50,
-    "rel_equidepth_histogram": 1.90,
+    "layout_zorder_locality": 7.20,
+    "rel_equidepth_histogram": 1.50,
     "sess_cogroup_hour_corr": 1.30,
     "ts_time_weighted_avg": 0.76,
     "ts_minmax_downsample": 1.01,
