@@ -102,3 +102,63 @@ def test_heavy_hitters_10x_same_answer_scaled(spark, events_10x):
     assert set(big) == set(small)
     for t, f in small.items():
         assert big[t] == REPLICAS * f
+
+
+def test_ntile_by_edges_10x_equal_depth(spark):
+    """Edge-binned NTILE at 1.5M rows (orders x10, key-shifted): bucket
+    depths must follow the exact NTILE sizing (first n mod k buckets one
+    deeper), every row assigned, no single-task stage."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    parts = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * 100_000_000))
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    k = 64
+    t0 = time.perf_counter()
+    tiled = ntile_by_edges(big, ["o_totalprice", "o_orderkey"], k=k, tile_col="b")
+    depths = {
+        r["b"]: r["n"]
+        for r in tiled.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    n = sum(depths.values())
+    q, rem = divmod(n, k)
+    assert set(depths) == set(range(1, k + 1))
+    assert all(
+        depths[b] == (q + 1 if b <= rem else q) for b in range(1, k + 1)
+    ), depths
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_grid_quantiles_10x_replication_invariant(spark, events_10x):
+    """Replicating every row 10x leaves distribution quantiles unchanged:
+    grid-mode q1/median/q3 on the 10x frame must equal the single-copy
+    answer exactly (the discrete grid quantile is replication-invariant
+    because ceil(p*10n) lands in the same bin)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile_scale,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    one = {
+        r["event_type"]: (r["q1"], r["median_value"], r["q3"])
+        for r in quality_profile_scale(
+            ev, group_col="event_type", ts_col="ts", value_col="value",
+            quantile_mode="grid",
+        ).collect()
+    }
+    ten = {
+        r["event_type"]: (r["q1"], r["median_value"], r["q3"])
+        for r in quality_profile_scale(
+            events_10x, group_col="event_type", ts_col="ts", value_col="value",
+            quantile_mode="grid",
+        ).collect()
+    }
+    assert one == ten
