@@ -173,6 +173,7 @@ HEADLINE = [
     "rel_price_volume_mix",
     "sess_next_pred_accuracy",
     "sample_token_budget_plan",
+    "text_bpe_merge_step",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -471,6 +472,7 @@ BUDGETS: dict[str, float] = {
     "layout_compaction_plan": 0.48,
     "sess_absorbing_markov": 1.92,
     "text_oov_rate": 1.07,
+    "text_bpe_merge_step": 1.10,
     "ts_croston": 1.89,
 }
 

@@ -37,6 +37,8 @@ _REGISTRY: dict[str, Query] = {}
 # overflow rows lead round 7; once the backlog clears, rotation resumes
 # oldest-evidence-first (r1 cohort, then r2, then r3).
 _VERIFICATION_WINDOW: tuple[str, ...] = (
+    # new round-6 queries (never driver-proven)
+    "text_bpe_merge_step",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

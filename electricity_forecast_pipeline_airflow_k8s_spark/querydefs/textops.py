@@ -3412,3 +3412,103 @@ def q_sim_topk_hamming(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# -- one distributed BPE merge round (round 6) --------------------------------
+# Tokenizer TRAINING at corpus scale: the inner loop of byte-pair encoding
+# is (1) weighted adjacent-pair counts over the word-frequency table,
+# (2) argmax pair, (3) greedy non-overlapping merge application. Each is
+# relational: the word table is vocabulary-sized (tiny relative to the
+# corpus -- the corpus is scanned ONCE for word counts and never again),
+# pair extraction explodes len-1 positions per DISTINCT word, and the
+# merge is engine-portable replace() (both engines substitute
+# left-to-right non-overlapping, exactly BPE's application rule).
+# Pair selection counts overlapping occurrences ("aaa" contributes two
+# "aa"), per classic BPE; application merges greedily (one merge there) --
+# the symbols_before/after ledger makes that accounting explicit. A full
+# tokenizer run is this step iterated with merged symbols re-encoded as
+# arrays; one step is registered (like emb_kmeans_step) because the
+# iteration adds no new relational shape.
+@register(
+    "text_bpe_merge_step",
+    oracle="""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, sum(c) AS n,
+         count(DISTINCT w) AS nw
+  FROM words, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+  GROUP BY 1
+),
+best AS (
+  SELECT pair, n, nw FROM pairs ORDER BY n DESC, pair LIMIT 1
+),
+applied AS (
+  SELECT b.pair, b.n, b.nw,
+         w.c,
+         length(w.w) AS len_before,
+         length(replace(w.w, b.pair, chr(167))) AS len_after
+  FROM words w CROSS JOIN best b
+)
+SELECT pair AS best_pair,
+       CAST(max(n) AS BIGINT) AS pair_count,
+       CAST(max(nw) AS BIGINT) AS n_distinct_words_with_pair,
+       CAST(sum(c * (len_before - len_after)) AS BIGINT) AS merges_applied,
+       CAST(sum(c * len_before) AS BIGINT) AS symbols_before,
+       CAST(sum(c * len_after) AS BIGINT) AS symbols_after
+FROM applied GROUP BY 1
+""",
+)
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = words.persist()
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"), "w", "c")
+        .groupBy("pair")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count_distinct("w").alias("nw"),
+        )
+    )
+    best = pairs.orderBy(F.desc("n"), "pair").limit(1)
+    applied = words.crossJoin(F.broadcast(best)).select(
+        "pair",
+        "n",
+        "nw",
+        "c",
+        F.length("w").alias("len_before"),
+        F.length(F.replace(F.col("w"), F.col("pair"), F.lit("§"))).alias(
+            "len_after"
+        ),
+    )
+    out = applied.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("pair_count"),
+        F.max("nw").cast("bigint").alias("n_distinct_words_with_pair"),
+        F.sum(F.col("c") * (F.col("len_before") - F.col("len_after")))
+        .cast("bigint")
+        .alias("merges_applied"),
+        F.sum(F.col("c") * F.col("len_before")).cast("bigint").alias("symbols_before"),
+        F.sum(F.col("c") * F.col("len_after")).cast("bigint").alias("symbols_after"),
+    ).withColumnRenamed("pair", "best_pair")
+    return out

@@ -205,3 +205,33 @@ def test_kcore_fixed_point_is_true_core():
         alive = nxt
     for v in alive:
         assert sum(1 for n in adj[v] if n in alive) >= _KCORE_K
+
+
+def test_bpe_merge_step_hand_model(spark, tmp_path):
+    """BPE single-round semantics pinned by hand: corpus 'aa aa ab'
+    (words: aa x2, ab x1) -> pair counts aa:2, ab:1 -> best 'aa';
+    applying merges each 'aa' word once (greedy non-overlap)."""
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aa aa", "ab aaa"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [5, 6],
+        }
+    ).to_parquet(p)
+    row = queries()["text_bpe_merge_step"](spark, str(tmp_path)).collect()[0]
+    # words: aa x2, ab x1, aaa x1. overlapping pair counts:
+    #   aa: 2 (from 'aa') + 2 (two overlapping in 'aaa') = 4; ab: 1
+    assert row["best_pair"] == "aa"
+    assert row["pair_count"] == 4
+    assert row["n_distinct_words_with_pair"] == 2
+    # greedy merges: 'aa'->1 each (x2 words), 'aaa'->1 (left-to-right), ab 0
+    assert row["merges_applied"] == 3
+    assert row["symbols_before"] == 2 * 2 + 2 + 3
+    assert row["symbols_after"] == row["symbols_before"] - row["merges_applied"]
