@@ -174,6 +174,7 @@ HEADLINE = [
     "sess_next_pred_accuracy",
     "sample_token_budget_plan",
     "text_bpe_merge_step",
+    "ts_sax_motifs",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -473,6 +474,7 @@ BUDGETS: dict[str, float] = {
     "sess_absorbing_markov": 1.92,
     "text_oov_rate": 1.07,
     "text_bpe_merge_step": 1.10,
+    "ts_sax_motifs": 1.85,
     "ts_croston": 1.89,
 }
 

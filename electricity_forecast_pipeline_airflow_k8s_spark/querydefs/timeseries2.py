@@ -1691,3 +1691,140 @@ def q_ts_missing_block_report(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- SAX symbolization / motif histogram (round 6) ----------------------------
+# Symbolic Aggregate approXimation (Lin et al.): per (group, day), PAA the
+# 24 hourly means into 4 six-hour segments, z-normalize the day, map each
+# segment to an alphabet-4 symbol at the Gaussian breakpoints
+# (-0.6745, 0, 0.6745), and histogram the resulting motif words. SAX is
+# THE classical index for similarity search over massive series archives
+# (equal-probability symbols => lower-bounding distance), and the motif
+# histogram is the shape-drift diagnostic a forecasting pipeline checks
+# between retrains.
+#
+# Determinism (repo conventions): hourly means are exact DECIMAL
+# sums / counts; segment means sum 1e-6-quantized hourlies as DECIMAL
+# (order-free) / count; day mean and variance come from explicit
+# quantized-decimal moment sums (never builtin stddev, whose summation
+# order differs across engines); z is quantized to the 1e-9 grid before
+# the strict breakpoint compares. Scale: two hash aggs (fact -> hourly ->
+# segment) then day-level frames; no windows over the fact.
+_SAX_BREAK = 0.6745
+
+
+@register(
+    "ts_sax_motifs",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         date_part('hour', ts) AS hr,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS hv
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+seg AS (
+  SELECT event_type, day, CAST(hr // 6 AS INTEGER) AS s,
+         CAST(sum(CAST(floor(hv * 1000000 + 0.5) / 1000000
+                       AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS x
+  FROM hourly GROUP BY 1, 2, 3
+),
+fullday AS (
+  SELECT event_type, day FROM seg GROUP BY 1, 2 HAVING count(*) = 4
+),
+stats AS (
+  SELECT s.event_type, s.day,
+         CAST(sum(CAST(floor(s.x * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)))
+              AS DOUBLE) / 4 AS m,
+         CAST(sum(CAST(floor(s.x * s.x * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)))
+              AS DOUBLE) AS sxx
+  FROM seg s JOIN fullday f ON s.event_type = f.event_type AND s.day = f.day
+  GROUP BY 1, 2
+),
+z AS (
+  SELECT s.event_type, s.day, s.s,
+         CASE WHEN (t.sxx - 4 * t.m * t.m) <= 0 THEN 0.0
+              ELSE floor((s.x - t.m) / sqrt((t.sxx - 4 * t.m * t.m) / 3)
+                         * 1e9 + 0.5) / 1e9
+         END AS zq
+  FROM seg s JOIN stats t ON s.event_type = t.event_type AND s.day = t.day
+),
+sym AS (
+  SELECT event_type, day, s,
+         CASE WHEN zq < -{_SAX_BREAK} THEN 'a'
+              WHEN zq < 0 THEN 'b'
+              WHEN zq < {_SAX_BREAK} THEN 'c'
+              ELSE 'd' END AS c
+  FROM z
+),
+words AS (
+  SELECT event_type, day, string_agg(c, '' ORDER BY s) AS sax_word
+  FROM sym GROUP BY 1, 2
+)
+SELECT event_type, sax_word, count(*) AS n_days
+FROM words GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_ts_sax_motifs(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("hv")
+    )
+    q6 = (F.floor(F.col("hv") * 1_000_000 + 0.5) / 1_000_000).cast(
+        "decimal(28,6)"
+    )
+    seg = hourly.groupBy(
+        "event_type", "day", (F.col("hr") / 6).cast("int").alias("s")
+    ).agg((F.sum(q6).cast("double") / F.count(F.lit(1))).alias("x"))
+    fullday = (
+        seg.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") == 4)
+        .drop("ns")
+    )
+    seg = seg.join(fullday, ["event_type", "day"])
+    q9 = lambda c: (F.floor(c * 1e9 + 0.5) / 1e9).cast("decimal(38,9)")  # noqa: E731
+    stats = seg.groupBy("event_type", "day").agg(
+        (F.sum(q9(F.col("x"))).cast("double") / 4).alias("m"),
+        F.sum(q9(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - 4 * F.col("m") * F.col("m")) / 3
+    zq = F.when(
+        (F.col("sxx") - 4 * F.col("m") * F.col("m")) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.floor((F.col("x") - F.col("m")) / F.sqrt(var) * 1e9 + 0.5) / 1e9
+    )
+    sym = (
+        seg.join(stats, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "s",
+            F.when(zq < -_SAX_BREAK, F.lit("a"))
+            .when(zq < 0, F.lit("b"))
+            .when(zq < _SAX_BREAK, F.lit("c"))
+            .otherwise(F.lit("d"))
+            .alias("c"),
+        )
+    )
+    words = sym.groupBy("event_type", "day").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("s", "c"))), lambda t: t.getField("c"))
+        ).alias("sax_word")
+    )
+    return (
+        words.groupBy("event_type", "sax_word")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .orderBy("event_type", "sax_word")
+    )

@@ -235,3 +235,46 @@ def test_bpe_merge_step_hand_model(spark, tmp_path):
     assert row["merges_applied"] == 3
     assert row["symbols_before"] == 2 * 2 + 2 + 3
     assert row["symbols_after"] == row["symbols_before"] - row["merges_applied"]
+
+
+def test_sax_motifs_hand_model(spark, tmp_path):
+    """SAX semantics pinned by hand: one day whose hourly values equal the
+    hour index -> PAA segment means (2.5, 8.5, 14.5, 20.5), day mean 11.5,
+    sample std sqrt(60) -> z = (-1.162, -0.387, 0.387, 1.162) -> 'abcd'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": h,
+            "ts": base + dt.timedelta(hours=h),
+            "user_id": 1,
+            "event_type": "ramp",
+            "value": float(h),
+            "props": "{}",
+        }
+        for h in range(24)
+    ]
+    # a flat day -> zero variance -> all z forced to 0.0 -> 'bbbb'... wait:
+    # zq = 0.0 maps to 'c' (0 < 0 false, 0 < 0.6745 true). Pin that too.
+    rows += [
+        {
+            "event_id": 100 + h,
+            "ts": base + dt.timedelta(days=1, hours=h),
+            "user_id": 1,
+            "event_type": "ramp",
+            "value": 5.0,
+            "props": "{}",
+        }
+        for h in range(24)
+    ]
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["sax_word"]): r["n_days"]
+        for r in queries()["ts_sax_motifs"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("ramp", "abcd"): 1, ("ramp", "cccc"): 1}, got
