@@ -175,6 +175,8 @@ HEADLINE = [
     "sample_token_budget_plan",
     "text_bpe_merge_step",
     "ts_sax_motifs",
+    "text_winnow_fingerprints",
+    "dedup_winnow_shared_spans",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -475,6 +477,8 @@ BUDGETS: dict[str, float] = {
     "text_oov_rate": 1.07,
     "text_bpe_merge_step": 1.10,
     "ts_sax_motifs": 1.85,
+    "text_winnow_fingerprints": 1.20,
+    "dedup_winnow_shared_spans": 1.50,
     "ts_croston": 1.89,
 }
 

@@ -8,7 +8,7 @@ source, n_chars)` table but column names are parameters.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
     portable_round,
@@ -187,6 +187,56 @@ def bpe_token_estimate(
     )
 
 
+def winnow_posts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """DISTINCT (id, fingerprint) postings of the winnowing scheme via
+    row-explode + frame-min -- the LINEAR formulation (one md5 per gram,
+    one windowed min per position). The earlier array-comprehension form
+    (slice+array_min inside transform) re-evaluated the whole gram-hash
+    array per window because higher-order lambdas are interpreted with no
+    common-subexpression elimination: O(grams x window) md5+regexp per
+    doc, measured ~1 s per 300-char doc -- the same lesson the DuckDB
+    oracle recorded ("~8 min vs seconds", querydefs/textops.py). Window
+    partitions by document, so parallelism is doc-count."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    grams = (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .filter(F.length("_t") >= k)
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (k - 1))
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            "_i",
+            F.md5(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(
+            id_col,
+            F.min("_h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("_w"),
+        )
+        .filter(F.col("_w") == window)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -209,29 +259,23 @@ def winnow_fingerprints(
 
     Output is flat: the fingerprint count and an md5 digest over the
     sorted fingerprint set (set identity as one scalar)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    posts = winnow_posts(df, text_col, id_col, k, window)
+    agg = posts.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("fp")).alias("_fps")
     )
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    fps = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
-            )
+    # left join back: docs too short for any window keep an empty set
+    base = df.select(id_col)
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.size("_fps"), F.lit(0)).cast("int").alias(
+                "n_fingerprints"
+            ),
+            F.md5(
+                F.concat_ws(",", F.coalesce("_fps", F.array().cast("array<string>")))
+            ).alias("fp_digest"),
         )
-    )
-    # sequence(1, 0) yields [1, 0]... guard: when no grams/windows -> empty
-    fps = F.when(n_windows >= F.lit(1), fps).otherwise(
-        F.array().cast("array<string>")
-    )
-    return df.select(
-        id_col,
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", fps)).alias("fp_digest"),
     )
 
 

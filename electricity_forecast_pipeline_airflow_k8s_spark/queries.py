@@ -40,6 +40,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     # new round-6 queries (never driver-proven)
     "text_bpe_merge_step",
     "ts_sax_motifs",
+    "dedup_winnow_shared_spans",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

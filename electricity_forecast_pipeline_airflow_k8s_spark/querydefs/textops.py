@@ -3512,3 +3512,86 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str):
         F.sum(F.col("c") * F.col("len_after")).cast("bigint").alias("symbols_after"),
     ).withColumnRenamed("pair", "best_pair")
     return out
+
+
+# -- cross-doc character-overlap candidates via winnowing postings ------------
+# The missing granularity between exact paragraph dedup (normalized lines)
+# and token-shingle Jaccard: CHARACTER-level partial overlap. Winnowing
+# guarantees any shared substring of length >= k + window - 1 (= 11 here)
+# yields a shared fingerprint, and each fingerprint is the md5 of an
+# actual k-gram, so a posting match certifies a real shared k-gram --
+# candidate pairs carry verified evidence, not just hash coincidence.
+# Scale: the postings join is inverted-index shaped (bounded by posting
+# lists, never all-pairs); fingerprints appearing in > _SPAN_DF_CAP docs
+# are dropped FIRST (boilerplate k-grams -- the hot-key cap, same move as
+# the sparse-cosine join), which bounds every posting list AND keeps the
+# evidence DISTINCTIVE: this synthetic corpus shares so much vocabulary
+# that the median fingerprint appears in 3 docs, so only rare
+# fingerprints certify a meaningful overlap. The doc_id < 200 slice
+# matches text_winnow_fingerprints' oracle-cost cap.
+_SPAN_DF_CAP = 10
+
+
+@register(
+    "dedup_winnow_shared_spans",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i, md5(substr(t, CAST(i AS INTEGER), 8)) AS h
+  FROM d, unnest(range(1, greatest(length(t) - 6, 1))) AS r(i)
+  WHERE length(t) >= 8
+),
+mins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+  FROM grams
+),
+posts AS (
+  SELECT DISTINCT doc_id, fp FROM mins WHERE w = 4
+),
+capped AS (
+  SELECT fp FROM posts GROUP BY fp HAVING count(*) <= 10
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM posts a
+  JOIN capped c ON a.fp = c.fp
+  JOIN posts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5
+ORDER BY 1, 2
+""",
+)
+def q_dedup_winnow_shared_spans(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        winnow_posts,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
+    posts = winnow_posts(docs, k=8, window=4)
+    capped = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SPAN_DF_CAP)
+        .select("fp")
+    )
+    posts = posts.join(capped, "fp")
+    a = posts.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("doc_a", "doc_b")
+    )

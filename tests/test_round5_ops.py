@@ -278,3 +278,39 @@ def test_sax_motifs_hand_model(spark, tmp_path):
         for r in queries()["ts_sax_motifs"](spark, str(tmp_path)).collect()
     }
     assert got == {("ramp", "abcd"): 1, ("ramp", "cccc"): 1}, got
+
+
+def test_winnow_shared_spans_hand_model(spark, tmp_path):
+    """Two docs sharing an 11+-char substring MUST produce >= 1 shared
+    fingerprint (winnowing guarantee, k=8 w=4); unrelated docs share
+    none. The registered query's n_shared>=3 gate is exercised with a
+    long shared paragraph."""
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        winnow_posts,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro alpha"),
+            (2, f"different start {shared} and a different end"),
+            (3, "zz qq completely unrelated content xx yy ww vv uu tt ss"),
+        ],
+        "doc_id long, text string",
+    )
+    posts = winnow_posts(docs)
+    pairs = {
+        (r["a"], r["b"]): r["n"]
+        for r in posts.alias("x")
+        .join(posts.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert pairs.get((1, 2), 0) >= 3  # long shared span -> many shared fps
+    assert (1, 3) not in pairs
+    assert (2, 3) not in pairs
