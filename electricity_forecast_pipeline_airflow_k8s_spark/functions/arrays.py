@@ -29,3 +29,18 @@ def cosine(a, b) -> Column:
     """NULL (not a DIVIDE_BY_ZERO crash -- session runs ANSI mode) when
     either vector is all-zero; callers' threshold/rank filters drop it."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def let(col, body):
+    """Single-evaluation binding for higher-order-function bodies:
+    ``let(expensive_expr, lambda x: ...x...x...)`` evaluates the
+    expression ONCE and exposes it to the body as a bound lambda
+    variable. HOF lambdas are interpreted with no common-subexpression
+    elimination, so any non-trivial expression referenced inside a
+    lambda body is re-evaluated per array element -- e.g. the winnowing
+    fingerprint array-comprehension re-hashed every gram per window
+    (O(grams x window) md5, see operators/text.py winnow_posts).
+    Wrapping costs one single-element array + element_at."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(col), body), 1)

@@ -46,17 +46,23 @@ def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
 def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column. Documents with
     fewer than n tokens yield an EMPTY array (an unguarded sequence(1, 0)
-    would build a descending [1, 0] range and crash slice with index 0)."""
-    t = tokens(text_col)
-    return F.when(
-        F.size(t) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    would build a descending [1, 0] range and crash slice with index 0).
+    The token array is let-bound so the interpreted lambda body slices a
+    variable, not a re-evaluated split expression (functions/arrays.let)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    def body(t):
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text_col), body)
 
 
 def exact_dedup(

@@ -284,14 +284,18 @@ def word_ngrams(text_col: Column | str, n: int) -> Column:
     :func:`~electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup.shingles`)
     as an array column -- repetition analysis needs the counts, not the
     set. Documents with fewer than n tokens yield an empty array."""
-    t = tokens(text_col)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    def body(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text_col), body)
 
 
 def _top_ngram_char_frac(text_col: str, n: int) -> Column:
