@@ -177,6 +177,8 @@ HEADLINE = [
     "ts_sax_motifs",
     "text_winnow_fingerprints",
     "dedup_winnow_shared_spans",
+    "sess_window_funnel",
+    "val_mutual_information",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -479,6 +481,8 @@ BUDGETS: dict[str, float] = {
     "ts_sax_motifs": 1.85,
     "text_winnow_fingerprints": 1.20,
     "dedup_winnow_shared_spans": 1.50,
+    "sess_window_funnel": 1.70,
+    "val_mutual_information": 1.30,
     "ts_croston": 1.89,
 }
 

@@ -41,6 +41,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_bpe_merge_step",
     "ts_sax_motifs",
     "dedup_winnow_shared_spans",
+    "sess_window_funnel",
+    "val_mutual_information",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

@@ -1612,3 +1612,115 @@ def q_sess_entropy_rate(spark: SparkSession, sf_dir: str):
             F.floor(F.sum("term_fp").cast("double") / 1e9 * 10000 + 0.5) / 10000
         ).alias("entropy_rate_bits"),
     )
+
+
+# -- time-constrained funnel (windowFunnel semantics, round 6) ----------------
+# ClickHouse's windowFunnel: a user reaches level k if an ORDERED chain
+# view -> click -> purchase exists with every step inside ONE window W of
+# the chain's FIRST event. Distinct from sess_pattern_funnel (regex over
+# the whole unconstrained journey): the deadline anchors at the chain
+# head, which is what "converted within 2 hours of first touch" means.
+# With the deadline fixed at v.ts + W, the greedy EARLIEST next step is
+# optimal (it maximizes remaining room), so two forward-min lookups
+# decide the chain exactly:
+#   next_c(v)  = min click ts  > v.ts   (running forward min per user)
+#   next_p(c*) = min purchase ts > c*.ts (join back at the chosen click)
+# Scale: two user-partitioned window passes + one join of view-rows to
+# click-rows on (user, chosen ts) -- event-sized frames, parallel in
+# users; no per-user arrays collected.
+_FUNNEL_W_US = 2 * 3600 * 1_000_000  # 2 h window
+
+
+@register(
+    "sess_window_funnel",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS t
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')
+),
+v AS (
+  SELECT user_id, t AS vt,
+         (SELECT min(c.t) FROM ev c
+          WHERE c.user_id = ev.user_id AND c.event_type = 'click'
+            AND c.t > ev.t) AS ct
+  FROM ev WHERE event_type = 'view'
+),
+chain AS (
+  SELECT v.user_id, v.vt, v.ct,
+         (SELECT min(p.t) FROM ev p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.t > v.ct) AS pt
+  FROM v
+),
+level_per_user AS (
+  SELECT user_id,
+         max(CASE
+               WHEN ct IS NOT NULL AND ct <= vt + {_FUNNEL_W_US}
+                AND pt IS NOT NULL AND pt <= vt + {_FUNNEL_W_US} THEN 3
+               WHEN ct IS NOT NULL AND ct <= vt + {_FUNNEL_W_US} THEN 2
+               ELSE 1
+             END) AS lvl
+  FROM chain GROUP BY 1
+)
+SELECT lvl AS funnel_level, count(*) AS n_users
+FROM level_per_user GROUP BY 1 ORDER BY 1
+""",
+)
+def q_sess_window_funnel(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # forward minima per event row (running, event-ordered)
+    enriched = ev.withColumn(
+        "next_c", F.min(F.when(F.col("event_type") == "click", F.col("t"))).over(fwd)
+    ).withColumn(
+        "next_p_after_here",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).over(fwd),
+    )
+    views = enriched.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("t").alias("vt"), F.col("next_c").alias("ct")
+    )
+    clicks = enriched.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("t").alias("c_t"),
+        F.col("next_p_after_here").alias("pt"),
+    )
+    chain = views.join(
+        clicks,
+        (F.col("user_id") == F.col("cu")) & (F.col("ct") == F.col("c_t")),
+        "left",
+    )
+    w = _FUNNEL_W_US
+    lvl = (
+        F.when(
+            F.col("ct").isNotNull()
+            & (F.col("ct") <= F.col("vt") + w)
+            & F.col("pt").isNotNull()
+            & (F.col("pt") <= F.col("vt") + w),
+            3,
+        )
+        .when(F.col("ct").isNotNull() & (F.col("ct") <= F.col("vt") + w), 2)
+        .otherwise(1)
+    )
+    return (
+        chain.select("user_id", lvl.alias("lvl"))
+        .groupBy("user_id")
+        .agg(F.max("lvl").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
+    )

@@ -1327,3 +1327,116 @@ def q_ts_cvar_ramp(spark: SparkSession, sf_dir: str):
             F.col("s_fp") / float(_FP) / F.col("n_tail"), 4
         ).alias("cvar95_ramp"),
     ).orderBy("event_type")
+
+
+# -- mutual information (feature relevance, round 6) --------------------------
+# I(X;Y) between event_type and hour-of-day -- THE feature-selection
+# screen for categorical features against a target, complementing
+# val_cramers_v's chi2 (effect size) with the information-theoretic view
+# (bits shared). Exact integer cell counts; each cell's
+# p(x,y) * log2(p(x,y)/(p(x)p(y))) term is quantized to the 1e-9 grid
+# before the order-free decimal summation (the repo's entropy
+# convention), and marginal entropies ride the same cells frame for the
+# normalized variant. Scale: one hash agg to the (x, y) grid (|X|x|Y|
+# cells), window sums over that tiny frame only.
+@register(
+    "val_mutual_information",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type AS x, CAST(date_part('hour', ts) AS INTEGER) AS y,
+         count(*) AS c
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT x, y, c,
+         sum(c) OVER (PARTITION BY x) AS cx,
+         sum(c) OVER (PARTITION BY y) AS cy,
+         sum(c) OVER () AS n
+  FROM cells
+),
+terms AS (
+  SELECT x, y, c, cx, cy, n,
+         floor((c * 1.0 / n) * log2((c * 1.0 * n) / (cx * 1.0 * cy))
+               * 1e9 + 0.5) / 1e9 AS mi_t,
+         floor(-(c * 1.0 / n) * log2(c * 1.0 / n) * 1e9 + 0.5) / 1e9 AS hxy_t
+  FROM m
+),
+hx AS (
+  SELECT sum(floor(-(cx * 1.0 / n) * log2(cx * 1.0 / n) * 1e9 + 0.5) / 1e9)
+           AS h
+  FROM (SELECT DISTINCT x, cx, n FROM m)
+),
+hy AS (
+  SELECT sum(floor(-(cy * 1.0 / n) * log2(cy * 1.0 / n) * 1e9 + 0.5) / 1e9)
+           AS h
+  FROM (SELECT DISTINCT y, cy, n FROM m)
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       floor(sum(CAST(mi_t AS DECIMAL(28,9))) * 10000 + 0.5) / 10000
+         AS mi_bits,
+       floor(sum(CAST(hxy_t AS DECIMAL(28,9))) * 10000 + 0.5) / 10000
+         AS joint_entropy_bits,
+       floor((SELECT h FROM hx) * 10000 + 0.5) / 10000 AS hx_bits,
+       floor((SELECT h FROM hy) * 10000 + 0.5) / 10000 AS hy_bits,
+       floor(sum(CAST(mi_t AS DECIMAL(28,9)))
+             / least((SELECT h FROM hx), (SELECT h FROM hy))
+             * 10000 + 0.5) / 10000 AS normalized_mi
+FROM terms
+""",
+)
+def q_val_mutual_information(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = (
+        cells.withColumn("cx", F.sum("c").over(Window.partitionBy("x")))
+        .withColumn("cy", F.sum("c").over(Window.partitionBy("y")))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+    )
+    q9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
+    log2 = F.log2  # noqa: E731
+    mi_t = q9(
+        (F.col("c") / F.col("n"))
+        * log2((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+    )
+    hxy_t = q9(-(F.col("c") / F.col("n")) * log2(F.col("c") / F.col("n")))
+    terms = m.select("x", "y", "c", "cx", "cy", "n", mi_t.alias("mi_t"), hxy_t.alias("hxy_t"))
+    hx = (
+        terms.select("x", "cx", "n")
+        .distinct()
+        .agg(F.sum(q9(-(F.col("cx") / F.col("n")) * log2(F.col("cx") / F.col("n")))).alias("h"))
+    )
+    hy = (
+        terms.select("y", "cy", "n")
+        .distinct()
+        .agg(F.sum(q9(-(F.col("cy") / F.col("n")) * log2(F.col("cy") / F.col("n")))).alias("h"))
+    )
+    r4 = lambda col: F.floor(col * 10000 + 0.5) / 10000  # noqa: E731
+    agg = terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col("mi_t").cast("decimal(28,9)")).alias("_mi"),
+        F.sum(F.col("hxy_t").cast("decimal(28,9)")).alias("_hxy"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx.select(F.col("h").alias("_hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("_hy"))))
+        .select(
+            "n",
+            "n_cells",
+            r4(F.col("_mi")).alias("mi_bits"),
+            r4(F.col("_hxy")).alias("joint_entropy_bits"),
+            r4(F.col("_hx")).alias("hx_bits"),
+            r4(F.col("_hy")).alias("hy_bits"),
+            r4(F.col("_mi") / F.least(F.col("_hx"), F.col("_hy"))).alias(
+                "normalized_mi"
+            ),
+        )
+    )
