@@ -179,6 +179,7 @@ HEADLINE = [
     "dedup_winnow_shared_spans",
     "sess_window_funnel",
     "val_mutual_information",
+    "graph_sssp_weighted",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -483,6 +484,7 @@ BUDGETS: dict[str, float] = {
     "dedup_winnow_shared_spans": 1.50,
     "sess_window_funnel": 1.70,
     "val_mutual_information": 1.30,
+    "graph_sssp_weighted": 3.20,
     "ts_croston": 1.89,
 }
 

@@ -43,6 +43,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "dedup_winnow_shared_spans",
     "sess_window_funnel",
     "val_mutual_information",
+    "graph_sssp_weighted",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

@@ -743,3 +743,111 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str):
         .select(F.col("v").alias("user_id"), "core_degree")
         .orderBy("user_id")
     )
+
+
+# -- bounded weighted shortest paths (Bellman-Ford, round 6) ------------------
+# graph_bfs_reachability answers hop distance; this weights the same
+# error-co-occurrence graph by tie strength (many shared incident hours
+# = a cheap edge: w = max(1, 100 // shared_hours)) and runs FOUR
+# Bellman-Ford relaxation rounds from the smallest node id. All weights
+# and distances are exact integers, and the oracle is the SAME algebra
+# as four chained min-aggregate CTEs -- no recursive CTE path explosion,
+# no float drift, bit-identical by construction. Scale: every round is
+# one edge-sized join + one node-sized min-aggregate; rounds are the
+# only sequential dimension (k-bounded SSSP is what a 100 TB job runs
+# anyway -- full convergence is k = graph diameter).
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    head = """
+WITH b AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+e0 AS (
+  SELECT a.user_id AS ua, c.user_id AS ub, count(*) AS sh
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT ua AS u, ub AS v, greatest(1, 100 // sh) AS w FROM e0
+  UNION ALL
+  SELECT ub AS u, ua AS v, greatest(1, 100 // sh) AS w FROM e0
+),
+src AS (SELECT min(ua) AS s FROM e0),
+d0 AS (SELECT s AS v, CAST(0 AS BIGINT) AS dist FROM src)
+"""
+    steps = []
+    for k in range(_SSSP_ROUNDS):
+        steps.append(f""",
+d{k + 1} AS (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d{k}
+    UNION ALL
+    SELECT e.v, d{k}.dist + e.w AS dist
+    FROM d{k} JOIN e ON e.u = d{k}.v
+  ) GROUP BY 1
+)""")
+    tail = f"""
+SELECT dist, count(*) AS n_nodes,
+       CAST(min(v) AS BIGINT) AS min_node
+FROM d{_SSSP_ROUNDS} GROUP BY 1 ORDER BY 1
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_sssp_weighted", oracle=_sssp_oracle())
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a = ev.select(F.col("h"), F.col("user_id").alias("ua"))
+    c = ev.select(F.col("h"), F.col("user_id").alias("ub"))
+    e0 = (
+        a.join(c, "h")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    w = F.greatest(F.lit(1), (F.lit(100) / F.col("sh")).cast("long"))
+    edges = (
+        e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), w.alias("w"))
+        .unionAll(
+            e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), w.alias("w"))
+        )
+        .persist()
+    )
+    src = e0.agg(F.min("ua").alias("v")).select(
+        "v", F.lit(0).cast("bigint").alias("dist")
+    )
+    d = src
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            d.join(edges, d["v"] == edges["u"])
+            .select(edges["v"].alias("v"), (d["dist"] + edges["w"]).alias("dist"))
+        )
+        d = (
+            d.select("v", "dist")
+            .unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("v").cast("bigint").alias("min_node"),
+        )
+        .orderBy("dist")
+    )
+    return out
