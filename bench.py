@@ -180,6 +180,8 @@ HEADLINE = [
     "sess_window_funnel",
     "val_mutual_information",
     "graph_sssp_weighted",
+    "ts_psi_weekly_trend",
+    "emb_cosine_pair_histogram",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -485,6 +487,8 @@ BUDGETS: dict[str, float] = {
     "sess_window_funnel": 1.70,
     "val_mutual_information": 1.30,
     "graph_sssp_weighted": 3.20,
+    "ts_psi_weekly_trend": 1.70,
+    "emb_cosine_pair_histogram": 1.00,
     "ts_croston": 1.89,
 }
 

@@ -44,6 +44,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sess_window_funnel",
     "val_mutual_information",
     "graph_sssp_weighted",
+    "ts_psi_weekly_trend",
+    "emb_cosine_pair_histogram",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

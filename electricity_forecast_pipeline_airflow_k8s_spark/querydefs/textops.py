@@ -3595,3 +3595,77 @@ def q_dedup_winnow_shared_spans(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_shared") >= 5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- embedding-space health: deterministic-pair cosine histogram (round 6) ----
+# A collapsed embedding space (anisotropy / dead model) shows up as
+# random-pair cosines concentrating near 1; a healthy space spreads them.
+# Pairing is DETERMINISTIC and linear: vec i pairs with vec i+997 when it
+# exists (one equi-join on a derived key -- no RNG, no quadratic blowup;
+# 97 is coprime to the id strides so pairs stay "random-like").
+# Cosine from sequential index-order folds on both engines (the
+# emb_norm_stats convention: Spark F.aggregate == DuckDB list_sum over
+# list_transform, identical IEEE order), then a 0.1-wide histogram over
+# [-1, 1] plus mean |cos|. Scale: one narrow self-join + one tiny agg.
+_COS_PAIR_STRIDE = 97
+
+
+@register(
+    "emb_cosine_pair_histogram",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id = a.vec_id + {_COS_PAIR_STRIDE}
+),
+cos AS (
+  SELECT floor(dot / (na * nb) * 1000000 + 0.5) / 1000000 AS c
+  FROM pairs WHERE na > 0 AND nb > 0
+)
+SELECT greatest(least(CAST(floor(c * 10) AS INTEGER), 9), -10) AS bucket,
+       count(*) AS n_pairs,
+       floor(avg(abs(c)) * 10000 + 0.5) / 10000 AS mean_abs_cos
+FROM cos GROUP BY 1 ORDER BY 1
+""",
+)
+def q_emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - _COS_PAIR_STRIDE).alias("vec_id"),
+        F.col("embedding").alias("eb"),
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, "vec_id").select(
+        dot.alias("dot"),
+        F.sqrt(sq(F.col("ea"))).alias("na"),
+        F.sqrt(sq(F.col("eb"))).alias("nb"),
+    )
+    c = F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1_000_000 + 0.5) / 1_000_000
+    cos = pairs.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(c.alias("c"))
+    bucket = F.greatest(
+        F.least(F.floor(F.col("c") * 10).cast("int"), F.lit(9)), F.lit(-10)
+    )
+    return (
+        cos.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.floor(F.avg(F.abs("c")) * 10000 + 0.5) / 10000).alias(
+                "mean_abs_cos"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1828,3 +1828,101 @@ def q_ts_sax_motifs(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_days"))
         .orderBy("event_type", "sax_word")
     )
+
+
+# -- PSI drift TREND (round 6): weekly PSI vs the first week -----------------
+# ts_psi_drift answers "did the distribution move between two windows";
+# production monitoring wants the TRAJECTORY: PSI of every week against
+# the baseline (first) week, per group -- the chart a retrain trigger
+# thresholds on. Same conventions as ts_psi_drift (fixed equal-width
+# value/20 bins capped at 9, 1e-6 smoothing, 4dp portable round); the
+# (group, week, bucket) universe is completed by a small grid cross so
+# absent buckets contribute their smoothed share on either side.
+# Scale: one fact pass to (group, week, bucket) counts; everything
+# after runs on that tiny grid.
+@register(
+    "ts_psi_weekly_trend",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type, date_trunc('week', ts) AS mon,
+         least(floor(value / 20.0), 9) AS bucket, count(*) AS n
+  FROM {EVENTS_SRC} WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+months AS (SELECT DISTINCT event_type, mon FROM counts),
+buckets AS (SELECT DISTINCT event_type, bucket FROM counts),
+grid AS (
+  SELECT m.event_type, m.mon, b.bucket
+  FROM months m JOIN buckets b ON m.event_type = b.event_type
+),
+frac AS (
+  SELECT g.event_type, g.mon, g.bucket,
+         coalesce(c.n, 0) * 1.0
+           / sum(coalesce(c.n, 0)) OVER (PARTITION BY g.event_type, g.mon)
+           AS p
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.mon = g.mon AND c.bucket = g.bucket
+),
+base AS (
+  SELECT event_type, min(mon) AS mon0 FROM months GROUP BY 1
+),
+joined AS (
+  SELECT f.event_type, f.mon, f.bucket, f.p AS p_cur, b.p AS p_ref
+  FROM frac f
+  JOIN base ON base.event_type = f.event_type
+  JOIN frac b ON b.event_type = f.event_type AND b.mon = base.mon0
+             AND b.bucket = f.bucket
+)
+SELECT event_type, mon AS week,
+       floor(sum((p_ref - p_cur) * ln((p_ref + 1e-6) / (p_cur + 1e-6)))
+             * 10000 + 0.5) / 10000 AS psi
+FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_ts_psi_weekly_trend(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").alias("mon"),
+        F.least(F.floor(F.col("value") / 20.0), F.lit(9)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    months = counts.select("event_type", "mon").distinct()
+    buckets = counts.select("event_type", "bucket").distinct()
+    grid = months.join(buckets, "event_type")
+    frac = (
+        grid.join(counts, ["event_type", "mon", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn(
+            "p",
+            F.col("n")
+            * 1.0
+            / F.sum("n").over(Window.partitionBy("event_type", "mon")),
+        )
+    )
+    base_mon = months.groupBy("event_type").agg(F.min("mon").alias("mon0"))
+    base = (
+        frac.join(
+            base_mon,
+            (frac["event_type"] == base_mon["event_type"])
+            & (frac["mon"] == base_mon["mon0"]),
+        )
+        .select(
+            frac["event_type"].alias("be"),
+            frac["bucket"].alias("bb"),
+            frac["p"].alias("p_ref"),
+        )
+    )
+    joined = frac.join(
+        F.broadcast(base),
+        (frac["event_type"] == F.col("be")) & (frac["bucket"] == F.col("bb")),
+    )
+    term = (F.col("p_ref") - F.col("p")) * F.log(
+        (F.col("p_ref") + 1e-6) / (F.col("p") + 1e-6)
+    )
+    return (
+        joined.groupBy("event_type", F.col("mon").alias("week"))
+        .agg((F.floor(F.sum(term) * 10000 + 0.5) / 10000).alias("psi"))
+        .orderBy("event_type", "week")
+    )
