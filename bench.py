@@ -182,6 +182,7 @@ HEADLINE = [
     "graph_sssp_weighted",
     "ts_psi_weekly_trend",
     "emb_cosine_pair_histogram",
+    "val_simpson_slope_reversal",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -489,6 +490,7 @@ BUDGETS: dict[str, float] = {
     "graph_sssp_weighted": 3.20,
     "ts_psi_weekly_trend": 1.70,
     "emb_cosine_pair_histogram": 1.00,
+    "val_simpson_slope_reversal": 1.00,
     "ts_croston": 1.89,
 }
 

@@ -46,6 +46,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_sssp_weighted",
     "ts_psi_weekly_trend",
     "emb_cosine_pair_histogram",
+    "val_simpson_slope_reversal",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

@@ -1440,3 +1440,70 @@ def q_val_mutual_information(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+# -- Simpson's-paradox screen (round 6) ---------------------------------------
+# The aggregation trap every analytics pipeline should test for: the
+# value~hour-of-day slope computed over ALL events can contradict the
+# slope within every stratum when group mix shifts across the x range.
+# One pass computes the pooled slope and each stratum's slope from the
+# SQL-standard REGR_* moments (the ml_linreg_trend convention: exact
+# 6-moment state, rounding at the edge) and flags sign reversals --
+# slope quantized to the 1e-6 grid BEFORE the sign compare so a
+# +1e-12/-1e-12 noise slope never flips the flag across engines.
+@register(
+    "val_simpson_slope_reversal",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS DOUBLE) AS x, value AS y
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+pooled AS (
+  SELECT floor(regr_slope(y, x) * 1e6 + 0.5) / 1e6 AS s FROM ev
+),
+per_group AS (
+  SELECT event_type,
+         CAST(regr_count(y, x) AS BIGINT) AS n,
+         floor(regr_slope(y, x) * 1e6 + 0.5) / 1e6 AS gs
+  FROM ev GROUP BY 1
+)
+SELECT g.event_type,
+       g.n,
+       g.gs AS group_slope,
+       p.s AS pooled_slope,
+       (sign(g.gs) <> sign(p.s) AND g.gs <> 0 AND p.s <> 0) AS reversed
+FROM per_group g CROSS JOIN pooled p
+ORDER BY g.event_type
+""",
+)
+def q_val_simpson_slope_reversal(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("double").alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    pooled = ev.agg(q6(F.regr_slope("y", "x")).alias("s"))
+    per_group = ev.groupBy("event_type").agg(
+        F.regr_count("y", "x").cast("bigint").alias("n"),
+        q6(F.regr_slope("y", "x")).alias("gs"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            "n",
+            F.col("gs").alias("group_slope"),
+            F.col("s").alias("pooled_slope"),
+            (
+                (F.signum("gs") != F.signum("s"))
+                & (F.col("gs") != 0)
+                & (F.col("s") != 0)
+            ).alias("reversed"),
+        )
+        .orderBy("event_type")
+    )
