@@ -183,6 +183,7 @@ HEADLINE = [
     "ts_psi_weekly_trend",
     "emb_cosine_pair_histogram",
     "val_simpson_slope_reversal",
+    "mm_phash_dup_groups",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -491,6 +492,7 @@ BUDGETS: dict[str, float] = {
     "ts_psi_weekly_trend": 1.70,
     "emb_cosine_pair_histogram": 1.00,
     "val_simpson_slope_reversal": 1.00,
+    "mm_phash_dup_groups": 1.60,
     "ts_croston": 1.89,
 }
 

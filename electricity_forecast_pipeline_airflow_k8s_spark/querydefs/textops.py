@@ -3669,3 +3669,67 @@ def q_emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bucket")
     )
+
+
+# -- perceptual-hash duplicate groups over decoded media (round 6) ------------
+# The image analogue of exact text dedup: a dHash-style code from the
+# decoded feature vector (bit_j = feat_j > feat_{j+1}, 7 bits) groups
+# media whose DECODED CONTENT renders the same gradient signature --
+# byte-identical files are caught by sha256, near-identical renders by
+# the perceptual code. The decode is this container's deterministic
+# sha256 stand-in (operators/multimodal.py), so the oracle recomputes
+# the entire decode+hash+group pipeline from first principles; with a
+# real codec injected, the identical plan dedups real images. Scale:
+# decode is the one mapInPandas pass; grouping is a hash agg on a
+# 7-bit key (bounded groups).
+def _mm_phash_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_hexbyte(4 + j)} > {_hexbyte(5 + j)} THEN {1 << j} ELSE 0 END)"
+        for j in range(7)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS h
+  FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+),
+coded AS (SELECT media_id, CAST({bits} AS INTEGER) AS phash FROM m)
+SELECT phash,
+       count(*) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS keep_id
+FROM coded GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+@register("mm_phash_dup_groups", oracle=_mm_phash_oracle())
+def q_mm_phash_dup_groups(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") < 500) & F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    decoded = decode_and_featurize(media)
+    bit = lambda j: F.when(  # noqa: E731
+        F.element_at("features", j + 1) > F.element_at("features", j + 2),
+        F.lit(1 << j),
+    ).otherwise(F.lit(0))
+    code = bit(0)
+    for j in range(1, 7):
+        code = code + bit(j)
+    return (
+        decoded.select("media_id", code.cast("int").alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_media") > 1)
+        .orderBy("phash")
+    )
