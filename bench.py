@@ -184,6 +184,7 @@ HEADLINE = [
     "emb_cosine_pair_histogram",
     "val_simpson_slope_reversal",
     "mm_phash_dup_groups",
+    "ts_daily_profile_motifs",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -493,6 +494,7 @@ BUDGETS: dict[str, float] = {
     "emb_cosine_pair_histogram": 1.00,
     "val_simpson_slope_reversal": 1.00,
     "mm_phash_dup_groups": 1.60,
+    "ts_daily_profile_motifs": 2.10,
     "ts_croston": 1.89,
 }
 

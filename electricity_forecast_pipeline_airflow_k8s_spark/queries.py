@@ -48,6 +48,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "emb_cosine_pair_histogram",
     "val_simpson_slope_reversal",
     "mm_phash_dup_groups",
+    "ts_daily_profile_motifs",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

@@ -1926,3 +1926,127 @@ def q_ts_psi_weekly_trend(spark: SparkSession, sf_dir: str):
         .agg((F.floor(F.sum(term) * 10000 + 0.5) / 10000).alias("psi"))
         .orderBy("event_type", "week")
     )
+
+
+# -- daily-profile motifs & discords (round 6) --------------------------------
+# Matrix-profile-lite at the DAY grain: z-normalize each day's 24-hour
+# profile (same quantized-decimal moments as ts_sax_motifs), compute
+# all-pairs Euclidean distance between days OF THE SAME GROUP, and report
+# each day's nearest neighbor distance -- small values = motifs
+# (recurring shapes), large values = discords (anomalous days). The
+# day-pair space is (days x days) per group -- calendar-sized, never
+# fact-sized -- so the quadratic join is a deliberate, bounded choice
+# (a 10-year feed is 3650 days -> 6.7M pairs per group, trivial).
+# Per-dimension squared differences are quantized to the 1e-9 grid and
+# decimal-summed (order-free), so both engines land on identical
+# distances; ties in the argmin break on the neighbor day.
+@register(
+    "ts_daily_profile_motifs",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('day', ts) AS day, date_part('hour', ts) AS hr,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS hv
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+fullday AS (
+  SELECT event_type, day FROM hourly GROUP BY 1, 2 HAVING count(*) = 24
+),
+stats AS (
+  SELECT h.event_type, h.day,
+         CAST(sum(CAST(floor(h.hv * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)))
+              AS DOUBLE) / 24 AS m,
+         CAST(sum(CAST(floor(h.hv * h.hv * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx
+  FROM hourly h JOIN fullday f ON h.event_type = f.event_type AND h.day = f.day
+  GROUP BY 1, 2
+),
+z AS (
+  SELECT h.event_type, h.day, h.hr,
+         CASE WHEN (s.sxx - 24 * s.m * s.m) <= 0 THEN 0.0
+              ELSE floor((h.hv - s.m) / sqrt((s.sxx - 24 * s.m * s.m) / 23)
+                         * 1e6 + 0.5) / 1e6
+         END AS zv
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type AND h.day = s.day
+),
+dist AS (
+  SELECT a.event_type, a.day AS da, b.day AS db,
+         sum(CAST(floor((a.zv - b.zv) * (a.zv - b.zv) * 1e9 + 0.5) / 1e9
+                  AS DECIMAL(38,9))) AS d2
+  FROM z a JOIN z b
+    ON a.event_type = b.event_type AND a.hr = b.hr AND a.day <> b.day
+  GROUP BY 1, 2, 3
+),
+nn AS (
+  SELECT event_type, da, db, d2,
+         row_number() OVER (PARTITION BY event_type, da
+                            ORDER BY d2, db) AS rk
+  FROM dist
+)
+SELECT event_type, da AS day, db AS nn_day,
+       floor(sqrt(CAST(d2 AS DOUBLE)) * 10000 + 0.5) / 10000 AS nn_dist
+FROM nn WHERE rk = 1 ORDER BY 1, 2
+""",
+)
+def q_ts_daily_profile_motifs(spark: SparkSession, sf_dir: str):
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("hv")
+    )
+    fullday = (
+        hourly.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == 24)
+        .drop("nh")
+    )
+    hourly = hourly.join(fullday, ["event_type", "day"])
+    q6 = lambda c: (F.floor(c * 1e6 + 0.5) / 1e6).cast("decimal(38,6)")  # noqa: E731
+    stats = hourly.groupBy("event_type", "day").agg(
+        (F.sum(q6(F.col("hv"))).cast("double") / 24).alias("m"),
+        F.sum(q6(F.col("hv") * F.col("hv"))).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - 24 * F.col("m") * F.col("m")) / 23
+    zv = F.when(
+        (F.col("sxx") - 24 * F.col("m") * F.col("m")) <= 0, F.lit(0.0)
+    ).otherwise(F.floor((F.col("hv") - F.col("m")) / F.sqrt(var) * 1e6 + 0.5) / 1e6)
+    z = hourly.join(stats, ["event_type", "day"]).select(
+        "event_type", "day", "hr", zv.alias("zv")
+    )
+    a = z.select("event_type", F.col("day").alias("da"), "hr", F.col("zv").alias("za"))
+    b = z.select("event_type", F.col("day").alias("db"), "hr", F.col("zv").alias("zb"))
+    diff2 = (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    dist = (
+        a.join(b, ["event_type", "hr"])
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("event_type", "da", "db")
+        .agg(
+            F.sum((F.floor(diff2 * 1e9 + 0.5) / 1e9).cast("decimal(38,9)")).alias(
+                "d2"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "da").orderBy("d2", "db")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("da").alias("day"),
+            F.col("db").alias("nn_day"),
+            (
+                F.floor(F.sqrt(F.col("d2").cast("double")) * 10000 + 0.5) / 10000
+            ).alias("nn_dist"),
+        )
+        .orderBy("event_type", "day")
+    )
