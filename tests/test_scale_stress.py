@@ -162,3 +162,32 @@ def test_grid_quantiles_10x_replication_invariant(spark, events_10x):
         ).collect()
     }
     assert one == ten
+
+
+def test_winnow_posts_10x_scales_linearly(spark):
+    """winnow_posts on a 10x id-shifted documents union: distinct
+    (id, fp) postings must be exactly 10x the single-copy count (the
+    linear row-explode form -- the O(grams x window) comprehension this
+    replaced would take ~100x longer here)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
+        winnow_posts,
+    )
+
+    docs = (
+        load_table(spark, "documents", SF_DIR)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    one = winnow_posts(docs).count()
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    t0 = time.perf_counter()
+    ten = winnow_posts(big).count()
+    elapsed = time.perf_counter() - t0
+    assert ten == 10 * one
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
