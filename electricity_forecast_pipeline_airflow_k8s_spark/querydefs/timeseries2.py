@@ -1873,7 +1873,7 @@ joined AS (
   JOIN frac b ON b.event_type = f.event_type AND b.mon = base.mon0
              AND b.bucket = f.bucket
 )
-SELECT event_type, mon AS week,
+SELECT event_type, CAST(mon AS TIMESTAMP) AS week,
        floor(sum((p_ref - p_cur) * ln((p_ref + 1e-6) / (p_cur + 1e-6)))
              * 10000 + 0.5) / 10000 AS psi
 FROM joined GROUP BY 1, 2 ORDER BY 1, 2
@@ -1983,7 +1983,7 @@ nn AS (
                             ORDER BY d2, db) AS rk
   FROM dist
 )
-SELECT event_type, da AS day, db AS nn_day,
+SELECT event_type, CAST(da AS TIMESTAMP) AS day, CAST(db AS TIMESTAMP) AS nn_day,
        floor(sqrt(CAST(d2 AS DOUBLE)) * 10000 + 0.5) / 10000 AS nn_dist
 FROM nn WHERE rk = 1 ORDER BY 1, 2
 """,
