@@ -28,14 +28,14 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-6 window: the full never-driver-
-# proven backlog (123 queries after r1+r2+r3+r5 evidence; no r04
-# artifacts exist), led by the two queries whose scale fixes landed this
-# round (layout_zorder_locality, rel_equidepth_histogram) so the driver
-# proves the FIXED plans. New round-6 queries are prepended as they land
-# (never-proven first-proof ties are broken newest-first). The ~73
-# overflow rows lead round 7; once the backlog clears, rotation resumes
-# oldest-evidence-first (r1 cohort, then r2, then r3).
+# registration order per round). Round-6 window: the 11 new round-6
+# queries first (never driver-proven), then the 4 whose implementations
+# changed this round (stale evidence: layout_zorder_locality,
+# rel_equidepth_histogram, ml_hpo_best_trials, quality_profile_approx),
+# then the never-proven backlog (123 queries after r1+r2+r3+r5
+# evidence; no r04 artifacts exist). The ~88 overflow rows lead round 7
+# (regenerate with tools/rotate_window.py); once the backlog clears,
+# rotation resumes oldest-evidence-first (r1 cohort, then r2, r3, r5).
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     # new round-6 queries (never driver-proven)
     "text_bpe_merge_step",
