@@ -185,6 +185,7 @@ HEADLINE = [
     "val_simpson_slope_reversal",
     "mm_phash_dup_groups",
     "ts_daily_profile_motifs",
+    "sample_group_kfold",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -495,6 +496,7 @@ BUDGETS: dict[str, float] = {
     "val_simpson_slope_reversal": 1.00,
     "mm_phash_dup_groups": 1.60,
     "ts_daily_profile_motifs": 2.10,
+    "sample_group_kfold": 1.00,
     "ts_croston": 1.89,
 }
 

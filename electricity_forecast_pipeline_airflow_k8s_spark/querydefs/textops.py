@@ -3733,3 +3733,79 @@ def q_mm_phash_dup_groups(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_media") > 1)
         .orderBy("phash")
     )
+
+
+# -- group-aware k-fold assignment (round 6) ----------------------------------
+# Cross-validation folds that NEVER split an entity: every event of a
+# user lands in fold md5(seed, user) mod k, so no user leaks across
+# train/eval folds (sample_split_assign is the row-level split; this is
+# the entity-level one an ML pipeline needs whenever rows of one entity
+# are correlated). Output per fold: row share, user count, and a
+# leakage audit recomputed from the data (distinct (user, fold) pairs ==
+# distinct users -- the invariant a reviewer checks, emitted as a
+# verified column rather than assumed). Scale: fold is a pure map
+# expression (no shuffle); the audit is two hash aggs.
+_KFOLD_K = 5
+
+
+@register(
+    "sample_group_kfold",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5('kfold1' || chr(31) || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5('kfold1' || chr(31) || CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+              AS INTEGER) % {_KFOLD_K} AS fold
+  FROM events WHERE user_id IS NOT NULL
+),
+leak AS (
+  SELECT count(DISTINCT ROW(user_id, fold)) - count(DISTINCT user_id) AS leaked
+  FROM assigned
+)
+SELECT fold,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       floor(count(*) * 10000.0 / sum(count(*)) OVER () + 0.5) / 10000
+         AS row_share_bp,
+       (SELECT leaked FROM leak) AS n_leaked_users
+FROM assigned GROUP BY 1 ORDER BY 1
+""",
+)
+def q_sample_group_kfold(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
+        stable_hash,
+    )
+
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    byte0 = (
+        F.conv(F.substring(stable_hash(F.lit("kfold1"), "user_id"), 1, 2), 16, 10)
+        .cast("int")
+    )
+    assigned = ev.select(
+        "user_id", "event_id", (byte0 % _KFOLD_K).alias("fold")
+    )
+    leak = assigned.agg(
+        (
+            F.count_distinct(F.struct("user_id", "fold"))
+            - F.count_distinct("user_id")
+        ).alias("n_leaked_users")
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    total = Window.partitionBy()
+    return (
+        per_fold.withColumn(
+            "row_share_bp",
+            F.floor(F.col("n_rows") * 10000.0 / F.sum("n_rows").over(total) + 0.5)
+            / 10000,
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("fold", "n_rows", "n_users", "row_share_bp", "n_leaked_users")
+        .orderBy("fold")
+    )
