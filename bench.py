@@ -186,6 +186,7 @@ HEADLINE = [
     "mm_phash_dup_groups",
     "ts_daily_profile_motifs",
     "sample_group_kfold",
+    "sess_interarrival_burstiness",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -497,6 +498,7 @@ BUDGETS: dict[str, float] = {
     "mm_phash_dup_groups": 1.60,
     "ts_daily_profile_motifs": 2.10,
     "sample_group_kfold": 1.00,
+    "sess_interarrival_burstiness": 1.20,
     "ts_croston": 1.89,
 }
 

@@ -50,6 +50,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "mm_phash_dup_groups",
     "ts_daily_profile_motifs",
     "sample_group_kfold",
+    "sess_interarrival_burstiness",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

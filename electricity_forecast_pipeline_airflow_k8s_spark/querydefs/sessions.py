@@ -1724,3 +1724,73 @@ def q_sess_window_funnel(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+# -- inter-arrival burstiness (round 6) ---------------------------------------
+# Goh-Barabasi burstiness B = (sigma - mu) / (sigma + mu) of per-user
+# inter-event gaps, aggregated per event type: B -> -1 periodic,
+# 0 Poisson, -> +1 bursty -- the one-number answer to "are these event
+# streams clustered or regular", which drives session-timeout and
+# capacity choices. Gaps are exact integer microseconds from one
+# user-partitioned lag pass; moments go through DECIMAL sums (order-free)
+# and sigma uses the explicit population formula from those sums, so
+# both engines produce identical doubles.
+@register(
+    "sess_interarrival_burstiness",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS g,
+         user_id
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         count(g) AS n,
+         CAST(sum(CAST(g AS DECIMAL(28,0))) AS DOUBLE) / count(g) AS mu,
+         CAST(sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+              AS DOUBLE) / count(g) AS m2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       floor(mu / 1000000.0 * 10000 + 0.5) / 10000 AS mean_gap_s,
+       floor(sqrt(greatest(m2 - mu * mu, 0)) / 1000000.0 * 10000 + 0.5)
+         / 10000 AS std_gap_s,
+       floor((sqrt(greatest(m2 - mu * mu, 0)) - mu)
+             / (sqrt(greatest(m2 - mu * mu, 0)) + mu) * 10000 + 0.5) / 10000
+         AS burstiness
+FROM m ORDER BY 1
+""",
+)
+def q_sess_interarrival_burstiness(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    gaps = ev.select("event_type", g.alias("g")).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("g").alias("n"),
+        (F.sum(F.col("g").cast("decimal(28,0)")).cast("double") / F.count("g")).alias(
+            "mu"
+        ),
+        (
+            F.sum(
+                F.col("g").cast("decimal(38,0)") * F.col("g").cast("decimal(38,0)")
+            ).cast("double")
+            / F.count("g")
+        ).alias("m2"),
+    )
+    sd = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        r4(F.col("mu") / 1_000_000.0).alias("mean_gap_s"),
+        r4(sd / 1_000_000.0).alias("std_gap_s"),
+        r4((sd - F.col("mu")) / (sd + F.col("mu"))).alias("burstiness"),
+    ).orderBy("event_type")
