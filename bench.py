@@ -497,7 +497,7 @@ BUDGETS: dict[str, float] = {
     "val_simpson_slope_reversal": 1.00,
     "mm_phash_dup_groups": 1.60,
     "ts_daily_profile_motifs": 2.10,
-    "sample_group_kfold": 1.00,
+    "sample_group_kfold": 1.25,
     "sess_interarrival_burstiness": 1.20,
     "ts_croston": 1.89,
 }
