@@ -187,6 +187,8 @@ HEADLINE = [
     "ts_daily_profile_motifs",
     "sample_group_kfold",
     "sess_interarrival_burstiness",
+    "emb_label_separability",
+    "dedup_cross_source_leakage",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -499,6 +501,8 @@ BUDGETS: dict[str, float] = {
     "ts_daily_profile_motifs": 2.10,
     "sample_group_kfold": 1.25,
     "sess_interarrival_burstiness": 1.20,
+    "emb_label_separability": 1.70,
+    "dedup_cross_source_leakage": 1.00,
     "ts_croston": 1.89,
 }
 

@@ -51,6 +51,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_daily_profile_motifs",
     "sample_group_kfold",
     "sess_interarrival_burstiness",
+    "emb_label_separability",
+    "dedup_cross_source_leakage",
     # round-6 semantic changes first: these had prior driver evidence but
     # their implementations changed this round (scale-fixed plans; the two
     # rows-only -> oracle conversions), so the old evidence is stale

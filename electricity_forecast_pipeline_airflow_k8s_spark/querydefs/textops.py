@@ -3809,3 +3809,174 @@ def q_sample_group_kfold(spark: SparkSession, sf_dir: str):
         .select("fold", "n_rows", "n_users", "row_share_bp", "n_leaked_users")
         .orderBy("fold")
     )
+
+
+# -- embedding label separability without pairwise work (round 6) -------------
+# Mean pairwise cosine between (and within) label groups, computed from
+# SUMMED unit vectors: mean_{i in A, j in B} cos(v_i, v_j)
+#   = (sum_A v-hat) . (sum_B v-hat) / (|A| |B|)
+# and within-group (self-pairs removed)
+#   = (|sum_A v-hat|^2 - |A|) / (|A| (|A| - 1)).
+# The identity turns a quadratic pairwise mean into ONE pass over the
+# corpus (unit-normalize, d-dim sum per label) plus label-pair x d work
+# -- the exact scalable form of "are my classes separated in embedding
+# space" (high within / low cross = separable). Unit components are
+# quantized to the 1e-9 grid before DECIMAL summation, so both engines
+# land on identical sums regardless of order.
+@register(
+    "emb_label_separability",
+    oracle="""
+WITH unit AS (
+  SELECT label, i.i AS d,
+         floor(CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * 1e9 + 0.5) / 1e9 AS u
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+  WHERE list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+),
+sums AS (
+  SELECT label, d,
+         CAST(sum(CAST(u AS DECIMAL(38,9))) AS DOUBLE) AS s
+  FROM unit GROUP BY 1, 2
+),
+counts AS (SELECT label, count(*) AS n FROM embeddings
+           WHERE list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+           GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.d = b.d AND a.label <= b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       CASE WHEN d.label_a = d.label_b
+            THEN floor((d.dot - ca.n) / (ca.n * (ca.n - 1)) * 1000000 + 0.5)
+                 / 1000000
+            ELSE floor(d.dot / (ca.n * cb.n) * 1000000 + 0.5) / 1000000
+       END AS mean_cos
+FROM dots d
+JOIN counts ca ON ca.label = d.label_a
+JOIN counts cb ON cb.label = d.label_b
+ORDER BY 1, 2
+""",
+)
+def q_emb_label_separability(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir)
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    e = emb.select("label", "embedding", sq.alias("nrm2")).filter(
+        F.col("nrm2") > 0
+    )
+    unit = e.select(
+        "label",
+        F.posexplode("embedding").alias("d0", "x"),
+        F.sqrt("nrm2").alias("nrm"),
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        (
+            F.floor(F.col("x").cast("double") / F.col("nrm") * 1e9 + 0.5) / 1e9
+        ).alias("u"),
+    )
+    sums = unit.groupBy("label", "d").agg(
+        F.sum(F.col("u").cast("decimal(38,9)")).cast("double").alias("s")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = sums.select(F.col("label").alias("label_a"), "d", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("label_b"), "d", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, "d")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    mean_cos = F.when(
+        F.col("label_a") == F.col("label_b"),
+        F.floor(
+            (F.col("dot") - F.col("na")) / (F.col("na") * (F.col("na") - 1)) * 1e6
+            + 0.5
+        )
+        / 1e6,
+    ).otherwise(
+        F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1e6 + 0.5) / 1e6
+    )
+    return (
+        dots.join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select("label_a", "label_b", mean_cos.alias("mean_cos"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+# -- cross-source duplicate leakage (round 6) ---------------------------------
+# The split-contamination audit exact dedup alone doesn't answer: a
+# duplicate cluster living entirely inside one source is redundancy; the
+# SAME content appearing in MULTIPLE sources leaks across any
+# source-based train/eval split (the silent eval-inflation bug).
+# Identity = md5 of the first 8 normalized tokens ("shared opening"
+# dedup -- the practical identity for instruction-style corpora where a
+# repeated prompt carries different completions; whole-text md5 finds
+# zero cross-source hits in this corpus, which is itself the exact-dedup
+# result, so the prefix grain is what makes leakage visible). Per source
+# pair: shared prefix fingerprints and each side's leaked-doc count.
+# One md5-key agg (16-byte keys shuffle, never text) + a roll-up over
+# the tiny (fingerprint, source) frame.
+@register(
+    "dedup_cross_source_leakage",
+    oracle=r"""
+WITH docs_per AS (
+  SELECT source,
+         md5(array_to_string(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x != '')[1:8], ' ')) AS h,
+         count(*) AS nd
+  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.h,
+         a.nd AS nd_a, b.nd AS nd_b
+  FROM docs_per a JOIN docs_per b
+    ON a.h = b.h AND a.source < b.source
+)
+SELECT source_a, source_b,
+       count(*) AS n_shared_texts,
+       CAST(sum(nd_a) AS BIGINT) AS docs_leaked_a,
+       CAST(sum(nd_b) AS BIGINT) AS docs_leaked_b
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_dedup_cross_source_leakage(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+
+    docs = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    prefix = F.md5(
+        F.array_join(F.slice(TX.tokens(F.lower(F.col("text"))), 1, 8), " ")
+    )
+    per = docs.groupBy("source", prefix.alias("h")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    a = per.select(
+        F.col("source").alias("source_a"), "h", F.col("nd").alias("nd_a")
+    )
+    b = per.select(
+        F.col("source").alias("source_b"), "h", F.col("nd").alias("nd_b")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_texts"),
+            F.sum("nd_a").cast("bigint").alias("docs_leaked_a"),
+            F.sum("nd_b").cast("bigint").alias("docs_leaked_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
