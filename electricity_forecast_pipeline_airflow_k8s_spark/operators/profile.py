@@ -190,7 +190,11 @@ def quality_profile_scale(
     the final output) so pass 1 runs once; with ``scoped_cache`` (default,
     resolved from ``SPARK_GRAFT_SCOPED_CACHE`` when None) the n_groups-row
     result is eagerly materialized via localCheckpoint and the persist is
-    released, so the operator leaves no cached blocks behind.
+    released, so the operator leaves no cached blocks behind. With
+    ``scoped_cache=False`` the plan stays fully lazy and the CALLER owns
+    eviction of both handles (the bounds frame and, in grid mode, the
+    rollup frame) -- evict via ``spark.catalog.clearCache()`` or keep the
+    default when hygiene matters more than laziness.
     """
     if scoped_cache is None:
         import os

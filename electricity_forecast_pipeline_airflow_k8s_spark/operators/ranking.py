@@ -527,6 +527,7 @@ def ntile_by_edges(
     k: int,
     tile_col: str,
     num_partitions: int | None = None,
+    assert_total_order: bool = False,
 ) -> DataFrame:
     """``NTILE(k) OVER (ORDER BY order_cols)`` via broadcast boundary
     tuples -- the cheap exact path when only the BUCKET is needed, not the
@@ -545,13 +546,30 @@ def ntile_by_edges(
     but exact.
 
     Requires ``order_cols`` to be a null-free TOTAL order (include a
-    tie-break key): a duplicated boundary tuple would make the bucket
-    assignment ambiguous -- violations raise.
+    tie-break key). The built-in guard only catches the cheap-to-see
+    violation -- a tuple duplicated across TWO boundary ranks; a
+    duplicate straddling a single boundary is NOT detected and would
+    silently send all tied rows to the lower bucket (diverging from
+    NTILE's contiguous bucket sizes). Pass ``assert_total_order=True``
+    to pay one extra aggregate (count vs count-distinct of the key
+    tuple) and raise on ANY duplicate when the inputs aren't known-
+    unique by construction.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     cols = list(order_cols)
     proj_types = dict(df.select(*cols).dtypes)
+    if assert_total_order:
+        chk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("d"),
+        ).first()
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"order_cols {cols} is not a total order: "
+                f"{chk['n'] - chk['d']} duplicated key tuple(s) -- add a "
+                f"tie-break key"
+            )
 
     def _bounds(n: int) -> list[int]:
         # exact NTILE sizing: first n mod k buckets take one extra row;

@@ -206,12 +206,14 @@ def electricity_dag(
             "snapshots_deleted": len(results["cleanup"]),
         }
 
+    # the reference's default_args apply retries=2 to EVERY task in the
+    # chain (core/airflow_dag.py:81), not just extract -- mirror that.
     return [
-        Task("extract", t_extract, retries=2),  # ref default_args retries
-        Task("prepare", t_prepare, deps=("extract",)),
-        Task("quality_summary", t_quality, deps=("extract",)),
-        Task("train", t_train, deps=("prepare",)),
-        Task("register", t_register, deps=("train",)),
-        Task("cleanup", t_cleanup, deps=("register", "quality_summary")),
-        Task("notify", t_notify, deps=("cleanup",)),
+        Task("extract", t_extract, retries=2),
+        Task("prepare", t_prepare, deps=("extract",), retries=2),
+        Task("quality_summary", t_quality, deps=("extract",), retries=2),
+        Task("train", t_train, deps=("prepare",), retries=2),
+        Task("register", t_register, deps=("train",), retries=2),
+        Task("cleanup", t_cleanup, deps=("register", "quality_summary"), retries=2),
+        Task("notify", t_notify, deps=("cleanup",), retries=2),
     ]

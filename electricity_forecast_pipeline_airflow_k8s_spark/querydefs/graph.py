@@ -756,15 +756,27 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str):
 # one edge-sized join + one node-sized min-aggregate; rounds are the
 # only sequential dimension (k-bounded SSSP is what a 100 TB job runs
 # anyway -- full convergence is k = graph diameter).
+# Edge-builder bound: the per-hour self-join is quadratic in
+# users-per-hour, so each hour bucket is capped at the _SSSP_HOUR_CAP
+# smallest user_ids (deterministic tie-break; identical QUALIFY in the
+# oracle). sf0.1 peaks at 45 users/hour so the cap is inert at test
+# scale, but at 100x (~2,700 users in a hot hour) it bounds the pair
+# count at cap^2/2 per hour instead of exploding -- see SCALING.md.
 _SSSP_ROUNDS = 4
+_SSSP_HOUR_CAP = 256
 
 
 def _sssp_oracle() -> str:
-    head = """
-WITH b AS (
+    head = f"""
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id)
+          <= {_SSSP_HOUR_CAP}
 ),
 e0 AS (
   SELECT a.user_id AS ua, c.user_id AS ub, count(*) AS sh
@@ -810,6 +822,14 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    # bound the quadratic per-hour pair build: keep the cap smallest
+    # user_ids per hour (deterministic; oracle QUALIFYs identically)
+    wcap = Window.partitionBy("h").orderBy("user_id")
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _SSSP_HOUR_CAP)
+        .drop("_rn")
+    )
     a = ev.select(F.col("h"), F.col("user_id").alias("ua"))
     c = ev.select(F.col("h"), F.col("user_id").alias("ub"))
     e0 = (
@@ -829,19 +849,33 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
     src = e0.agg(F.min("ua").alias("v")).select(
         "v", F.lit(0).cast("bigint").alias("dist")
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import _cut_lineage
+
+    # per-round lineage caps are cluster-durable via _cut_lineage (reliable
+    # checkpoint() when a dir is configured -- the same helper the dedup
+    # iteratives use). Under the default scoped-cache mode the rounds run
+    # EAGERLY so the node-sized frontiers materialize inside the builder
+    # and the cached edge frame can be released before returning; with
+    # SPARK_GRAFT_SCOPED_CACHE=0 (bench lazy-bracket mode) the plan stays
+    # lazy and the caller owns eviction.
+    import os
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
     d = src
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
             d.join(edges, d["v"] == edges["u"])
             .select(edges["v"].alias("v"), (d["dist"] + edges["w"]).alias("dist"))
         )
-        d = (
+        d = _cut_lineage(
             d.select("v", "dist")
             .unionAll(relaxed)
             .groupBy("v")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("dist").alias("dist")),
+            eager=scoped,
         )
+    if scoped:
+        edges.unpersist()
     out = (
         d.groupBy("dist")
         .agg(

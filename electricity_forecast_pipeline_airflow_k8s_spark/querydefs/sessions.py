@@ -1679,10 +1679,14 @@ def q_sess_window_funnel(spark: SparkSession, sf_dir: str):
         )
         .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
     )
+    # RANGE frame over integer-micros t: strictly t+1 onward, matching the
+    # oracle's `c.t > ev.t`. A ROWS frame would count a same-timestamp
+    # click/purchase (and tie order is nondeterministic in Spark), so the
+    # range frame is both the correct strict-> semantics and order-stable.
     fwd = (
         Window.partitionBy("user_id")
         .orderBy("t")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .rangeBetween(1, Window.unboundedFollowing)
     )
     # forward minima per event row (running, event-ordered)
     enriched = ev.withColumn(

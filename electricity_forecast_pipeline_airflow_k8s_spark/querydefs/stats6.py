@@ -479,12 +479,15 @@ def q_ts_pinball_loss(spark: SparkSession, sf_dir: str):
 # -- Decile lift table -------------------------------------------------------
 # Model-evaluation staple: rank customers by account balance (the
 # "score"), cut into deciles, and report per-decile buyer rate plus
-# cumulative lift vs the base rate. ntile(10) over a total order
-# (c_acctbal DESC, c_custkey) is deterministic across engines; every
-# ratio is exact-integer-derived. The global window runs on the customer
-# DIMENSION (same documented trade-off as rel_ntile_deciles; the
-# distributed-offsets NTILE in rel_rfm_segments_scale is the fact-sized
-# path).
+# cumulative lift vs the base rate. Deciles come from ntile_by_edges
+# (operators/ranking.py): one narrow boundary sort of the projected key
+# columns + broadcast binary-search binning -- no single-task WindowExec
+# over the customer dimension (the r5/r6 scale fix that already carries
+# layout_zorder_locality and rel_equidepth_histogram). The oracle's
+# ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) is reproduced
+# exactly by binning on (-c_acctbal, c_custkey) ascending -- a total
+# order, so bucket assignment is deterministic across engines; every
+# ratio is exact-integer-derived.
 @register(
     "rel_decile_lift",
     oracle="""
@@ -520,20 +523,22 @@ def q_rel_decile_lift(spark: SparkSession, sf_dir: str):
         .select(F.col("o_custkey").alias("c"))
         .distinct()
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import ntile_by_edges
+
     cust = table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
-    base = (
+    scored = (
         cust.join(buyers, cust.c_custkey == buyers.c, "left")
         .select(
             "c_custkey",
-            "c_acctbal",
+            (-F.col("c_acctbal")).alias("neg_bal"),
             F.when(F.col("c").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("buyer"),
         )
-        .withColumn(
-            "decile",
-            F.ntile(10).over(
-                Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-            ),
-        )
+    )
+    # (-c_acctbal, c_custkey) ascending == (c_acctbal DESC, c_custkey):
+    # decimal negation is exact, so the boundary tuples land on the same
+    # customers the oracle's ntile(10) cuts at.
+    base = ntile_by_edges(
+        scored, ["neg_bal", "c_custkey"], k=10, tile_col="decile"
     )
     agg = base.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("buyer").alias("n_buyers")

@@ -3511,6 +3511,16 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str):
         F.sum(F.col("c") * F.col("len_before")).cast("bigint").alias("symbols_before"),
         F.sum(F.col("c") * F.col("len_after")).cast("bigint").alias("symbols_after"),
     ).withColumnRenamed("pair", "best_pair")
+    # scoped-cache hygiene (same convention as quality_profile): under the
+    # default, materialize the one-row result eagerly and release the
+    # vocab cache instead of leaking the persist handle past the builder;
+    # with SPARK_GRAFT_SCOPED_CACHE=0 (bench lazy-bracket mode) the plan
+    # stays lazy and the caller owns eviction.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        out = out.localCheckpoint(eager=True)
+        words.unpersist()
     return out
 
 
@@ -3853,8 +3863,10 @@ dots AS (
 )
 SELECT d.label_a, d.label_b,
        CASE WHEN d.label_a = d.label_b
-            THEN floor((d.dot - ca.n) / (ca.n * (ca.n - 1)) * 1000000 + 0.5)
-                 / 1000000
+            THEN CASE WHEN ca.n > 1
+                      THEN floor((d.dot - ca.n) / (ca.n * (ca.n - 1))
+                                 * 1000000 + 0.5) / 1000000
+                      ELSE NULL END
             ELSE floor(d.dot / (ca.n * cb.n) * 1000000 + 0.5) / 1000000
        END AS mean_cos
 FROM dots d
@@ -3898,13 +3910,18 @@ def q_emb_label_separability(spark: SparkSession, sf_dir: str):
     )
     ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    # singleton-label guard: a label with exactly one unit vector has no
+    # within-label pairs -- na*(na-1)=0 would crash under ANSI mode while
+    # the oracle's raw division returns inf; both sides emit NULL instead.
     mean_cos = F.when(
-        F.col("label_a") == F.col("label_b"),
+        (F.col("label_a") == F.col("label_b")) & (F.col("na") > 1),
         F.floor(
             (F.col("dot") - F.col("na")) / (F.col("na") * (F.col("na") - 1)) * 1e6
             + 0.5
         )
         / 1e6,
+    ).when(
+        F.col("label_a") == F.col("label_b"), F.lit(None).cast("double")
     ).otherwise(
         F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1e6 + 0.5) / 1e6
     )
