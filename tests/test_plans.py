@@ -333,3 +333,56 @@ def test_equidepth_histogram_has_no_single_partition_window(spark, sf_dir):
     q = registry()["rel_equidepth_histogram"].build(spark, sf_dir)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:2000]
+
+
+def test_decile_lift_deciles_are_edge_binned(spark, sf_dir):
+    """rel_decile_lift's decile assignment must ride ntile_by_edges
+    (broadcast boundary binning), never an unpartitioned ntile(10)
+    WindowExec over the customer dimension (VERDICT r6). The only Window
+    operators left in the plan are the cumulative sums over the 10-row
+    decile aggregate -- no ntile anywhere."""
+    q = registry()["rel_decile_lift"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan[:2000]
+
+
+def test_window_funnel_two_partitioned_range_windows_one_join(spark, sf_dir):
+    """sess_window_funnel = two user-partitioned forward-min window passes
+    (STRICT t+1 RangeFrame, matching the oracle's `>` -- ADVICE r6) joined
+    once on (user, chosen click ts). Pin: every Window carries the user_id
+    partition spec (never a single-partition frame over events), the
+    frames are RangeFrames starting at 1, and there is exactly one
+    view-to-click join."""
+    q = registry()["sess_window_funnel"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan[:2000]
+    for ln in win_lines:
+        assert "user_id" in ln, ln
+        assert "RangeFrame, 1, unboundedfollowing" in ln, ln
+    assert plan.count("Join") == 1, plan[:2000]
+
+
+def test_winnow_shared_spans_is_postings_join_shaped(spark, sf_dir):
+    """dedup_winnow_shared_spans must stay inverted-index shaped: doc-
+    partitioned winnow windows feeding fingerprint equi-joins -- never a
+    CartesianProduct / all-pairs doc comparison, and never an
+    unpartitioned window over the gram stream."""
+    q = registry()["dedup_winnow_shared_spans"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "doc_id" in ln, ln
+
+
+def test_phash_dup_groups_decodes_via_map_in_pandas(spark, sf_dir):
+    """mm_phash_dup_groups' decode/feature step must cross the Python
+    boundary ONCE as an Arrow-batched MapInPandas over the raw media
+    columns, with the phash grouping as a plain hash exchange downstream
+    -- no row-at-a-time BatchEvalPython anywhere."""
+    q = registry()["mm_phash_dup_groups"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "hashpartitioning(phash" in plan, plan[:2000]

@@ -191,3 +191,77 @@ def test_winnow_posts_10x_scales_linearly(spark):
     elapsed = time.perf_counter() - t0
     assert ten == 10 * one
     assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_daily_profile_motifs_10x_rows_per_day_invariant(spark, events_10x, sf_dir):
+    """ts_daily_profile_motifs' quadratic join lives in DAY space, so it
+    must be invariant to fact growth WITHIN days: replicating every event
+    10x (users shifted, timestamps untouched) leaves each day's hourly
+    MEAN -- and therefore every z-profile, every day-pair distance, and
+    every nearest neighbor -- bit-identical to the single-copy run. The
+    only thing that grows is the pre-aggregation input, which is the
+    scale-safe direction (VERDICT r6 item 8)."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    q = registry()["ts_daily_profile_motifs"]
+    small = [tuple(r) for r in q.build(spark, SF_DIR).collect()]
+    with tempfile.TemporaryDirectory() as td:
+        events_10x.write.mode("overwrite").parquet(
+            os.path.join(td, "events.parquet")
+        )
+        t0 = time.perf_counter()
+        big = [tuple(r) for r in q.build(spark, td).collect()]
+        elapsed = time.perf_counter() - t0
+    assert big == small
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_label_separability_10x_cross_pairs_invariant(spark, sf_dir):
+    """emb_label_separability's algebraic collapse (label-dim unit sums,
+    never pairwise rows) must stay row-linear: on a 10x replicated corpus
+    (vec_ids shifted, labels kept) each label's unit-sum vector scales by
+    exactly 10, so every CROSS-label mean cosine (dot/(na*nb)) is
+    replication-invariant -- identical to the single-copy answer at the
+    pinned 1e-6 grid -- while the within-label diagonal follows the
+    (100*dot - 10n)/(10n*(10n-1)) closed form. Pins that the one-pass
+    plan computes the algebra, not a hidden all-pairs join (which would
+    go 100x, not 10x, here)."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 100_000_000))
+        for r in range(REPLICAS)
+    ]
+    big_emb = parts[0]
+    for p in parts[1:]:
+        big_emb = big_emb.unionAll(p)
+
+    q = registry()["emb_label_separability"]
+    small = {
+        (r["label_a"], r["label_b"]): r["mean_cos"]
+        for r in q.build(spark, SF_DIR).collect()
+    }
+    with tempfile.TemporaryDirectory() as td:
+        big_emb.write.mode("overwrite").parquet(
+            os.path.join(td, "embeddings.parquet")
+        )
+        t0 = time.perf_counter()
+        big = {
+            (r["label_a"], r["label_b"]): r["mean_cos"]
+            for r in q.build(spark, td).collect()
+        }
+        elapsed = time.perf_counter() - t0
+    assert set(big) == set(small)
+    for (la, lb), v in small.items():
+        if la != lb:
+            # cross-label means are exactly replication-invariant up to
+            # the two independent 1e-6 roundings
+            assert abs(big[(la, lb)] - v) <= 2e-6, (la, lb, v, big[(la, lb)])
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
