@@ -188,6 +188,8 @@ HEADLINE = [
     "sess_interarrival_burstiness",
     "emb_label_separability",
     "dedup_cross_source_leakage",
+    # round-7 addition
+    "ml_ridge_lag1_parity",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -448,7 +450,10 @@ BUDGETS: dict[str, float] = {
     "rel_km_repurchase": 0.91,
     "ts_hurst_rs": 1.18,
     "ts_pinball_loss": 0.97,
-    "rel_decile_lift": 0.80,
+    # r7 re-baseline: deciles moved to ntile_by_edges (boundary jobs at
+    # build -> ITERATIVE wall-clock, 1.88 best-of-2 quiet) -- the honest
+    # price of removing the last dimension-sized single-task window
+    "rel_decile_lift": 2.80,
     "ts_ljung_box": 1.19,
     "rel_bitmap_overlap": 0.62,
     "ts_granger_lag1": 0.52,
@@ -506,6 +511,8 @@ BUDGETS: dict[str, float] = {
     "emb_label_separability": 1.70,
     "dedup_cross_source_leakage": 1.00,
     "ts_croston": 1.89,
+    # round-7 addition: 1.5x quiet-machine best-of-3 (1.41)
+    "ml_ridge_lag1_parity": 2.10,
 }
 
 

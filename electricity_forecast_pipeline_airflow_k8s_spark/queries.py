@@ -28,69 +28,23 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-6 window: the 11 new round-6
-# queries first (never driver-proven), then the 4 whose implementations
-# changed this round (stale evidence: layout_zorder_locality,
-# rel_equidepth_histogram, ml_hpo_best_trials, quality_profile_approx),
-# then the never-proven backlog (123 queries after r1+r2+r3+r5
-# evidence; no r04 artifacts exist). The ~88 overflow rows lead round 7
-# (regenerate with tools/rotate_window.py); once the backlog clears,
-# rotation resumes oldest-evidence-first (r1 cohort, then r2, r3, r5).
+# registration order per round). Round-7 window: the 7 queries whose
+# implementations changed this round lead (1 new: ml_ridge_lag1_parity;
+# 6 semantic/plan changes: sess_window_funnel strict-range frame,
+# rel_decile_lift edge-binned deciles, graph_sssp_weighted hour-capped
+# edges, text_bpe_merge_step scoped-cache hygiene, emb_label_separability
+# singleton guard, text_winnow_fingerprints r6 rewrite never re-proven
+# -- ADVICE r6), then the 92-query never-proven backlog in registry
+# order, then proven queries oldest-evidence-first. Regenerate with
+# tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    # new round-6 queries (never driver-proven)
-    "text_bpe_merge_step",
-    "ts_sax_motifs",
-    "dedup_winnow_shared_spans",
-    "sess_window_funnel",
-    "val_mutual_information",
-    "graph_sssp_weighted",
-    "ts_psi_weekly_trend",
-    "emb_cosine_pair_histogram",
-    "val_simpson_slope_reversal",
-    "mm_phash_dup_groups",
-    "ts_daily_profile_motifs",
-    "sample_group_kfold",
-    "sess_interarrival_burstiness",
-    "emb_label_separability",
-    "dedup_cross_source_leakage",
-    # round-6 semantic changes first: these had prior driver evidence but
-    # their implementations changed this round (scale-fixed plans; the two
-    # rows-only -> oracle conversions), so the old evidence is stale
-    "layout_zorder_locality",
-    "rel_equidepth_histogram",
-    "ml_hpo_best_trials",
-    "quality_profile_approx",
-    "ts_w1_drift",
-    "stream_hopping_topk",
-    "text_chunk_overlap",
-    "ts_theilsen_trend",
-    "ts_gap_fill_interp",
-    "ts_spectral_daily_strength",
-    "rel_woe_iv",
-    "sess_pattern_funnel",
-    "graph_kcore",
-    "text_setsim_prefix_join",
-    "rel_max_concurrent_intervals",
-    "text_cms_freq_est",
-    "rel_rfm_segments_scale",
-    "rel_exact_quantiles_scale",
-    "rel_weighted_quantiles_scale",
-    "text_heavy_hitters",
-    "rel_interval_union_days",
-    "ts_rolling_median_7d",
-    "val_winsorized_stats",
-    "tpch_small_qty_revenue",
-    "tpch_disjunctive_revenue",
-    "tpch_sole_supplier_orders",
-    "ts_acf",
-    "ts_rolling_z_anomaly",
-    "ts_value_histogram",
-    "ts_stl_seasonal",
-    "rel_window_count_distinct",
-    "rel_corr_covar",
-    "rel_merge_upsert",
-    "sim_recall_eval",
-    "text_bm25_topk",
+    "ml_ridge_lag1_parity",
+    "sess_window_funnel",  # last green r6
+    "rel_decile_lift",  # last green r5
+    "graph_sssp_weighted",  # last green r6
+    "text_bpe_merge_step",  # last green r6
+    "emb_label_separability",  # last green r6
+    "text_winnow_fingerprints",  # last green r3
     "stream_stream_join",
     "val_benford_digits",
     "rel_skyline_pareto",
@@ -181,6 +135,211 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "tpch_cust_order_dist",
     "ts_ewma",
     "ts_gap_fill_locf",
+    "ml_train_eval_metrics",
+    "ml_forecast_next",
+    "val_dup_count",  # last green r1
+    "val_value_stats",  # last green r1
+    "val_summary",  # last green r1
+    "val_grouped_stats",  # last green r1
+    "val_top_group",  # last green r1
+    "val_distinct_groups",  # last green r1
+    "val_dup_rows",  # last green r1
+    "rel_shipping_priority",  # last green r1
+    "rel_nation_revenue",  # last green r1
+    "rel_semi_join",  # last green r1
+    "rel_anti_join",  # last green r1
+    "rel_topk_orders",  # last green r1
+    "rel_set_ops",  # last green r1
+    "rel_rollup",  # last green r1
+    "rel_cube",  # last green r1
+    "rel_window_rank",  # last green r1
+    "rel_date_functions",  # last green r1
+    "rel_string_functions",  # last green r1
+    "rel_json_extract",  # last green r1
+    "rel_range_join",  # last green r1
+    "rel_sql_exists_priority",  # last green r1
+    "rel_sql_above_nation_avg",  # last green r1
+    "rel_outer_join_counts",  # last green r1
+    "rel_pivot_status_priority",  # last green r1
+    "rel_grouping_sets",  # last green r1
+    "rel_regex_extract",  # last green r1
+    "rel_union_pages",  # last green r1
+    "rel_promo_share",  # last green r1
+    "rel_part_brand_stats",  # last green r1
+    "rel_window_analytic",  # last green r1
+    "rel_events_by_segment",  # last green r1
+    "ts_moving_avg_1h",  # last green r1
+    "val_domain_violations",  # last green r2
+    "val_extreme_gate",  # last green r2
+    "rel_math_functions",  # last green r2
+    "stream_windowed_stats",  # last green r2
+    "text_token_stats",  # last green r2
+    "text_quality_score",  # last green r2
+    "text_lang_id",  # last green r2
+    "text_fingerprint",  # last green r2
+    "text_quality_filter_stats",  # last green r2
+    "text_length_profile",  # last green r2
+    "text_top_tokens",  # last green r2
+    "text_tfidf_top_terms",  # last green r2
+    "dedup_tokenset_groups",  # last green r2
+    "dedup_ngram_jaccard_pairs",  # last green r2
+    "dedup_simhash_codes",  # last green r2
+    "sim_topk_lsh",  # last green r2
+    "tpch_min_balance_supplier",  # last green r2
+    "tpch_significant_parts",  # last green r2
+    "tpch_top_supplier",  # last green r2
+    "tpch_part_supplier_counts",  # last green r2
+    "tpch_nation_volume",  # last green r2
+    "tpch_idle_rich_customers",  # last green r2
+    "ts_window_counts",  # last green r2
+    "ts_tail_window",  # last green r2
+    "ts_scaler_params",  # last green r2
+    "ts_scaled_values",  # last green r2
+    "ts_ks_drift",  # last green r2
+    "ts_hour_coverage",  # last green r2
+    "quality_profile",  # last green r3
+    "quality_profile_scale_contract",  # last green r3
+    "val_null_counts",  # last green r3
+    "val_gap_stats",  # last green r3
+    "val_outlier_rows",  # last green r3
+    "ml_invariants",  # last green r3
+    "ml_linreg_trend",  # last green r3
+    "rel_pricing_summary",  # last green r3
+    "rel_star_revenue",  # last green r3
+    "rel_topk_per_group",  # last green r3
+    "rel_window_running",  # last green r3
+    "rel_asof_click_before_purchase",  # last green r3
+    "approx_distinct_and_quantiles",  # last green r3
+    "rel_unpivot_measures",  # last green r3
+    "rel_salted_skew_stats",  # last green r3
+    "sess_user_sessions",  # last green r3
+    "rel_monthly_revenue_growth",  # last green r3
+    "stream_dedup_counts",  # last green r3
+    "sess_funnel_counts",  # last green r3
+    "stream_session_stats",  # last green r3
+    "scd2_user_type_versions",  # last green r3
+    "scd2_point_in_time",  # last green r3
+    "dedup_exact_stats",  # last green r3
+    "dedup_minhash_lsh_pairs",  # last green r3
+    "sim_topk_bruteforce",  # last green r3
+    "sim_topk_ivf",  # last green r3
+    "dedup_clusters",  # last green r3
+    "mm_decode_features",  # last green r3
+    "emb_neardup_pairs",  # last green r3
+    "text_bpe_token_estimate",  # last green r3
+    "text_repetition_stats",  # last green r3
+    "text_pii_stats",  # last green r3
+    "sample_mix_sources",  # last green r3
+    "dedup_contamination_check",  # last green r3
+    "text_entropy_stats",  # last green r3
+    "emb_centroid_assign",  # last green r3
+    "dedup_keep_best",  # last green r3
+    "text_fuzzy_prefix_pairs",  # last green r3
+    "tpch_large_orders",  # last green r3
+    "tpch_product_profit",  # last green r3
+    "tpch_returned_items",  # last green r3
+    "ts_split_counts",  # last green r3
+    "ts_sequence_windows",  # last green r3
+    "ts_resample_hourly",  # last green r3
+    "ts_psi_drift",  # last green r3
+    "ts_calendar_features",  # last green r3
+    "ts_backtest_folds",  # last green r3
+    "ts_resample_15min",  # last green r3
+    "val_volume_anomaly_days",  # last green r5
+    "rel_abc_classification",  # last green r5
+    "rel_purchase_gap_stats",  # last green r5
+    "sess_touch_attribution",  # last green r5
+    "sess_entropy_rate",  # last green r5
+    "rel_km_repurchase",  # last green r5
+    "ts_hurst_rs",  # last green r5
+    "ts_pinball_loss",  # last green r5
+    "ts_ljung_box",  # last green r5
+    "rel_bitmap_overlap",  # last green r5
+    "ts_granger_lag1",  # last green r5
+    "ts_missing_block_report",  # last green r5
+    "ts_spectral_flatness",  # last green r5
+    "val_cramers_v",  # last green r5
+    "rel_price_volume_mix",  # last green r5
+    "sess_next_pred_accuracy",  # last green r5
+    "sample_token_budget_plan",  # last green r5
+    "emb_kmeans_step",  # last green r5
+    "sess_lifecycle_states",  # last green r5
+    "graph_modularity",  # last green r5
+    "text_langid_confusion",  # last green r5
+    "val_key_skew_report",  # last green r5
+    "val_join_cardinality",  # last green r5
+    "val_median_of_means",  # last green r5
+    "text_tokenizer_fertility",  # last green r5
+    "sample_curriculum_order",  # last green r5
+    "val_k_anonymity",  # last green r5
+    "mm_audio_frame_energy",  # last green r5
+    "rel_cdf_normalize",  # last green r5
+    "ts_forecast_ensemble",  # last green r5
+    "val_duplicate_payments",  # last green r5
+    "text_code_detect_stats",  # last green r5
+    "ts_intermittency_stats",  # last green r5
+    "text_boilerplate_share",  # last green r5
+    "text_negative_sampling_dist",  # last green r5
+    "rel_discount_elasticity",  # last green r5
+    "graph_reciprocity",  # last green r5
+    "rel_holiday_lift",  # last green r5
+    "ts_max_drawdown",  # last green r5
+    "ts_variance_ratio",  # last green r5
+    "ts_pacf",  # last green r5
+    "graph_degree_powerlaw",  # last green r5
+    "rel_largest_remainder_alloc",  # last green r5
+    "val_t_closeness",  # last green r5
+    "layout_compaction_plan",  # last green r5
+    "sess_absorbing_markov",  # last green r5
+    "text_oov_rate",  # last green r5
+    "ts_croston",  # last green r5
+    "sim_topk_hamming",  # last green r5
+    "ts_sax_motifs",  # last green r6
+    "dedup_winnow_shared_spans",  # last green r6
+    "val_mutual_information",  # last green r6
+    "ts_psi_weekly_trend",  # last green r6
+    "emb_cosine_pair_histogram",  # last green r6
+    "val_simpson_slope_reversal",  # last green r6
+    "mm_phash_dup_groups",  # last green r6
+    "ts_daily_profile_motifs",  # last green r6
+    "sample_group_kfold",  # last green r6
+    "sess_interarrival_burstiness",  # last green r6
+    "dedup_cross_source_leakage",  # last green r6
+    "layout_zorder_locality",  # last green r6
+    "rel_equidepth_histogram",  # last green r6
+    "ml_hpo_best_trials",  # last green r6
+    "quality_profile_approx",  # last green r6
+    "ts_w1_drift",  # last green r6
+    "stream_hopping_topk",  # last green r6
+    "text_chunk_overlap",  # last green r6
+    "ts_theilsen_trend",  # last green r6
+    "ts_gap_fill_interp",  # last green r6
+    "ts_spectral_daily_strength",  # last green r6
+    "rel_woe_iv",  # last green r6
+    "sess_pattern_funnel",  # last green r6
+    "graph_kcore",  # last green r6
+    "text_setsim_prefix_join",  # last green r6
+    "rel_max_concurrent_intervals",  # last green r6
+    "text_cms_freq_est",  # last green r6
+    "rel_rfm_segments_scale",  # last green r6
+    "rel_exact_quantiles_scale",  # last green r6
+    "rel_weighted_quantiles_scale",  # last green r6
+    "text_heavy_hitters",  # last green r6
+    "rel_interval_union_days",  # last green r6
+    "ts_rolling_median_7d",  # last green r6
+    "val_winsorized_stats",  # last green r6
+    "tpch_small_qty_revenue",  # last green r6
+    "tpch_disjunctive_revenue",  # last green r6
+    "tpch_sole_supplier_orders",  # last green r6
+    "ts_acf",  # last green r6
+    "ts_rolling_z_anomaly",  # last green r6
+    "ts_value_histogram",  # last green r6
+    "ts_stl_seasonal",  # last green r6
+    "rel_window_count_distinct",  # last green r6
+    "rel_corr_covar",  # last green r6
+    "rel_merge_upsert",  # last green r6
+    "sim_recall_eval",  # last green r6
+    "text_bm25_topk",  # last green r6
 )
 
 

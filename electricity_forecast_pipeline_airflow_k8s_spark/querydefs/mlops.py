@@ -404,3 +404,134 @@ def q_ml_linreg_trend(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- reduced-dim ridge twin of the rows-only ML edge (round 7) ---------------
+# ml_train_eval_metrics / ml_forecast_next run the REAL grouped-ML code
+# path (applyInPandas ridge fit -> broadcast params -> Arrow-batched
+# pandas-UDF inference) at L=48/H=12 -- un-replayable in SQL, hence
+# rows-only. This twin drives the IDENTICAL code path (chronological_
+# split -> sequence_windows -> fit_per_group -> predict_per_group, same
+# functions, same alpha=1.0 ridge) at lookback=1 / horizon=1, where the
+# ridge normal equations are a 2x2 system with a closed form DuckDB can
+# compute from the train-pair moments:
+#   Gram = [[Sxx+a, Sx], [Sx, n+a]],  rhs = [Sxy, Sy]
+#   slope     = ((n+a)*Sxy - Sx*Sy) / det
+#   intercept = ((Sxx+a)*Sy - Sx*Sxy) / det,  det = (Sxx+a)(n+a) - Sx^2
+# A hash match therefore certifies the Arrow boundary, the per-group
+# train shuffle, the broadcast-join inference, and the window plumbing
+# with DRIVER-GRADE evidence -- the rows-only entries keep the full-dim
+# semantics, this twin proves the machinery (VERDICT r6 item 6).
+_RIDGE1_ALPHA = 1.0
+
+
+@register(
+    "ml_ridge_lag1_parity",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type AS respondent, ts::TIMESTAMP AS period, event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT respondent, value,
+         row_number() OVER (PARTITION BY respondent
+                            ORDER BY period, event_id) AS rn,
+         count(*) OVER (PARTITION BY respondent) AS n
+  FROM ev
+),
+s AS (
+  SELECT respondent, value, rn,
+         CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+              WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+              ELSE 'test' END AS split
+  FROM o
+),
+pairs AS (
+  SELECT respondent, split, value AS x,
+         lead(value) OVER (PARTITION BY respondent, split ORDER BY rn) AS y
+  FROM s
+),
+p AS (SELECT * FROM pairs WHERE y IS NOT NULL),
+m AS (
+  SELECT respondent, count(*) AS n_train,
+         sum(x * x) AS sxx, sum(x) AS sx, sum(x * y) AS sxy, sum(y) AS sy
+  FROM p WHERE split = 'train' GROUP BY 1
+),
+wt AS (
+  SELECT respondent, n_train,
+         ((n_train + {_RIDGE1_ALPHA}) * sxy - sx * sy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w1,
+         ((sxx + {_RIDGE1_ALPHA}) * sy - sx * sxy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w0
+  FROM m
+),
+t AS (
+  SELECT p.respondent,
+         count(*) AS n_test_windows,
+         avg((p.y - wt.w0 - wt.w1 * p.x) * (p.y - wt.w0 - wt.w1 * p.x)) AS mse
+  FROM p JOIN wt ON wt.respondent = p.respondent
+  WHERE p.split = 'test' GROUP BY 1
+)
+SELECT wt.respondent,
+       CAST(wt.n_train AS BIGINT) AS n_train,
+       {portable_round_sql("wt.w1", 4)} AS slope,
+       {portable_round_sql("wt.w0", 2)} AS intercept,
+       CAST(t.n_test_windows AS BIGINT) AS n_test_windows,
+       {portable_round_sql("t.mse", 2)} AS test_mse
+FROM wt JOIN t ON t.respondent = wt.respondent
+ORDER BY 1
+""",
+)
+def q_ml_ridge_lag1_parity(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("respondent"),
+            F.col("ts").alias("period"),
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    split = chronological_split(ev, tiebreak_cols=("event_id",))
+    wins = sequence_windows(
+        split,
+        lookback=1,
+        horizon=1,
+        tiebreak_cols=("event_id",),
+        extra_partition_cols=("split",),
+    )
+    params = fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
+    test = wins.filter(F.col("split") == "test").select("respondent", "x", "y")
+    preds = predict_per_group(test, params)
+    mse = (
+        preds.select(
+            "respondent",
+            (
+                (F.col("y")[0] - F.col("forecast")[0])
+                * (F.col("y")[0] - F.col("forecast")[0])
+            ).alias("se"),
+        )
+        .groupBy("respondent")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_windows"),
+            F.avg("se").alias("mse"),
+        )
+    )
+    out = params.select(
+        "respondent",
+        F.col("n_train").cast("bigint").alias("n_train"),
+        portable_round(F.col("weights")[0], 4).alias("slope"),
+        portable_round(F.col("weights")[1], 2).alias("intercept"),
+    ).join(mse, "respondent")
+    return out.select(
+        "respondent",
+        "n_train",
+        "slope",
+        "intercept",
+        F.col("n_test_windows").cast("bigint").alias("n_test_windows"),
+        portable_round("mse", 2).alias("test_mse"),
+    ).orderBy("respondent")
