@@ -188,8 +188,11 @@ HEADLINE = [
     "sess_interarrival_burstiness",
     "emb_label_separability",
     "dedup_cross_source_leakage",
-    # round-7 addition
+    # round-7 additions
     "ml_ridge_lag1_parity",
+    "inc_minhash_new_batch",
+    "inc_sessionize_rollforward",
+    "graph_label_propagation",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -264,6 +267,8 @@ ITERATIVE = [
     "rel_abc_classification",
     # exact global rank: range-sort + offsets jobs at build time
     "sample_curriculum_order",
+    # PQ codebook is a k-sized boundary collect at build time
+    "emb_pq_assign",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -511,8 +516,13 @@ BUDGETS: dict[str, float] = {
     "emb_label_separability": 1.70,
     "dedup_cross_source_leakage": 1.00,
     "ts_croston": 1.89,
-    # round-7 addition: 1.5x quiet-machine best-of-3 (1.41)
+    # round-7 additions: 1.5x quiet-machine best-of-3 (1.41 / 0.65 /
+    # 0.65 / 2.66 / 4.43 wall-clock)
     "ml_ridge_lag1_parity": 2.10,
+    "inc_minhash_new_batch": 1.00,
+    "inc_sessionize_rollforward": 1.00,
+    "graph_label_propagation": 4.00,
+    "emb_pq_assign": 6.65,
 }
 
 

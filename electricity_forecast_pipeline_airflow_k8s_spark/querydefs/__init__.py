@@ -8,6 +8,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     relational,
     relational2,
     relational3,
+    round7,
     sessions,
     stats5,
     stats6,

@@ -1,0 +1,565 @@
+"""Round-7 additions: incremental maintenance (the under-built family a
+100 TB pipeline leans on hardest), community detection, and the product-
+quantization building block of IVF-PQ similarity search.
+
+Design rule shared by all four: the Spark side computes the INCREMENTAL /
+approximate-path answer (batch probes an index, state merges with a
+delta, codebook broadcast against a single corpus pass) while the DuckDB
+oracle recomputes from scratch -- a hash match proves incremental ==
+full recompute, which is the whole contract of incremental maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    _SHINGLES,
+    _TOKS,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
+)
+
+# -- incremental MinHash-LSH dedup: new batch probes the corpus index --------
+# Production near-dup dedup at 100 TB is INCREMENTAL: the corpus's banded
+# signature postings are a materialized index, and each ingest batch
+# probes it -- cost O(batch x posting-list), never O(corpus^2) and never
+# a full-corpus rescan. Here "today's batch" = doc_id % 10 == 9; the
+# candidate join is (all-docs bands) x (batch bands) -- the batch side is
+# the stream, the full side stands in for the persisted index -- then the
+# usual exact-Jaccard verify on candidates only. Pairs between two OLD
+# docs can never appear (they were deduped when THEY were the batch).
+# The oracle recomputes the full LSH pipeline and restricts pairs to
+# batch-touching ones: a hash match proves the batch-probe plan finds
+# exactly what a full-corpus run would.
+_BATCH_MOD, _BATCH_REM = 10, 9
+
+
+def _inc_minhash_oracle(threshold: float = 0.5) -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({parts}) AS h FROM sigs".format(
+            b=b,
+            parts=" || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shingled AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs WHERE len(t) >= 3),
+sigs AS (SELECT doc_id, sh, {sig_cols} FROM shingled),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {_BATCH_MOD} = {_BATCH_REM}
+     OR b.doc_id % {_BATCH_MOD} = {_BATCH_REM}
+)
+SELECT c.doc_a, c.doc_b,
+       floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 10000 + 0.5)
+         / 10000 AS jaccard,
+       CASE WHEN c.doc_a % {_BATCH_MOD} = {_BATCH_REM}
+             AND c.doc_b % {_BATCH_MOD} = {_BATCH_REM}
+            THEN 'new-new' ELSE 'new-old' END AS pair_kind
+FROM cand c
+JOIN shingled sa ON sa.doc_id = c.doc_a
+JOIN shingled sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("inc_minhash_new_batch", oracle=_inc_minhash_oracle(0.5))
+def q_inc_minhash_new_batch(spark: SparkSession, sf_dir: str):
+    import os
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    docs = table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", DD.shingles("text").alias("sh"))
+        .persist()
+    )
+    sigs = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"sig_{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+    )
+    rows = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias("h"),
+        ).alias(f"b{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    exploded = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bh"))
+        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .persist()
+    )
+    # the index side is the FULL banded table (at scale: the persisted
+    # postings index); the probe side is only the new batch
+    batch = exploded.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM)
+    cand = (
+        exploded.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    kind = F.when(
+        (F.col("doc_a") % _BATCH_MOD == _BATCH_REM)
+        & (F.col("doc_b") % _BATCH_MOD == _BATCH_REM),
+        F.lit("new-new"),
+    ).otherwise(F.lit("new-old"))
+    out = verified.select(
+        "doc_a", "doc_b", "jaccard", kind.alias("pair_kind")
+    ).orderBy("doc_a", "doc_b")
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+        exploded.unpersist()
+    return out
+
+
+# -- incremental sessionization roll-forward ----------------------------------
+# The classic incremental-ETL correctness trap: sessions SPAN batch
+# boundaries. Yesterday's state (per-user last-session end) + today's
+# batch must produce exactly the sessions a full recompute would -- the
+# boundary sessions merge when the cross-batch gap is within the timeout.
+# Spark computes the two halves independently, merges at the boundary
+# with one user-keyed join of two n_users-sized frames, and DERIVES the
+# full-corpus session count as n_old + n_new - n_merged; the oracle
+# sessionizes the whole table from scratch. Equality of the derived
+# counts against scratch recompute is the incremental-maintenance proof.
+# Scale: each half is one user-partitioned lag pass (batch-sized, not
+# corpus-sized, on the new side); the merge state is 2 rows/user.
+# 8 h: the synthetic per-user event cadence is sparse (median gaps in
+# hours), so shorter timeouts never produce a cross-batch merge and the
+# query's load-bearing column would be constant-zero; at 8 h the sf0.01
+# driver gate sees 27 real boundary merges (252 at sf0.1).
+_SESS_TIMEOUT_US = 8 * 3600 * 1_000_000
+_SESS_CUT = "2024-01-20 00:00:00"
+
+
+@register(
+    "inc_sessionize_rollforward",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_id
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+marks AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {_SESS_TIMEOUT_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+halves AS (
+  SELECT user_id, t < epoch_us(TIMESTAMP '{_SESS_CUT}') AS is_old,
+         CASE WHEN t - lag(t) OVER (
+                PARTITION BY user_id, t < epoch_us(TIMESTAMP '{_SESS_CUT}')
+                ORDER BY t, event_id) IS NULL
+               OR t - lag(t) OVER (
+                PARTITION BY user_id, t < epoch_us(TIMESTAMP '{_SESS_CUT}')
+                ORDER BY t, event_id) > {_SESS_TIMEOUT_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT) AS n_users,
+       CAST((SELECT sum(ns) FROM halves WHERE is_old) AS BIGINT)
+         AS n_sessions_old,
+       CAST((SELECT sum(ns) FROM halves WHERE NOT is_old) AS BIGINT)
+         AS n_sessions_new,
+       CAST((SELECT sum(ns) FROM halves) - (SELECT sum(ns) FROM marks)
+            AS BIGINT) AS n_boundary_merges,
+       CAST((SELECT sum(ns) FROM marks) AS BIGINT) AS n_sessions,
+       floor((SELECT count(*) FROM ev) * 1.0
+             / (SELECT sum(ns) FROM marks) * 10000 + 0.5) / 10000
+         AS avg_session_events
+""",
+)
+def q_inc_sessionize_rollforward(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+    )
+    cut = F.unix_micros(F.lit(_SESS_CUT).cast("timestamp"))
+    old = ev.filter(F.col("t") < cut)
+    new = ev.filter(F.col("t") >= cut)
+
+    def _sessions(half):
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        gap = F.col("t") - F.lag("t").over(w)
+        marked = half.withColumn(
+            "ns",
+            F.when(gap.isNull() | (gap > _SESS_TIMEOUT_US), 1).otherwise(0),
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("ns").alias("n_sessions"),
+            F.min("t").alias("first_t"),
+            F.max("t").alias("last_t"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    so = _sessions(old)
+    sn = _sessions(new)
+    # boundary merge: the user's last old event and first new event are
+    # within the timeout -> the two boundary sessions are ONE session in
+    # the full recompute (the gap that "started" the first new session
+    # disappears). One inner join of two n_users-sized state frames.
+    merged = (
+        so.select("user_id", F.col("last_t").alias("old_last"))
+        .join(sn.select("user_id", F.col("first_t").alias("new_first")), "user_id")
+        .filter(F.col("new_first") - F.col("old_last") <= _SESS_TIMEOUT_US)
+        .agg(F.count(F.lit(1)).alias("n_merged"))
+    )
+    totals_old = so.agg(
+        F.sum("n_sessions").alias("n_sessions_old"),
+        F.sum("n_events").alias("ev_old"),
+    )
+    totals_new = sn.agg(
+        F.sum("n_sessions").alias("n_sessions_new"),
+        F.sum("n_events").alias("ev_new"),
+    )
+    n_users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    full = F.col("n_sessions_old") + F.col("n_sessions_new") - F.col("n_merged")
+    return (
+        n_users.crossJoin(F.broadcast(totals_old))
+        .crossJoin(F.broadcast(totals_new))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_sessions_old").cast("bigint").alias("n_sessions_old"),
+            F.col("n_sessions_new").cast("bigint").alias("n_sessions_new"),
+            F.col("n_merged").cast("bigint").alias("n_boundary_merges"),
+            full.cast("bigint").alias("n_sessions"),
+            (
+                F.floor(
+                    (F.col("ev_old") + F.col("ev_new")) * 1.0 / full * 10000 + 0.5
+                )
+                / 10000
+            ).alias("avg_session_events"),
+        )
+    )
+
+
+# -- weighted label propagation (community detection, 2 synchronous rounds) --
+# The community-detection counterpart of the SSSP/k-core/CC iteratives:
+# on the hour-capped error co-occurrence graph (same capped builder as
+# graph_sssp_weighted, affinity weight = shared hours), every node starts
+# as its own label and each synchronous round adopts the label with the
+# LARGEST total neighbor affinity (tie-break: smaller label). Two rounds
+# bounded -- like the k-bounded SSSP, rounds are the only sequential
+# dimension, and each is one edge-sized join + one (node, label)-sized
+# argmax. The oracle chains the same algebra as CTEs; identical integer
+# weights make the argmax deterministic on both engines.
+_LPA_ROUNDS = 2
+_LPA_HOUR_CAP = 256
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH b0 AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id)
+          <= {_LPA_HOUR_CAP}
+),
+e0 AS (
+  SELECT a.user_id AS ua, c.user_id AS ub, count(*) AS sh
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT ua AS u, ub AS v, sh FROM e0
+  UNION ALL
+  SELECT ub AS u, ua AS v, sh FROM e0
+),
+l0 AS (SELECT DISTINCT u AS v, u AS label FROM e)
+"""
+    steps = []
+    for k in range(_LPA_ROUNDS):
+        steps.append(f""",
+l{k + 1} AS (
+  SELECT v, label FROM (
+    SELECT e.u AS v, l.label,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY sum(e.sh) DESC, l.label) AS rk
+    FROM e JOIN l{k} l ON l.v = e.v
+    GROUP BY e.u, l.label
+  ) WHERE rk = 1
+)""")
+    tail = f"""
+SELECT label AS community,
+       count(*) AS n_members,
+       CAST(min(v) AS BIGINT) AS min_node
+FROM l{_LPA_ROUNDS} GROUP BY 1 ORDER BY 1
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    wcap = Window.partitionBy("h").orderBy("user_id")
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _LPA_HOUR_CAP)
+        .drop("_rn")
+    )
+    a = ev.select("h", F.col("user_id").alias("ua"))
+    c = ev.select("h", F.col("user_id").alias("ub"))
+    e0 = (
+        a.join(c, "h")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    edges = (
+        e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), "sh")
+        .unionAll(e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), "sh"))
+        .persist()
+    )
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import _cut_lineage
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    labels = edges.select(F.col("u").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    for _ in range(_LPA_ROUNDS):
+        w = Window.partitionBy("nv").orderBy(F.desc("s"), "label")
+        labels = _cut_lineage(
+            edges.join(labels, edges["v"] == labels["v"])
+            .groupBy(edges["u"].alias("nv"), "label")
+            .agg(F.sum("sh").alias("s"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("nv").alias("v"), "label"),
+            eager=scoped,
+        )
+    if scoped:
+        edges.unpersist()
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("v").cast("bigint").alias("min_node"),
+        )
+        .orderBy("community")
+    )
+
+
+# -- product-quantization assignment (the IVF-PQ building block) --------------
+# PQ splits each d-dim vector into M subvectors and snaps each to the
+# nearest of K codebook centroids -- the memory trick that makes
+# billion-scale ANN fit (d floats -> M bytes). The scale-critical shape:
+# the codebook is TINY (M x K x d/M) and rides the closure/broadcast;
+# the corpus is scanned ONCE with all M x K distances computed as codegen
+# expressions per row and the argmin taken as array_min over (dist, cid)
+# structs -- no explode, no corpus shuffle; only the M-per-vector
+# assignment rows reach the final (subspace, centroid) aggregate.
+# Codebook here = the first _PQ_K vectors' subvectors (deterministic
+# stand-in for a trained codebook; the assignment algebra is identical).
+# Per-dim squared diffs are quantized to the 1e-9 grid and decimal-summed
+# so both engines compute identical distances; ties break on centroid id.
+_PQ_M, _PQ_K = 4, 16
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_PQ_M}
+),
+dims AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         ((CAST(i AS INTEGER) - 1) * {_PQ_M}) // d AS sub,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM e, unnest(range(1, d + 1)) r(i)
+),
+cdims AS (
+  SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
+),
+dist AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) / 1e9
+                  AS DECIMAL(38,9))) AS d2
+  FROM dims v JOIN cdims c ON c.i = v.i AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, sub, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, cid) AS rk
+  FROM dist
+)
+SELECT sub AS subspace, cid AS centroid_id,
+       count(*) AS n_assigned,
+       floor(CAST(sum(d2) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         AS mean_distortion
+FROM assign WHERE rk = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("emb_pq_assign", oracle=_pq_oracle())
+def q_emb_pq_assign(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    emb = table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
+    # k-sized boundary collect (codebook = _PQ_K vectors), the same
+    # accepted pattern as quantile thresholds / ntile edges: the codebook
+    # is broadcast INSIDE the expressions, so the corpus never shuffles.
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cids = sorted(cents)
+
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+
+    def _sub_assign(s: int):
+        # slice bounds as expressions of the row's own dim count d:
+        # subspace s covers 1-based dims [floor(s*d/M)+1 .. floor((s+1)*d/M)]
+        d = F.size("embedding")
+        lo = F.floor(d * s / _PQ_M).cast("int") + 1
+        ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
+
+        def body(xs):
+            structs = []
+            for cid in cids:
+                cvec = cents[cid]
+                # the centroid's matching slice is taken at PLAN time per
+                # observed uniform d; guard: zip_with stops at the shorter
+                # side, and the oracle joins on exact dim index, so any
+                # length mismatch would surface as an oracle mismatch.
+                dlen = len(cvec)
+                clo = (dlen * s) // _PQ_M
+                chi = (dlen * (s + 1)) // _PQ_M
+                clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
+                # decimal(20,9): Spark's a+b widens to (21,9) -- still
+                # exact -- and the cast back keeps the accumulator type
+                # stable across iterations (a (38,9) accumulator would
+                # silently drop to scale 8 on the first addition)
+                d2 = F.aggregate(
+                    F.zip_with(
+                        xs,
+                        clit,
+                        lambda x, c: q9(
+                            (x.cast("double") - c) * (x.cast("double") - c)
+                        ).cast("decimal(20,9)"),
+                    ),
+                    F.lit(0).cast("decimal(20,9)"),
+                    lambda acc, v: (acc + v).cast("decimal(20,9)"),
+                )
+                structs.append(
+                    F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
+                )
+            return F.array_min(F.array(*structs))
+
+        return let(F.slice("embedding", lo, ln), body).alias(f"a{s}")
+
+    assigned = emb.select(
+        "vec_id", *[_sub_assign(s) for s in range(_PQ_M)]
+    ).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col(f"a{s}.cid").alias("cid"),
+                        F.col(f"a{s}.d2").alias("d2"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("z"),
+    )
+    return (
+        assigned.groupBy(
+            F.col("z.sub").alias("subspace"), F.col("z.cid").alias("centroid_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.floor(
+                    F.sum("z.d2").cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("mean_distortion"),
+        )
+        .orderBy("subspace", "centroid_id")
+    )

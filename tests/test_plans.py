@@ -386,3 +386,17 @@ def test_phash_dup_groups_decodes_via_map_in_pandas(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
     assert "hashpartitioning(phash" in plan, plan[:2000]
+
+
+def test_pq_assign_is_single_scan_no_join(spark, sf_dir):
+    """emb_pq_assign must keep the codebook in the expression tree
+    (broadcast-by-literal): one corpus scan, zero joins, no dim explode
+    -- the only Generate is the M-per-vector assignment explode, and the
+    only exchanges carry (subspace, centroid) aggregate rows, never the
+    corpus."""
+    q = registry()["emb_pq_assign"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in plan, plan[:2000]
+    assert tree.count("Scan parquet") == 1, plan[:2000]
+    assert tree.count("Generate") == 1, plan[:2000]
