@@ -193,6 +193,8 @@ HEADLINE = [
     "inc_minhash_new_batch",
     "inc_sessionize_rollforward",
     "graph_label_propagation",
+    "mm_scene_change",
+    "text_ndcg_eval",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -269,6 +271,8 @@ ITERATIVE = [
     "sample_curriculum_order",
     # PQ codebook is a k-sized boundary collect at build time
     "emb_pq_assign",
+    # two edge-binned layouts: boundary jobs at build time
+    "layout_zonemap_pruning",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -523,6 +527,9 @@ BUDGETS: dict[str, float] = {
     "inc_sessionize_rollforward": 1.00,
     "graph_label_propagation": 4.00,
     "emb_pq_assign": 6.65,
+    "mm_scene_change": 0.80,
+    "text_ndcg_eval": 1.35,
+    "layout_zonemap_pruning": 5.95,
 }
 
 

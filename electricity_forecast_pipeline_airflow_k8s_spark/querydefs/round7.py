@@ -563,3 +563,381 @@ def q_emb_pq_assign(spark: SparkSession, sf_dir: str):
         )
         .orderBy("subspace", "centroid_id")
     )
+
+
+# -- scene-change detection over sampled frames -------------------------------
+# Temporal segmentation for video-like payloads: sample frames (the same
+# offsets/plumbing as mm_frame_sample), derive a per-frame energy from
+# the frame digest (top 32 bits / 2^32 -- exact in double on both
+# engines), and cut a scene boundary wherever consecutive energies jump
+# by > 0.5. With a real codec the energy column is the decoded luma/RMS;
+# the lag-compare/segment-count algebra is identical. Scale: one scan,
+# per-media windows of <= _SC_MAX_FRAMES rows; output is a bounded
+# histogram of scenes-per-media.
+_SC_EVERY, _SC_MAX_FRAMES, _SC_JUMP = 256, 6, 0.5
+
+
+@register(
+    "mm_scene_change",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, strlen(text) AS n_bytes FROM documents
+  WHERE doc_id < 500 AND text IS NOT NULL
+),
+frames AS (
+  SELECT media_id,
+         unnest(list_slice(range(0, greatest(CAST(n_bytes AS BIGINT), 1),
+                                 {_SC_EVERY}), 1, {_SC_MAX_FRAMES}))
+           AS byte_offset
+  FROM m
+),
+energy AS (
+  SELECT media_id, byte_offset,
+         CAST(CAST('0x' || substr(
+                sha256(CAST(media_id AS VARCHAR) || ':'
+                       || CAST(byte_offset AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS DOUBLE) / 4294967296.0 AS e
+  FROM frames
+),
+marks AS (
+  SELECT media_id,
+         CASE WHEN abs(e - lag(e) OVER (PARTITION BY media_id
+                                        ORDER BY byte_offset))
+                   > {_SC_JUMP}
+              THEN 1 ELSE 0 END AS boundary
+  FROM energy
+),
+per_media AS (
+  SELECT media_id, 1 + sum(boundary) AS n_scenes, count(*) AS n_frames
+  FROM marks GROUP BY 1
+)
+SELECT CAST(n_scenes AS INTEGER) AS n_scenes,
+       count(*) AS n_media,
+       floor(count(*) * 1.0 / (SELECT count(*) FROM per_media)
+             * 10000 + 0.5) / 10000 AS pct_media
+FROM per_media GROUP BY 1 ORDER BY 1
+""",
+)
+def q_mm_scene_change(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") < 500) & F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    frames = sample_frames(
+        media, every_n_bytes=_SC_EVERY, max_frames=_SC_MAX_FRAMES
+    )
+    e = (
+        F.conv(F.substring("frame_sha256", 1, 8), 16, 10).cast("double")
+        / 4294967296.0
+    )
+    w = Window.partitionBy("media_id").orderBy("byte_offset")
+    marks = frames.select("media_id", "byte_offset", e.alias("e")).withColumn(
+        "boundary",
+        F.when(
+            F.abs(F.col("e") - F.lag("e").over(w)) > _SC_JUMP, 1
+        ).otherwise(0),
+    )
+    per_media = marks.groupBy("media_id").agg(
+        (1 + F.sum("boundary")).alias("n_scenes")
+    )
+    tot = per_media.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        per_media.groupBy(F.col("n_scenes").cast("int").alias("n_scenes"))
+        .agg(F.count(F.lit(1)).alias("n_media"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_scenes",
+            "n_media",
+            (
+                F.floor(F.col("n_media") * 1.0 / F.col("n_tot") * 10000 + 0.5)
+                / 10000
+            ).alias("pct_media"),
+        )
+        .orderBy("n_scenes")
+    )
+
+
+# -- retrieval-quality evaluation: nDCG@10 per query term ---------------------
+# The eval-metric counterpart of text_bm25_topk / sim_recall_eval: for
+# each probe term, rank candidate docs by single-term BM25 (rounded to
+# the 1e-4 grid BEFORE ranking, the same cross-engine tie discipline as
+# text_bm25_topk) and score the ranking against graded relevance
+# (rel = raw term frequency) with linear-gain nDCG@10. IDCG comes from
+# the relevance-ideal ordering of the same candidate set. Scale: the
+# per-term frames hold only docs CONTAINING the term (posting-list
+# sized, not corpus-sized), and both rankings are windows partitioned by
+# term -- no global window anywhere.
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) OVER () AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    melt = "\n  UNION ALL\n".join(
+        f"  SELECT '{term}' AS term, doc_id, dl, tf_{i} AS tf, df_{i} AS df,"
+        f" n_docs, avgdl FROM with_corpus WHERE tf_{i} > 0"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+per_doc AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM toks
+),
+with_corpus AS (
+  SELECT *,
+         count(*) OVER () AS n_docs,
+         sum(dl) OVER () * 1.0 / count(*) OVER () AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
+melted AS (
+{melt}
+),
+scored AS (
+  SELECT term, doc_id, tf AS rel,
+         floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl / avgdl))
+               * 10000 + 0.5) / 10000 AS s
+  FROM melted
+),
+ranked AS (
+  SELECT term, doc_id, rel,
+         row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rk,
+         row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id)
+           AS irk
+  FROM scored
+),
+sums AS (
+  SELECT term,
+         count(*) AS n_rel_docs,
+         sum(CASE WHEN rk <= {_NDCG_K}
+                  THEN rel / log2(rk + 1.0) ELSE 0 END) AS dcg_raw,
+         sum(CASE WHEN irk <= {_NDCG_K}
+                  THEN rel / log2(irk + 1.0) ELSE 0 END) AS idcg_raw
+  FROM ranked GROUP BY 1
+)
+SELECT term, CAST(n_rel_docs AS BIGINT) AS n_rel_docs,
+       floor(dcg_raw * 10000 + 0.5) / 10000 AS dcg_at_10,
+       floor(idcg_raw * 10000 + 0.5) / 10000 AS idcg_at_10,
+       floor(dcg_raw / idcg_raw * 10000 + 0.5) / 10000 AS ndcg_at_10
+FROM sums ORDER BY term
+"""
+
+
+@register("text_ndcg_eval", oracle=_ndcg_oracle())
+def q_text_ndcg_eval(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+
+    # closure factory, NOT a default-arg lambda: a 2-parameter lambda
+    # would make PySpark bind the second name to the element INDEX
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[
+            F.size(F.filter("t", _eq(term))).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    melted = None
+    for i, term in enumerate(_BM25_TERMS):
+        part = (
+            per_doc.filter(F.col(f"tf_{i}") > 0)
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                F.lit(term).alias("term"),
+                "doc_id",
+                "dl",
+                F.col(f"tf_{i}").alias("tf"),
+                F.col(f"df_{i}").alias("df"),
+                "n_docs",
+                "total_dl",
+            )
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    avgdl = F.col("total_dl") * 1.0 / F.col("n_docs")
+    score = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    scored = melted.select(
+        "term",
+        "doc_id",
+        F.col("tf").alias("rel"),
+        (F.floor(score * 10000 + 0.5) / 10000).alias("s"),
+    )
+    wr = Window.partitionBy("term").orderBy(F.desc("s"), "doc_id")
+    wi = Window.partitionBy("term").orderBy(F.desc("rel"), "doc_id")
+    ranked = scored.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "irk", F.row_number().over(wi)
+    )
+    gain = lambda rkcol: F.sum(  # noqa: E731
+        F.when(
+            F.col(rkcol) <= _NDCG_K,
+            F.col("rel") / F.log2(F.col(rkcol) + 1.0),
+        ).otherwise(F.lit(0.0))
+    )
+    sums = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_rel_docs"),
+        gain("rk").alias("dcg_raw"),
+        gain("irk").alias("idcg_raw"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return sums.select(
+        "term",
+        F.col("n_rel_docs").cast("bigint").alias("n_rel_docs"),
+        r4(F.col("dcg_raw")).alias("dcg_at_10"),
+        r4(F.col("idcg_raw")).alias("idcg_at_10"),
+        r4(F.col("dcg_raw") / F.col("idcg_raw")).alias("ndcg_at_10"),
+    ).orderBy("term")
+
+
+# -- zone-map file-skipping simulation ----------------------------------------
+# The lakehouse question layout_zorder_locality doesn't answer directly:
+# given a physical layout, how many FILES does a point lookup on a
+# non-layout column touch? Rows are packed into 64 equal files by
+# ntile_by_edges under two layouts (time-clustered vs custkey-clustered),
+# each file carries a (min, max) custkey zone map, and 20 evenly-spaced
+# probe keys count the files whose zone straddles them. The
+# custkey-sorted layout should prune to ~1 file/probe; the time-sorted
+# one scans nearly everything -- the quantified argument for sorting on
+# the lookup key. Scale: the layouts ride the distributed edge-binner
+# (no single-task window); zones are 64-row aggregates and the
+# probe x zone join is 20 x 64.
+_ZM_FILES, _ZM_PROBES = 64, 20
+
+
+def _zonemap_oracle() -> str:
+    layouts = {
+        "custkey_sorted": "c.o_custkey, c.o_orderkey",
+        "time_sorted": "c.o_orderdate, c.o_orderkey",
+    }
+    zone_rows = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS layout, f, min(o_custkey) AS zmin,"
+        f" max(o_custkey) AS zmax FROM ("
+        f"SELECT c.o_custkey, ntile({_ZM_FILES}) OVER (ORDER BY {order})"
+        f" AS f FROM orders c) GROUP BY 1, 2"
+        for name, order in layouts.items()
+    )
+    return f"""
+WITH zones AS (
+{zone_rows}
+),
+span AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders),
+probes AS (
+  SELECT cmin + CAST(floor(j * (cmax - cmin) / {_ZM_PROBES - 1}) AS BIGINT)
+           AS p
+  FROM span, unnest(range(0, {_ZM_PROBES})) r(j)
+),
+hits AS (
+  SELECT z.layout, p.p, count(*) AS n_files_hit
+  FROM probes p JOIN zones z ON p.p BETWEEN z.zmin AND z.zmax
+  GROUP BY 1, 2
+)
+SELECT layout,
+       CAST({_ZM_FILES} AS BIGINT) AS n_files,
+       floor(avg(n_files_hit) * 10000 + 0.5) / 10000 AS avg_files_scanned,
+       floor(avg(n_files_hit) / {_ZM_FILES} * 10000 + 0.5) / 10000
+         AS scan_pct
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("layout_zonemap_pruning", oracle=_zonemap_oracle())
+def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    orders = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    layouts = {
+        "custkey_sorted": ["o_custkey", "o_orderkey"],
+        "time_sorted": ["o_orderdate", "o_orderkey"],
+    }
+    zones = None
+    for name, order_cols in layouts.items():
+        tiled = ntile_by_edges(orders, order_cols, k=_ZM_FILES, tile_col="f")
+        z = tiled.groupBy("f").agg(
+            F.min("o_custkey").alias("zmin"), F.max("o_custkey").alias("zmax")
+        ).select(F.lit(name).alias("layout"), "f", "zmin", "zmax")
+        zones = z if zones is None else zones.unionAll(z)
+    span = orders.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax")
+    )
+    probes = span.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_ZM_PROBES - 1)),
+                lambda j: F.col("cmin")
+                + F.floor(
+                    j * (F.col("cmax") - F.col("cmin")) / (_ZM_PROBES - 1)
+                ).cast("long"),
+            )
+        ).alias("p")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(zones),
+            (F.col("p") >= F.col("zmin")) & (F.col("p") <= F.col("zmax")),
+        )
+        .groupBy("layout", "p")
+        .agg(F.count(F.lit(1)).alias("n_files_hit"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.lit(_ZM_FILES).cast("bigint").alias("n_files"),
+            r4(F.avg("n_files_hit")).alias("avg_files_scanned"),
+            r4(F.avg("n_files_hit") / _ZM_FILES).alias("scan_pct"),
+        )
+        .orderBy("layout")
+    )

@@ -133,3 +133,84 @@ def test_pq_assign_hand_model(tmp_path, spark):
     # every vector assigned in every subspace: 18 per subspace
     for s in range(4):
         assert sum(n for (ss, _), (n, _) in got.items() if ss == s) == 18
+
+
+def test_scene_change_short_docs_single_scene(tmp_path, spark):
+    """Docs shorter than the frame stride yield exactly one sampled frame
+    -> no lag pair -> exactly one scene, so the histogram is a single
+    (1, n, 1.0) row."""
+    sf = _write_docs(
+        tmp_path,
+        [(i, "short doc %d" % i, "en", "web", 12) for i in range(3)],
+    )
+    rows = queries()["mm_scene_change"](spark, sf).collect()
+    assert [(r["n_scenes"], r["n_media"], r["pct_media"]) for r in rows] == [
+        (1, 3, 1.0)
+    ]
+
+
+def test_scene_change_partitions_media(tmp_path, spark):
+    """Histogram covers every media exactly once and pct sums to 1."""
+    sf = _write_docs(
+        tmp_path,
+        [(i, "word " * (i * 150 + 5), "en", "web", 0) for i in range(8)],
+    )
+    rows = queries()["mm_scene_change"](spark, sf).collect()
+    assert sum(r["n_media"] for r in rows) == 8
+    assert abs(sum(r["pct_media"] for r in rows) - 1.0) < 1e-3
+
+
+def test_ndcg_perfect_ranking_is_one(tmp_path, spark):
+    """Equal-length docs with monotone tf: single-term BM25 is monotone in
+    tf at fixed dl, so the score ranking equals the relevance-ideal
+    ranking and nDCG@10 == 1.0 for every probe term present."""
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "spark spark spark pad1 pad2", "en", "web", 0),
+            (2, "spark spark pad1 pad2 pad3", "en", "web", 0),
+            (3, "spark pad1 pad2 pad3 pad4", "en", "web", 0),
+            (4, "join join join pad1 pad2", "en", "web", 0),
+            (5, "nothing relevant here at all", "en", "web", 0),
+        ],
+    )
+    got = {
+        r["term"]: (r["n_rel_docs"], r["ndcg_at_10"])
+        for r in queries()["text_ndcg_eval"](spark, sf).collect()
+    }
+    assert got["spark"] == (3, 1.0), got
+    assert got["join"] == (1, 1.0), got
+    assert "fast" not in got  # no candidate docs -> no row
+
+
+def test_zonemap_sorted_layout_prunes_to_one_file(tmp_path, spark):
+    """o_custkey == o_orderkey and o_orderdate cycling mod 7: the
+    custkey-sorted layout has contiguous disjoint zones (every probe hits
+    exactly 1 of the 64 files) while the date-cycled layout interleaves
+    custkeys so nearly every file straddles every probe."""
+    import datetime as dt
+
+    import pandas as pd
+
+    n = 6400
+    base = dt.datetime(2024, 1, 1)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_custkey": range(n),
+            "o_orderdate": [base + dt.timedelta(days=i % 7) for i in range(n)],
+        }
+    )
+    # micros precision: Spark's parquet reader rejects pandas' default
+    # nanosecond timestamps for non-events tables
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    df.to_parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["layout"]: (r["avg_files_scanned"], r["scan_pct"])
+        for r in queries()["layout_zonemap_pruning"](spark, str(tmp_path)).collect()
+    }
+    assert got["custkey_sorted"][0] == 1.0, got
+    # 7 date-stripes x stride-7 custkey interleave -> each probe lands in
+    # one ~stride-stripe per date group: an order of magnitude worse than
+    # the sorted layout (measured 11.4 files/probe)
+    assert got["time_sorted"][0] > 5 * got["custkey_sorted"][0], got
