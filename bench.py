@@ -273,6 +273,8 @@ ITERATIVE = [
     "emb_pq_assign",
     # two edge-binned layouts: boundary jobs at build time
     "layout_zonemap_pruning",
+    # codebook + query collects at build time
+    "sim_pq_adc_recall",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -530,6 +532,7 @@ BUDGETS: dict[str, float] = {
     "mm_scene_change": 0.80,
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
+    "sim_pq_adc_recall": 9.10,
 }
 
 

@@ -28,22 +28,24 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-7 window: the 14 queries whose
-# implementations are new or changed this round lead (8 new:
+# registration order per round). Round-7 window: the 15 queries whose
+# implementations are new or changed this round lead (9 new:
 # ml_ridge_lag1_parity, inc_minhash_new_batch, inc_sessionize_rollforward,
-# graph_label_propagation, emb_pq_assign, mm_scene_change, text_ndcg_eval,
-# layout_zonemap_pruning; 6 semantic/plan changes: sess_window_funnel
-# strict-range frame, rel_decile_lift edge-binned deciles,
-# graph_sssp_weighted hour-capped edges, text_bpe_merge_step scoped-cache
-# hygiene, emb_label_separability singleton guard, text_winnow_fingerprints
-# r6 rewrite never re-proven -- ADVICE r6), then the never-proven backlog
-# in registry order, then proven queries oldest-evidence-first.
-# Regenerate with tools/rotate_window.py.
+# graph_label_propagation, emb_pq_assign, sim_pq_adc_recall,
+# mm_scene_change, text_ndcg_eval, layout_zonemap_pruning; 6 semantic/plan
+# changes: sess_window_funnel strict-range frame, rel_decile_lift
+# edge-binned deciles, graph_sssp_weighted hour-capped edges,
+# text_bpe_merge_step scoped-cache hygiene, emb_label_separability
+# singleton guard, text_winnow_fingerprints r6 rewrite never re-proven --
+# ADVICE r6), then the never-proven backlog in registry order, then
+# proven queries oldest-evidence-first. Regenerate with
+# tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_minhash_new_batch",
     "inc_sessionize_rollforward",
     "graph_label_propagation",
     "emb_pq_assign",
+    "sim_pq_adc_recall",
     "mm_scene_change",
     "text_ndcg_eval",
     "layout_zonemap_pruning",

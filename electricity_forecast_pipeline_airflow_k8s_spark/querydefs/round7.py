@@ -941,3 +941,252 @@ def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
         )
         .orderBy("layout")
     )
+
+
+# -- PQ asymmetric-distance recall (the ANN accuracy audit) -------------------
+# The question emb_pq_assign doesn't answer: how much retrieval accuracy
+# does the M-byte PQ compression cost? For each probe query, rank the
+# corpus by ADC (asymmetric distance: query subvector -> the corpus
+# vector's ASSIGNED centroid, a 4-lookup sum instead of a d-dim scan)
+# and report |ADC top-10 ∩ exact-L2 top-10| / 10. Scale shape: corpus
+# codes come from the single-pass assignment (emb_pq_assign's plan); the
+# per-query ADC lookup tables (10 x 4 x 16 integers) and the query
+# vectors ride the closure as literals, so BOTH rankings are
+# broadcast-side -- the corpus never shuffles; only (query, vec, dist)
+# candidate rows reach the partitioned top-k windows. All distances are
+# 1e-9-grid integers, so rankings are bit-identical across engines.
+_ADC_NQ, _ADC_TOPK = 10, 10
+
+
+def _adc_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_PQ_M}
+),
+dims AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         ((CAST(i AS INTEGER) - 1) * {_PQ_M}) // d AS sub,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM e, unnest(range(1, d + 1)) r(i)
+),
+cdims AS (
+  SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
+),
+dist AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS d2
+  FROM dims v JOIN cdims c ON c.i = v.i AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+),
+adc_table AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         sum(CAST(floor((q.x - c.c) * (q.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS t
+  FROM dims q JOIN cdims c ON c.i = q.i AND c.sub = q.sub
+  WHERE q.vec_id < {_ADC_NQ}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id, sum(t.t) AS adist
+  FROM codes k JOIN adc_table t ON t.sub = k.sub AND t.cid = k.cid
+  WHERE k.vec_id != t.query_id
+  GROUP BY 1, 2
+),
+adc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rk
+    FROM adc
+  ) WHERE rk <= {_ADC_TOPK}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         sum(CAST(floor((q.x - v.x) * (q.x - v.x) * 1e9 + 0.5) AS BIGINT))
+           AS edist
+  FROM dims q JOIN dims v ON v.i = q.i
+  WHERE q.vec_id < {_ADC_NQ} AND v.vec_id != q.vec_id
+  GROUP BY 1, 2
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY edist, neighbor_id) AS rk
+    FROM exact
+  ) WHERE rk <= {_ADC_TOPK}
+)
+SELECT x.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+       floor(count(a.neighbor_id) * 1.0 / {_ADC_TOPK} * 10000 + 0.5) / 10000
+         AS recall_at_10
+FROM exact_top x LEFT JOIN adc_top a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("sim_pq_adc_recall", oracle=_adc_oracle())
+def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
+    import math
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    emb = table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
+    # two k-sized boundary collects: the 16-vector codebook and the 10
+    # probe queries (same accepted pattern as emb_pq_assign / thresholds)
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < max(_PQ_K, _ADC_NQ))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = {k: v for k, v in small.items() if k < _PQ_K}
+    queries_ = {k: v for k, v in small.items() if k < _ADC_NQ}
+    cids = sorted(cents)
+
+    def _q9i(a: float, b: float) -> int:
+        # the exact integer both engines compute: floor((a-b)^2*1e9+0.5)
+        return int(math.floor((a - b) * (a - b) * 1e9 + 0.5))
+
+    def _sub_bounds(dlen: int, s: int) -> tuple[int, int]:
+        return (dlen * s) // _PQ_M, (dlen * (s + 1)) // _PQ_M
+
+    # ADC lookup tables, integer units of 1e-9: T[q][s][cid]
+    adc_t = {
+        q: [
+            [
+                sum(
+                    _q9i(qv[i], cents[cid][i])
+                    for i in range(*_sub_bounds(len(qv), s))
+                )
+                for cid in cids
+            ]
+            for s in range(_PQ_M)
+        ]
+        for q, qv in queries_.items()
+    }
+
+    q9i = lambda c: F.floor(c * 1e9 + 0.5).cast("long")  # noqa: E731
+
+    def _code(s: int):
+        d = F.size("embedding")
+        lo = F.floor(d * s / _PQ_M).cast("int") + 1
+        ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
+
+        def body(xs):
+            structs = []
+            for cid in cids:
+                cvec = cents[cid]
+                clo, chi = _sub_bounds(len(cvec), s)
+                clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
+                d2 = F.aggregate(
+                    F.zip_with(
+                        xs,
+                        clit,
+                        lambda x, c: q9i(
+                            (x.cast("double") - c) * (x.cast("double") - c)
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+            return F.array_min(F.array(*structs)).getField("cid")
+
+        return let(F.slice("embedding", lo, ln), body).alias(f"c{s}")
+
+    coded = emb.select("vec_id", "embedding", *[_code(s) for s in range(_PQ_M)])
+
+    # approx side: 4 literal-array lookups per (vector, query)
+    # lookups cast to LONG before summing: table entries are 1e-9-grid
+    # integers that can exceed int32, and ANSI addExact would overflow
+    adc_structs = [
+        F.struct(
+            F.lit(q).alias("query_id"),
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(t).cast("long") for t in adc_t[q][s]]),
+                    F.col(f"c{s}") + 1,
+                )
+                for s in range(_PQ_M)
+            ).alias("adist"),
+        )
+        for q in sorted(queries_)
+    ]
+    adc = (
+        coded.select("vec_id", F.explode(F.array(*adc_structs)).alias("z"))
+        .select(
+            F.col("z.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("z.adist").alias("adist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wA = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    adc_top = adc.withColumn("rk", F.row_number().over(wA)).filter(
+        F.col("rk") <= _ADC_TOPK
+    )
+
+    # exact side: full-dim quantized L2 against the literal query vectors
+    def _edist(q: int):
+        qlit = F.array(*[F.lit(v) for v in queries_[q]])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                qlit,
+                lambda x, c: q9i((x.cast("double") - c) * (x.cast("double") - c)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    exact_structs = [
+        F.struct(F.lit(q).alias("query_id"), _edist(q).alias("edist"))
+        for q in sorted(queries_)
+    ]
+    exact = (
+        emb.select("vec_id", F.explode(F.array(*exact_structs)).alias("z"))
+        .select(
+            F.col("z.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("z.edist").alias("edist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wE = Window.partitionBy("query_id").orderBy("edist", "neighbor_id")
+    exact_top = exact.withColumn("rk", F.row_number().over(wE)).filter(
+        F.col("rk") <= _ADC_TOPK
+    )
+
+    joined = exact_top.select(
+        F.col("query_id").alias("xq"), F.col("neighbor_id").alias("xn")
+    ).join(
+        adc_top.select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        ),
+        (F.col("xq") == F.col("aq")) & (F.col("xn") == F.col("an")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("xq").alias("query_id"))
+        .agg(
+            F.count("an").cast("bigint").alias("n_matched"),
+            (
+                F.floor(F.count("an") * 1.0 / _ADC_TOPK * 10000 + 0.5) / 10000
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

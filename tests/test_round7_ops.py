@@ -214,3 +214,18 @@ def test_zonemap_sorted_layout_prunes_to_one_file(tmp_path, spark):
     # one ~stride-stripe per date group: an order of magnitude worse than
     # the sorted layout (measured 11.4 files/probe)
     assert got["time_sorted"][0] > 5 * got["custkey_sorted"][0], got
+
+
+def test_pq_adc_recall_exact_when_corpus_is_codebook(tmp_path, spark):
+    """When every corpus vector IS a centroid, PQ codes have zero
+    quantization error, so the ADC ranking equals the exact ranking and
+    recall@10 is 1.0 for every probe query."""
+    import pandas as pd
+
+    vecs = [
+        {"vec_id": j, "embedding": [float(j)] * 8, "label": 0} for j in range(16)
+    ]
+    pd.DataFrame(vecs).to_parquet(str(tmp_path / "embeddings.parquet"))
+    rows = queries()["sim_pq_adc_recall"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert all(r["recall_at_10"] == 1.0 and r["n_matched"] == 10 for r in rows), rows
