@@ -195,6 +195,7 @@ HEADLINE = [
     "graph_label_propagation",
     "mm_scene_change",
     "text_ndcg_eval",
+    "ml_forecast_next_lag1",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -533,6 +534,7 @@ BUDGETS: dict[str, float] = {
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
     "sim_pq_adc_recall": 9.10,
+    "ml_forecast_next_lag1": 1.90,
 }
 
 

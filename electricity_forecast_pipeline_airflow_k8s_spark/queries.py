@@ -28,9 +28,10 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-7 window: the 15 queries whose
-# implementations are new or changed this round lead (9 new:
-# ml_ridge_lag1_parity, inc_minhash_new_batch, inc_sessionize_rollforward,
+# registration order per round). Round-7 window: the 16 queries whose
+# implementations are new or changed this round lead (10 new:
+# ml_ridge_lag1_parity + ml_forecast_next_lag1 (the reduced-dim ML-edge
+# twins), inc_minhash_new_batch, inc_sessionize_rollforward,
 # graph_label_propagation, emb_pq_assign, sim_pq_adc_recall,
 # mm_scene_change, text_ndcg_eval, layout_zonemap_pruning; 6 semantic/plan
 # changes: sess_window_funnel strict-range frame, rel_decile_lift
@@ -50,6 +51,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_ndcg_eval",
     "layout_zonemap_pruning",
     "ml_ridge_lag1_parity",
+    "ml_forecast_next_lag1",
     "sess_window_funnel",  # last green r6
     "rel_decile_lift",  # last green r5
     "graph_sssp_weighted",  # last green r6

@@ -535,3 +535,100 @@ def q_ml_ridge_lag1_parity(spark: SparkSession, sf_dir: str):
         F.col("n_test_windows").cast("bigint").alias("n_test_windows"),
         portable_round("mse", 2).alias("test_mse"),
     ).orderBy("respondent")
+
+
+# Second reduced-dim twin (round 7): the INFERENCE edge. ml_forecast_next
+# is rows-only because its 48-lag ridge forecast can't be SQL-replayed;
+# this twin drives the identical path -- tail_window picks the latest
+# train window, predict_per_group runs the Arrow-batched pandas UDF,
+# forecast_rows explodes to (respondent, hour, predicted_load) -- at
+# lookback=1/horizon=1 where the prediction is the closed form
+# w1 * x_last + w0 from the same 2x2 ridge solution as
+# ml_ridge_lag1_parity. Together the two twins hash-prove every ML-edge
+# code path (fit, predict, tail-window selection, row explode) that the
+# full-dimension rows-only entries exercise.
+@register(
+    "ml_forecast_next_lag1",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type AS respondent, ts::TIMESTAMP AS period, event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT respondent, value,
+         row_number() OVER (PARTITION BY respondent
+                            ORDER BY period, event_id) AS rn,
+         count(*) OVER (PARTITION BY respondent) AS n
+  FROM ev
+),
+tr AS (
+  SELECT respondent, value, rn, CAST(floor(n * 0.7) AS BIGINT) AS n_tr
+  FROM o WHERE rn <= floor(n * 0.7)
+),
+pairs AS (
+  SELECT respondent, n_tr, rn, value AS x,
+         lead(value) OVER (PARTITION BY respondent ORDER BY rn) AS y
+  FROM tr
+),
+p AS (SELECT * FROM pairs WHERE y IS NOT NULL),
+m AS (
+  SELECT respondent, count(*) AS n_train,
+         sum(x * x) AS sxx, sum(x) AS sx, sum(x * y) AS sxy, sum(y) AS sy
+  FROM p GROUP BY 1
+),
+wt AS (
+  SELECT respondent,
+         ((n_train + {_RIDGE1_ALPHA}) * sxy - sx * sy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w1,
+         ((sxx + {_RIDGE1_ALPHA}) * sy - sx * sxy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w0
+  FROM m
+),
+last_x AS (
+  SELECT respondent, value AS x_last FROM tr WHERE rn = n_tr - 1
+)
+SELECT w.respondent, CAST(1 AS INTEGER) AS hour,
+       {portable_round_sql("w.w1 * l.x_last + w.w0", 4)} AS predicted_load
+FROM wt w JOIN last_x l ON l.respondent = w.respondent
+ORDER BY 1
+""",
+)
+def q_ml_forecast_next_lag1(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("respondent"),
+            F.col("ts").alias("period"),
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    split = chronological_split(ev, tiebreak_cols=("event_id",))
+    wins = sequence_windows(
+        split,
+        lookback=1,
+        horizon=1,
+        tiebreak_cols=("event_id",),
+        extra_partition_cols=("split",),
+    )
+    params = fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
+    # tail_window orders on window_start alone (the windows frame carries
+    # no tiebreak column -- same surface as ml_forecast_next); verified
+    # tie-free in the fixtures: zero duplicate (event_type, ts) pairs at
+    # sf0.001/0.01/0.1, so the pick equals the oracle's rn = n_tr - 1 row.
+    latest = tail_window(
+        wins.filter(F.col("split") == "train"),
+        group_col="respondent",
+        ts_col="window_start",
+        n=1,
+    ).select("respondent", "x")
+    out = forecast_rows(predict_per_group(latest, params))
+    return out.select(
+        "respondent",
+        F.col("hour").cast("int").alias("hour"),
+        portable_round("predicted_load", 4).alias("predicted_load"),
+    ).orderBy("respondent")
