@@ -581,3 +581,91 @@ def test_ntile_by_edges_equals_window_ntile(spark, n, k, n_keys):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in expect.collect())
     assert a == b
+
+
+def test_ntile_by_edges_assert_total_order_raises(spark):
+    """The opt-in uniqueness check must reject ANY duplicated key tuple,
+    including ones that straddle a single bucket boundary (which the
+    built-in boundary-duplicate guard cannot see) -- ADVICE r6."""
+    import pytest
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    dup = spark.range(0, 10).select((F.col("id") % 9).alias("key"))
+    with pytest.raises(ValueError, match="not a total order"):
+        ntile_by_edges(dup, ["key"], k=3, tile_col="t", assert_total_order=True)
+    # unique keys pass with the check enabled
+    ok = ntile_by_edges(
+        spark.range(0, 10).select(F.col("id").alias("key")),
+        ["key"],
+        k=3,
+        tile_col="t",
+        assert_total_order=True,
+    )
+    assert ok.count() == 10
+
+
+@given(
+    gaps=st.lists(
+        st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_inc_sessionize_equals_full_recompute(spark, tmp_path_factory, gaps):
+    """Incremental == full, property-tested: random per-user gap
+    sequences (hours) around the 2024-01-20 cut; the derived session
+    count (old + new - merged) must equal an independent pure-Python
+    sessionization of the same events at the 8 h timeout."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    cut = dt.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    events_per_user = []
+    for uid, user_gaps in enumerate(gaps):
+        # anchor each user so their events straddle the cut
+        t = cut - dt.timedelta(hours=sum(user_gaps) // 2 + 1)
+        times = [t]
+        for g in user_gaps:
+            t = t + dt.timedelta(hours=g)
+            times.append(t)
+        events_per_user.append(times)
+        for ts in times:
+            rows.append((eid, ts, uid, "view", 1.0, "{}"))
+            eid += 1
+
+    # independent full-recompute model (pure python, 8h timeout)
+    timeout = dt.timedelta(hours=8)
+    n_sessions = 0
+    for times in events_per_user:
+        prev = None
+        for ts in sorted(times):
+            if prev is None or ts - prev > timeout:
+                n_sessions += 1
+            prev = ts
+
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("incsess")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(d / "events.parquet"))
+    r = queries()["inc_sessionize_rollforward"](spark, str(d)).collect()[0]
+    assert r["n_sessions"] == n_sessions, (r, n_sessions)
+    assert (
+        r["n_sessions_old"] + r["n_sessions_new"] - r["n_boundary_merges"]
+        == n_sessions
+    )
+
+
+def test_label_propagation_deterministic(spark, sf_dir):
+    """Two runs over the same input produce identical communities (the
+    integer weights + min-label tie-break leave no nondeterminism)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    a = sorted(tuple(r) for r in queries()["graph_label_propagation"](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in queries()["graph_label_propagation"](spark, sf_dir).collect())
+    assert a == b and a
