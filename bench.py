@@ -512,7 +512,10 @@ BUDGETS: dict[str, float] = {
     "dedup_winnow_shared_spans": 1.50,
     "sess_window_funnel": 1.70,
     "val_mutual_information": 1.30,
-    "graph_sssp_weighted": 3.20,
+    # r7 re-baseline: under the lazy-bracket convention the persisted
+    # edge frame is plan-cache-reused across iterations, so the recorded
+    # best is 0.14 s -- the old 3.20 came from a cold first-measurement
+    "graph_sssp_weighted": 0.60,
     "ts_psi_weekly_trend": 1.70,
     "emb_cosine_pair_histogram": 1.00,
     "val_simpson_slope_reversal": 1.00,
@@ -528,7 +531,9 @@ BUDGETS: dict[str, float] = {
     "ml_ridge_lag1_parity": 2.10,
     "inc_minhash_new_batch": 1.00,
     "inc_sessionize_rollforward": 1.00,
-    "graph_label_propagation": 4.00,
+    # r7 re-baseline: same plan-cache reuse as sssp (recorded best 0.16;
+    # the 4.00 was a cold wall-clock first measurement)
+    "graph_label_propagation": 0.60,
     "emb_pq_assign": 6.65,
     "mm_scene_change": 0.80,
     "text_ndcg_eval": 1.35,
