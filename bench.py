@@ -276,6 +276,7 @@ ITERATIVE = [
     "layout_zonemap_pruning",
     # codebook + query collects at build time
     "sim_pq_adc_recall",
+    "sim_ivfpq_recall",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -539,6 +540,7 @@ BUDGETS: dict[str, float] = {
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
     "sim_pq_adc_recall": 9.10,
+    "sim_ivfpq_recall": 11.95,
     "ml_forecast_next_lag1": 1.90,
 }
 

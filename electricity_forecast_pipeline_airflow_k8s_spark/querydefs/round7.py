@@ -1036,17 +1036,24 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@register("sim_pq_adc_recall", oracle=_adc_oracle())
-def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
+# -- shared PQ machinery (used by sim_pq_adc_recall and sim_ivfpq_recall) ----
+_PQ_Q9I = lambda c: F.floor(c * 1e9 + 0.5).cast("long")  # noqa: E731
+
+
+def _pq_q9i_int(a: float, b: float) -> int:
+    # the exact integer both engines compute: floor((a-b)^2*1e9+0.5)
     import math
 
-    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+    return int(math.floor((a - b) * (a - b) * 1e9 + 0.5))
 
-    emb = table(spark, "embeddings", sf_dir).filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
-    )
-    # two k-sized boundary collects: the 16-vector codebook and the 10
-    # probe queries (same accepted pattern as emb_pq_assign / thresholds)
+
+def _pq_sub_bounds(dlen: int, s: int) -> tuple[int, int]:
+    return (dlen * s) // _PQ_M, (dlen * (s + 1)) // _PQ_M
+
+
+def _pq_collect_small(emb):
+    """Two k-sized boundary collects in one pass: the 16-vector codebook
+    and the 10 probe queries (same accepted pattern as thresholds)."""
     small = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < max(_PQ_K, _ADC_NQ))
@@ -1055,22 +1062,17 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
     }
     cents = {k: v for k, v in small.items() if k < _PQ_K}
     queries_ = {k: v for k, v in small.items() if k < _ADC_NQ}
-    cids = sorted(cents)
+    return cents, queries_, sorted(cents)
 
-    def _q9i(a: float, b: float) -> int:
-        # the exact integer both engines compute: floor((a-b)^2*1e9+0.5)
-        return int(math.floor((a - b) * (a - b) * 1e9 + 0.5))
 
-    def _sub_bounds(dlen: int, s: int) -> tuple[int, int]:
-        return (dlen * s) // _PQ_M, (dlen * (s + 1)) // _PQ_M
-
-    # ADC lookup tables, integer units of 1e-9: T[q][s][cid]
-    adc_t = {
+def _pq_adc_tables(queries_, cents, cids):
+    """ADC lookup tables, integer units of 1e-9: T[q][s][cid]."""
+    return {
         q: [
             [
                 sum(
-                    _q9i(qv[i], cents[cid][i])
-                    for i in range(*_sub_bounds(len(qv), s))
+                    _pq_q9i_int(qv[i], cents[cid][i])
+                    for i in range(*_pq_sub_bounds(len(qv), s))
                 )
                 for cid in cids
             ]
@@ -1079,36 +1081,90 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
         for q, qv in queries_.items()
     }
 
-    q9i = lambda c: F.floor(c * 1e9 + 0.5).cast("long")  # noqa: E731
 
-    def _code(s: int):
-        d = F.size("embedding")
-        lo = F.floor(d * s / _PQ_M).cast("int") + 1
-        ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
+def _pq_code_col(cents, cids, s: int):
+    """Per-row PQ code for subspace s (HOF form -- the unrolled-codegen
+    variant was tried and measured 3-5x SLOWER: the giant expression
+    trees fail to compile and fall back to per-node interpretation;
+    see SCALING.md 'PQ unroll experiment')."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
 
-        def body(xs):
-            structs = []
-            for cid in cids:
-                cvec = cents[cid]
-                clo, chi = _sub_bounds(len(cvec), s)
-                clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
-                d2 = F.aggregate(
-                    F.zip_with(
-                        xs,
-                        clit,
-                        lambda x, c: q9i(
-                            (x.cast("double") - c) * (x.cast("double") - c)
-                        ),
+    d = F.size("embedding")
+    lo = F.floor(d * s / _PQ_M).cast("int") + 1
+    ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
+
+    def body(xs):
+        structs = []
+        for cid in cids:
+            cvec = cents[cid]
+            clo, chi = _pq_sub_bounds(len(cvec), s)
+            clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
+            d2 = F.aggregate(
+                F.zip_with(
+                    xs,
+                    clit,
+                    lambda x, c: _PQ_Q9I(
+                        (x.cast("double") - c) * (x.cast("double") - c)
                     ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-            return F.array_min(F.array(*structs)).getField("cid")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        return F.array_min(F.array(*structs)).getField("cid")
 
-        return let(F.slice("embedding", lo, ln), body).alias(f"c{s}")
+    return let(F.slice("embedding", lo, ln), body).alias(f"c{s}")
 
-    coded = emb.select("vec_id", "embedding", *[_code(s) for s in range(_PQ_M)])
+
+def _pq_exact_top(emb, queries_, k: int):
+    """Exact quantized-L2 top-k per probe query over the full corpus:
+    (query_id, neighbor_id) for ranks <= k."""
+
+    def _edist(q: int):
+        qlit = F.array(*[F.lit(v) for v in queries_[q]])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                qlit,
+                lambda x, c: _PQ_Q9I(
+                    (x.cast("double") - c) * (x.cast("double") - c)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    exact_structs = [
+        F.struct(F.lit(q).alias("query_id"), _edist(q).alias("edist"))
+        for q in sorted(queries_)
+    ]
+    exact = (
+        emb.select("vec_id", F.explode(F.array(*exact_structs)).alias("z"))
+        .select(
+            F.col("z.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("z.edist").alias("edist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wE = Window.partitionBy("query_id").orderBy("edist", "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(wE))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register("sim_pq_adc_recall", oracle=_adc_oracle())
+def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
+    emb = table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
+    cents, queries_, cids = _pq_collect_small(emb)
+    adc_t = _pq_adc_tables(queries_, cents, cids)
+    coded = emb.select(
+        "vec_id", "embedding", *[_pq_code_col(cents, cids, s) for s in range(_PQ_M)]
+    )
 
     # approx side: 4 literal-array lookups per (vector, query)
     # lookups cast to LONG before summing: table entries are 1e-9-grid
@@ -1140,36 +1196,7 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
         F.col("rk") <= _ADC_TOPK
     )
 
-    # exact side: full-dim quantized L2 against the literal query vectors
-    def _edist(q: int):
-        qlit = F.array(*[F.lit(v) for v in queries_[q]])
-        return F.aggregate(
-            F.zip_with(
-                "embedding",
-                qlit,
-                lambda x, c: q9i((x.cast("double") - c) * (x.cast("double") - c)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    exact_structs = [
-        F.struct(F.lit(q).alias("query_id"), _edist(q).alias("edist"))
-        for q in sorted(queries_)
-    ]
-    exact = (
-        emb.select("vec_id", F.explode(F.array(*exact_structs)).alias("z"))
-        .select(
-            F.col("z.query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("z.edist").alias("edist"),
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    wE = Window.partitionBy("query_id").orderBy("edist", "neighbor_id")
-    exact_top = exact.withColumn("rk", F.row_number().over(wE)).filter(
-        F.col("rk") <= _ADC_TOPK
-    )
+    exact_top = _pq_exact_top(emb, queries_, _ADC_TOPK)
 
     joined = exact_top.select(
         F.col("query_id").alias("xq"), F.col("neighbor_id").alias("xn")
@@ -1187,6 +1214,245 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
             (
                 F.floor(F.count("an") * 1.0 / _ADC_TOPK * 10000 + 0.5) / 10000
             ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# -- IVF + PQ composed: the production ANN query ------------------------------
+# sim_topk_ivf prunes the corpus by coarse clusters; sim_pq_adc_recall
+# compresses distances to 4 lookups. This composes them the way a real
+# billion-scale index answers a query: probe the _IVFPQ_NPROBE nearest
+# cluster centroids, then rank ONLY the probed clusters' vectors by ADC,
+# and score the result against the exact-L2 top-k. Output per query:
+# candidate-set size (the pruning factor) and recall@5 (the accuracy
+# cost of pruning + compression combined). Scale shape: centroids are a
+# (clusters x d) aggregate, probes are a tiny broadcast, PQ codes come
+# from the single corpus pass, and only probed-cluster candidate rows
+# carry ADC sums into the per-query top-k window -- the corpus itself
+# never shuffles and all ADC/exact distances are 1e-9-grid integers.
+_IVFPQ_NPROBE, _IVFPQ_K = 3, 5
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, len(embedding) AS d FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_PQ_M}
+),
+dims AS (
+  SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+         ((CAST(i AS INTEGER) - 1) * {_PQ_M}) // d AS sub,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM e, unnest(range(1, d + 1)) r(i)
+),
+cdims AS (
+  SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
+),
+dist AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS d2
+  FROM dims v JOIN cdims c ON c.i = v.i AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+),
+adc_table AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         sum(CAST(floor((q.x - c.c) * (q.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS t
+  FROM dims q JOIN cdims c ON c.i = q.i AND c.sub = q.sub
+  WHERE q.vec_id < {_ADC_NQ}
+  GROUP BY 1, 2, 3
+),
+centroids AS (
+  SELECT label AS cluster, i, avg(x) AS cx FROM dims GROUP BY 1, 2
+),
+probe_scores AS (
+  SELECT q.vec_id AS query_id, c.cluster,
+         sum(q.x * c.cx)
+           / NULLIF(sqrt(sum(q.x * q.x)) * sqrt(sum(c.cx * c.cx)), 0)
+           AS sim
+  FROM dims q JOIN centroids c ON c.i = q.i
+  WHERE q.vec_id < {_ADC_NQ}
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cluster) AS prank
+    FROM probe_scores
+  ) WHERE prank <= {_IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, k.vec_id AS neighbor_id, sum(t.t) AS adist
+  FROM probes p
+  JOIN e c ON c.label = p.cluster AND c.vec_id != p.query_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN adc_table t ON t.query_id = p.query_id AND t.sub = k.sub
+                  AND t.cid = k.cid
+  GROUP BY 1, 2
+),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+ivf_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rk
+    FROM cand
+  ) WHERE rk <= {_IVFPQ_K}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         sum(CAST(floor((q.x - v.x) * (q.x - v.x) * 1e9 + 0.5) AS BIGINT))
+           AS edist
+  FROM dims q JOIN dims v ON v.i = q.i
+  WHERE q.vec_id < {_ADC_NQ} AND v.vec_id != q.vec_id
+  GROUP BY 1, 2
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY edist, neighbor_id) AS rk
+    FROM exact
+  ) WHERE rk <= {_IVFPQ_K}
+)
+SELECT x.query_id,
+       CAST(n.n_candidates AS BIGINT) AS n_candidates,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+       floor(count(a.neighbor_id) * 1.0 / {_IVFPQ_K} * 10000 + 0.5) / 10000
+         AS recall_at_5
+FROM exact_top x
+LEFT JOIN ivf_top a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+JOIN ncand n ON n.query_id = x.query_id
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@register("sim_ivfpq_recall", oracle=_ivfpq_oracle())
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str):
+    from itertools import chain
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import as_double
+
+    emb = table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
+    cents, queries_, cids = _pq_collect_small(emb)
+    adc_t = _pq_adc_tables(queries_, cents, cids)
+
+    # coarse probe: per-cluster mean centroids (clusters x d aggregate),
+    # query-to-centroid cosine, top _IVFPQ_NPROBE clusters per query --
+    # the same centroid/probe algebra as operators/similarity.ivf_topk
+    dimsdf = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    centroids = dimsdf.groupBy(F.col("label").alias("cluster"), "pos").agg(
+        F.avg("x").alias("cx")
+    )
+    qdims = dimsdf.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+    probe_scores = (
+        qdims.join(centroids, "pos")
+        .groupBy("query_id", "cluster")
+        .agg(
+            # try_divide: a zero-norm query or centroid yields NULL sim
+            # (sorts last under DESC on both engines) instead of an ANSI
+            # divide-by-zero crash / a DuckDB inf divergence
+            F.try_divide(
+                F.sum(F.col("qx") * F.col("cx")),
+                F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                * F.sqrt(F.sum(F.col("cx") * F.col("cx"))),
+            ).alias("sim")
+        )
+    )
+    wP = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cluster")
+    probes = (
+        probe_scores.withColumn("prank", F.row_number().over(wP))
+        .filter(F.col("prank") <= _IVFPQ_NPROBE)
+        .select("query_id", "cluster")
+    )
+
+    # PQ codes once per corpus row, then candidates = probed clusters only
+    coded = emb.select(
+        "vec_id",
+        "label",
+        *[_pq_code_col(cents, cids, s) for s in range(_PQ_M)],
+    )
+    cand = coded.join(
+        F.broadcast(probes),
+        (coded["label"] == probes["cluster"])
+        & (coded["vec_id"] != probes["query_id"]),
+    )
+    # ADC via map-literal lookups: query_id -> per-subspace table row
+    maps = [
+        F.create_map(
+            *chain.from_iterable(
+                (
+                    F.lit(q),
+                    F.array(*[F.lit(t).cast("long") for t in adc_t[q][s]]),
+                )
+                for q in sorted(queries_)
+            )
+        )
+        for s in range(_PQ_M)
+    ]
+    adist = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            F.element_at(maps[s], F.col("query_id")), F.col(f"c{s}") + 1
+        )
+        adist = term if adist is None else adist + term
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist")
+    )
+    wA = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    ivf_top = (
+        scored.withColumn("rk", F.row_number().over(wA))
+        .filter(F.col("rk") <= _IVFPQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+
+    exact_top = _pq_exact_top(emb, queries_, _IVFPQ_K)
+
+    joined = exact_top.select(
+        F.col("query_id").alias("xq"), F.col("neighbor_id").alias("xn")
+    ).join(
+        ivf_top.select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        ),
+        (F.col("xq") == F.col("aq")) & (F.col("xn") == F.col("an")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("xq").alias("query_id"))
+        .agg(
+            F.count("an").cast("bigint").alias("n_matched"),
+            (
+                F.floor(F.count("an") * 1.0 / _IVFPQ_K * 10000 + 0.5) / 10000
+            ).alias("recall_at_5"),
+        )
+        .join(ncand, "query_id")
+        .select(
+            "query_id",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            "n_matched",
+            "recall_at_5",
         )
         .orderBy("query_id")
     )

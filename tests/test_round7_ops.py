@@ -229,3 +229,22 @@ def test_pq_adc_recall_exact_when_corpus_is_codebook(tmp_path, spark):
     rows = queries()["sim_pq_adc_recall"](spark, str(tmp_path)).collect()
     assert len(rows) == 10
     assert all(r["recall_at_10"] == 1.0 and r["n_matched"] == 10 for r in rows), rows
+
+
+def test_ivfpq_recall_exact_when_single_cluster_codebook(tmp_path, spark):
+    """All 16 codebook vectors in ONE cluster: the probe trivially selects
+    it, the candidate set is the whole corpus, and zero-quantization-error
+    ADC equals exact L2 -> recall@5 is 1.0 for every query with 15
+    candidates each."""
+    import pandas as pd
+
+    vecs = [
+        {"vec_id": j, "embedding": [float(j)] * 8, "label": 0} for j in range(16)
+    ]
+    pd.DataFrame(vecs).to_parquet(str(tmp_path / "embeddings.parquet"))
+    rows = queries()["sim_ivfpq_recall"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert all(
+        r["recall_at_5"] == 1.0 and r["n_matched"] == 5 and r["n_candidates"] == 15
+        for r in rows
+    ), rows
