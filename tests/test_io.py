@@ -83,3 +83,20 @@ def test_events_as_readings_mapping(spark, sf_dir):
     r = events_as_readings(ev)
     assert set(r.columns) == {"period", "respondent", "value"}
     assert r.count() == ev.count()
+
+
+def test_orc_roundtrip_preserves_normalized_frame(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively: a
+    normalized frame written as ORC must read back value-identical
+    (schema + rows), same contract as the CSV/JSON round-trips."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, -2.25)],
+        "id long, name string, score double",
+    ).withColumn("flag", F.col("id") % 2 == 0)
+    path = str(tmp_path / "roundtrip.orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
