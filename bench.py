@@ -535,12 +535,14 @@ BUDGETS: dict[str, float] = {
     # r7 re-baseline: same plan-cache reuse as sssp (recorded best 0.16;
     # the 4.00 was a cold wall-clock first measurement)
     "graph_label_propagation": 0.60,
-    "emb_pq_assign": 6.65,
+    "emb_pq_assign": 2.10,  # r7 reshape: best 1.40 (was 4.43 HOF form)
     "mm_scene_change": 0.80,
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
-    "sim_pq_adc_recall": 9.10,
-    "sim_ivfpq_recall": 11.95,
+    # r7 reshape (HOF lambdas -> posexplode + codegen hash-agg, SCALING.md
+    # "distance-computation shape"): bests 1.40 / 3.61 / 4.56
+    "sim_pq_adc_recall": 5.40,
+    "sim_ivfpq_recall": 6.85,
     "ml_forecast_next_lag1": 1.90,
 }
 

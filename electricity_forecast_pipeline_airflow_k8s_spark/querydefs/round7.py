@@ -470,16 +470,53 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Distance-computation shape, third iteration (measured at sf0.1):
+#   1. zip_with/aggregate HOFs per (subspace, centroid): 4.5 s -- HOFs are
+#      CodegenFallback, so every per-dim term is an interpreted lambda call.
+#   2. fully unrolled F.get expression chains: 17.8 s -- the giant trees
+#      fail Janino compilation and fall back to per-NODE interpretation
+#      (SCALING.md "PQ unroll experiment").
+#   3. posexplode dims -> K codegen sum-aggregates grouped by (vec, sub):
+#      1.8 s and bit-identical (integer sums are order-free). The explode
+#      never materializes: scan -> Generate -> partial hash-agg sit in one
+#      whole-stage-codegen stage, and the shuffle moves only the
+#      map-side-combined (vec, sub) rows (M per vector). This is the form
+#      all three PQ queries share below.
+def _pq_best_frame(emb, cents, cids, extra_cols=()):
+    """Per (vec_id[, extra], subspace): the argmin (d2, cid) struct over
+    the codebook, distances as 1e-9-grid LONG sums."""
+    rows = emb.select(
+        "vec_id",
+        *extra_cols,
+        F.size("embedding").alias("d"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    sub = F.floor(F.col("i") * _PQ_M / F.col("d")).cast("int")
+    aggs = []
+    for cid in cids:
+        clit = F.array(*[F.lit(v) for v in cents[cid]])
+        diff = F.col("x").cast("double") - F.get(clit, F.col("i"))
+        aggs.append(F.sum(_PQ_Q9I(diff * diff)).alias(f"d2_{cid}"))
+    per = rows.groupBy("vec_id", *extra_cols, sub.alias("sub")).agg(*aggs)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(F.col(f"d2_{cid}").alias("d2"), F.lit(cid).alias("cid"))
+                for cid in cids
+            ]
+        )
+    )
+    return per.select("vec_id", *extra_cols, "sub", best.alias("best"))
+
+
 @register("emb_pq_assign", oracle=_pq_oracle())
 def q_emb_pq_assign(spark: SparkSession, sf_dir: str):
-    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
-
     emb = table(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
     )
     # k-sized boundary collect (codebook = _PQ_K vectors), the same
     # accepted pattern as quantile thresholds / ntile edges: the codebook
-    # is broadcast INSIDE the expressions, so the corpus never shuffles.
+    # is broadcast INSIDE the expressions -- no join anywhere.
     cents = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < _PQ_K)
@@ -487,76 +524,23 @@ def q_emb_pq_assign(spark: SparkSession, sf_dir: str):
         .collect()
     }
     cids = sorted(cents)
-
-    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
-
-    def _sub_assign(s: int):
-        # slice bounds as expressions of the row's own dim count d:
-        # subspace s covers 1-based dims [floor(s*d/M)+1 .. floor((s+1)*d/M)]
-        d = F.size("embedding")
-        lo = F.floor(d * s / _PQ_M).cast("int") + 1
-        ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
-
-        def body(xs):
-            structs = []
-            for cid in cids:
-                cvec = cents[cid]
-                # the centroid's matching slice is taken at PLAN time per
-                # observed uniform d; guard: zip_with stops at the shorter
-                # side, and the oracle joins on exact dim index, so any
-                # length mismatch would surface as an oracle mismatch.
-                dlen = len(cvec)
-                clo = (dlen * s) // _PQ_M
-                chi = (dlen * (s + 1)) // _PQ_M
-                clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
-                # decimal(20,9): Spark's a+b widens to (21,9) -- still
-                # exact -- and the cast back keeps the accumulator type
-                # stable across iterations (a (38,9) accumulator would
-                # silently drop to scale 8 on the first addition)
-                d2 = F.aggregate(
-                    F.zip_with(
-                        xs,
-                        clit,
-                        lambda x, c: q9(
-                            (x.cast("double") - c) * (x.cast("double") - c)
-                        ).cast("decimal(20,9)"),
-                    ),
-                    F.lit(0).cast("decimal(20,9)"),
-                    lambda acc, v: (acc + v).cast("decimal(20,9)"),
-                )
-                structs.append(
-                    F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
-                )
-            return F.array_min(F.array(*structs))
-
-        return let(F.slice("embedding", lo, ln), body).alias(f"a{s}")
-
-    assigned = emb.select(
-        "vec_id", *[_sub_assign(s) for s in range(_PQ_M)]
-    ).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.col(f"a{s}.cid").alias("cid"),
-                        F.col(f"a{s}.d2").alias("d2"),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("z"),
-    )
+    bestf = _pq_best_frame(emb, cents, cids)
     return (
-        assigned.groupBy(
-            F.col("z.sub").alias("subspace"), F.col("z.cid").alias("centroid_id")
+        bestf.groupBy(
+            F.col("sub").alias("subspace"), F.col("best.cid").alias("centroid_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
+            # exact long sum of 1e-9 units; sums stay < 2^53, so
+            # double(S)/1e9 is the same single-rounded value as the
+            # oracle's CAST(decimal-sum AS DOUBLE)
             (
                 F.floor(
-                    F.sum("z.d2").cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                    F.sum("best.d2").cast("double")
+                    / 1e9
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
                 )
                 / 1e6
             ).alias("mean_distortion"),
@@ -1082,67 +1066,49 @@ def _pq_adc_tables(queries_, cents, cids):
     }
 
 
-def _pq_code_col(cents, cids, s: int):
-    """Per-row PQ code for subspace s (HOF form -- the unrolled-codegen
-    variant was tried and measured 3-5x SLOWER: the giant expression
-    trees fail to compile and fall back to per-node interpretation;
-    see SCALING.md 'PQ unroll experiment')."""
-    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
-
-    d = F.size("embedding")
-    lo = F.floor(d * s / _PQ_M).cast("int") + 1
-    ln = (F.floor(d * (s + 1) / _PQ_M) - F.floor(d * s / _PQ_M)).cast("int")
-
-    def body(xs):
-        structs = []
-        for cid in cids:
-            cvec = cents[cid]
-            clo, chi = _pq_sub_bounds(len(cvec), s)
-            clit = F.array(*[F.lit(v) for v in cvec[clo:chi]])
-            d2 = F.aggregate(
-                F.zip_with(
-                    xs,
-                    clit,
-                    lambda x, c: _PQ_Q9I(
-                        (x.cast("double") - c) * (x.cast("double") - c)
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-        return F.array_min(F.array(*structs)).getField("cid")
-
-    return let(F.slice("embedding", lo, ln), body).alias(f"c{s}")
+def _pq_codes_wide(emb, cents, cids, extra_cols=()):
+    """(vec_id[, extra], c0..c{M-1}): per-vector PQ codes, via the same
+    explode/hash-agg distance frame as emb_pq_assign (the measured-fastest
+    of the three shapes tried -- see the note on _pq_best_frame)."""
+    bestf = _pq_best_frame(emb, cents, cids, extra_cols=extra_cols)
+    return bestf.groupBy("vec_id", *extra_cols).agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("best.cid"))).alias(f"c{s}")
+            for s in range(_PQ_M)
+        ]
+    )
 
 
 def _pq_exact_top(emb, queries_, k: int):
     """Exact quantized-L2 top-k per probe query over the full corpus:
-    (query_id, neighbor_id) for ranks <= k."""
-
-    def _edist(q: int):
+    (query_id, neighbor_id) for ranks <= k. Same explode/hash-agg shape
+    as the codes pass: one codegen stage computes all NQ distance sums,
+    the shuffle carries one combined row per vector."""
+    rows = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    aggs = []
+    for q in sorted(queries_):
         qlit = F.array(*[F.lit(v) for v in queries_[q]])
-        return F.aggregate(
-            F.zip_with(
-                "embedding",
-                qlit,
-                lambda x, c: _PQ_Q9I(
-                    (x.cast("double") - c) * (x.cast("double") - c)
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    exact_structs = [
-        F.struct(F.lit(q).alias("query_id"), _edist(q).alias("edist"))
-        for q in sorted(queries_)
-    ]
+        diff = F.col("x").cast("double") - F.get(qlit, F.col("i"))
+        aggs.append(F.sum(_PQ_Q9I(diff * diff)).alias(f"e_{q}"))
+    per = rows.groupBy("vec_id").agg(*aggs)
     exact = (
-        emb.select("vec_id", F.explode(F.array(*exact_structs)).alias("z"))
+        per.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("query_id"),
+                            F.col(f"e_{q}").alias("edist"),
+                        )
+                        for q in sorted(queries_)
+                    ]
+                )
+            ).alias("z"),
+        )
         .select(
             F.col("z.query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.col("z.edist").alias("edist"),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1162,9 +1128,7 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
     )
     cents, queries_, cids = _pq_collect_small(emb)
     adc_t = _pq_adc_tables(queries_, cents, cids)
-    coded = emb.select(
-        "vec_id", "embedding", *[_pq_code_col(cents, cids, s) for s in range(_PQ_M)]
-    )
+    coded = _pq_codes_wide(emb, cents, cids)
 
     # approx side: 4 literal-array lookups per (vector, query)
     # lookups cast to LONG before summing: table entries are 1e-9-grid
@@ -1386,11 +1350,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str):
     )
 
     # PQ codes once per corpus row, then candidates = probed clusters only
-    coded = emb.select(
-        "vec_id",
-        "label",
-        *[_pq_code_col(cents, cids, s) for s in range(_PQ_M)],
-    )
+    coded = _pq_codes_wide(emb, cents, cids, extra_cols=("label",))
     cand = coded.join(
         F.broadcast(probes),
         (coded["label"] == probes["cluster"])

@@ -390,10 +390,12 @@ def test_phash_dup_groups_decodes_via_map_in_pandas(spark, sf_dir):
 
 def test_pq_assign_is_single_scan_no_join(spark, sf_dir):
     """emb_pq_assign must keep the codebook in the expression tree
-    (broadcast-by-literal): one corpus scan, zero joins, no dim explode
-    -- the only Generate is the M-per-vector assignment explode, and the
-    only exchanges carry (subspace, centroid) aggregate rows, never the
-    corpus."""
+    (broadcast-by-literal): one corpus scan, zero joins, one Generate
+    (the dim posexplode feeding the codegen distance aggregates -- it
+    never materializes: scan -> Generate -> partial hash-agg share one
+    codegen stage), and the exchanges carry only map-side-combined
+    (vector, subspace) rows and the (subspace, centroid) aggregate --
+    never raw corpus rows."""
     q = registry()["emb_pq_assign"].build(spark, sf_dir)
     plan = q._jdf.queryExecution().executedPlan().toString()
     tree = plan.split("\n\n")[0]
