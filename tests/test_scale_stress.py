@@ -265,3 +265,43 @@ def test_label_separability_10x_cross_pairs_invariant(spark, sf_dir):
             # the two independent 1e-6 roundings
             assert abs(big[(la, lb)] - v) <= 2e-6, (la, lb, v, big[(la, lb)])
     assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_pq_assign_10x_replication_invariant(spark, sf_dir):
+    """emb_pq_assign on a 10x id-shifted embeddings union: the codebook
+    collect (vec_id < 16) still picks the original 16 vectors, every
+    replica gets the identical per-subspace assignment, so each
+    (subspace, centroid) cell shows exactly 10x the count and an
+    UNCHANGED mean distortion -- pins that the explode/hash-agg distance
+    frame is row-linear with no cross-row coupling."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    q = registry()["emb_pq_assign"]
+    small = {
+        (r["subspace"], r["centroid_id"]): (r["n_assigned"], r["mean_distortion"])
+        for r in q.build(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, "embeddings", SF_DIR)
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 100_000_000))
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        ten = {
+            (r["subspace"], r["centroid_id"]): (r["n_assigned"], r["mean_distortion"])
+            for r in q.build(spark, td).collect()
+        }
+        elapsed = time.perf_counter() - t0
+    assert set(ten) == set(small)
+    for cell, (n, md) in small.items():
+        assert ten[cell][0] == REPLICAS * n, (cell, n, ten[cell])
+        assert abs(ten[cell][1] - md) <= 1e-6, (cell, md, ten[cell])
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
