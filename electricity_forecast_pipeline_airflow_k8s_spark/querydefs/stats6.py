@@ -543,6 +543,15 @@ def q_rel_decile_lift(spark: SparkSession, sf_dir: str):
     agg = base.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("buyer").alias("n_buyers")
     )
+    # the 10-row decile aggregate feeds BOTH the cumulative branch and the
+    # totals branch; without a materialization Spark duplicates the whole
+    # dimension-scan + edge-binning subtree per consumer. Under scoped-
+    # cache mode pin it eagerly (10 rows); bench lazy-bracket mode keeps
+    # the plan lazy (the duplicate subtree is the measured cost there).
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
+        agg = agg.localCheckpoint(eager=True)
     tot = agg.agg(F.sum("n_buyers").alias("tb"), F.sum("n_cust").alias("tc"))
     wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     cum = agg.select(
