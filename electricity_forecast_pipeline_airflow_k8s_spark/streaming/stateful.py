@@ -152,7 +152,8 @@ try:  # pyspark >= 4.0
             )
 
         def close(self) -> None:
-            pass
+            """No resources to release: state lives in the store handle
+            Spark owns (required StatefulProcessor interface method)."""
 
 except ImportError:  # pragma: no cover - pyspark < 4.0
     RunningStatsProcessor = None  # type: ignore[assignment]
