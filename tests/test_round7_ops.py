@@ -248,3 +248,25 @@ def test_ivfpq_recall_exact_when_single_cluster_codebook(tmp_path, spark):
         r["recall_at_5"] == 1.0 and r["n_matched"] == 5 and r["n_candidates"] == 15
         for r in rows
     ), rows
+
+
+def test_inc_minhash_equals_full_pipeline_restricted(spark, sf_dir):
+    """On the real fixtures, the incremental batch-probe result must be
+    EXACTLY the full-corpus LSH dedup result restricted to batch-touching
+    pairs -- same candidates, same verified Jaccards (the operator-level
+    statement of incremental == full, against the independently
+    registered full pipeline rather than the SQL oracle)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries()["dedup_minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    expected = {
+        pair: j
+        for pair, j in full.items()
+        if pair[0] % 10 == 9 or pair[1] % 10 == 9
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries()["inc_minhash_new_batch"](spark, sf_dir).collect()
+    }
+    assert inc == expected, (len(inc), len(expected))
