@@ -196,6 +196,7 @@ HEADLINE = [
     "mm_scene_change",
     "text_ndcg_eval",
     "ml_forecast_next_lag1",
+    "dedup_cluster_size_histogram",
     "emb_kmeans_step",
     "sess_lifecycle_states",
     "graph_modularity",
@@ -544,6 +545,7 @@ BUDGETS: dict[str, float] = {
     "sim_pq_adc_recall": 5.40,
     "sim_ivfpq_recall": 6.85,
     "ml_forecast_next_lag1": 1.90,
+    "dedup_cluster_size_histogram": 0.90,
 }
 
 

@@ -28,19 +28,20 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-7 window: the 17 queries whose
-# implementations are new or changed this round lead (11 new:
+# registration order per round). Round-7 window: the 18 queries whose
+# implementations are new or changed this round lead (12 new:
 # ml_ridge_lag1_parity + ml_forecast_next_lag1 (the reduced-dim ML-edge
 # twins), inc_minhash_new_batch, inc_sessionize_rollforward,
 # graph_label_propagation, emb_pq_assign, sim_pq_adc_recall,
 # sim_ivfpq_recall, mm_scene_change, text_ndcg_eval,
-# layout_zonemap_pruning; 6 semantic/plan changes: sess_window_funnel
-# strict-range frame, rel_decile_lift edge-binned deciles,
-# graph_sssp_weighted hour-capped edges, text_bpe_merge_step scoped-cache
-# hygiene, emb_label_separability singleton guard, text_winnow_fingerprints
-# r6 rewrite never re-proven -- ADVICE r6), then the never-proven backlog
-# in registry order, then proven queries oldest-evidence-first.
-# Regenerate with tools/rotate_window.py.
+# layout_zonemap_pruning, dedup_cluster_size_histogram; 6 semantic/plan
+# changes: sess_window_funnel strict-range frame, rel_decile_lift
+# edge-binned deciles, graph_sssp_weighted hour-capped edges,
+# text_bpe_merge_step scoped-cache hygiene, emb_label_separability
+# singleton guard, text_winnow_fingerprints r6 rewrite never re-proven --
+# ADVICE r6), then the never-proven backlog in registry order, then
+# proven queries oldest-evidence-first. Regenerate with
+# tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_minhash_new_batch",
     "inc_sessionize_rollforward",
@@ -53,6 +54,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "layout_zonemap_pruning",
     "ml_ridge_lag1_parity",
     "ml_forecast_next_lag1",
+    "dedup_cluster_size_histogram",
     "sess_window_funnel",  # last green r6
     "rel_decile_lift",  # last green r5
     "graph_sssp_weighted",  # last green r6

@@ -1416,3 +1416,66 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str):
         )
         .orderBy("query_id")
     )
+
+
+# -- duplicate-cluster size distribution (the dedup audit chart) --------------
+# After any dedup pass the question a corpus owner actually asks is "how
+# big are the duplicate clusters?" -- a heavy tail means boilerplate /
+# template content that sampling must downweight. Clusters at the
+# shared-opening grain (md5 of the first 8 normalized tokens, the same
+# identity dedup_cross_source_leakage audits): one 16-byte-key hash agg
+# for cluster sizes, then a size-histogram over the cluster frame --
+# groupBy of a groupBy, every stage map-side combinable, nothing
+# quadratic, output bounded by the number of DISTINCT cluster sizes.
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=r"""
+WITH clusters AS (
+  SELECT md5(array_to_string(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x != '')[1:8], ' ')) AS h,
+         count(*) AS sz
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(sz) AS n_docs FROM clusters)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       floor(sz * count(*) * 1.0 / (SELECT n_docs FROM tot)
+             * 10000 + 0.5) / 10000 AS pct_docs
+FROM clusters GROUP BY sz ORDER BY cluster_size
+""",
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+
+    docs = table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    prefix = F.md5(
+        F.array_join(F.slice(TX.tokens(F.lower(F.col("text"))), 1, 8), " ")
+    )
+    clusters = docs.groupBy(prefix.alias("h")).agg(F.count(F.lit(1)).alias("sz"))
+    tot = clusters.agg(F.sum("sz").alias("n_all"))
+    return (
+        clusters.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                F.floor(
+                    F.col("cluster_size")
+                    * F.col("n_clusters")
+                    * 1.0
+                    / F.col("n_all")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("pct_docs"),
+        )
+        .orderBy("cluster_size")
+    )
