@@ -618,13 +618,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    retried: list[str] = []
+    # Record BOTH attempts per retried lane (first = the over-budget
+    # marathon timing, retry = the clean re-run): a recurring intermittent
+    # regression then shows up as a repeatedly-high `first` across ledgers
+    # even when the retry passes, which pure-min recording would hide.
+    retried: dict[str, dict[str, float]] = {}
     for name in sorted(timings):
         if name in BUDGETS and timings[name] > BUDGETS[name]:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-            retried.append(name)
-            timings[name] = min(timings[name], _run_lane(name))
+            retry_t = _run_lane(name)
+            retried[name] = {"first": timings[name], "retry": retry_t}
+            timings[name] = min(timings[name], retry_t)
 
     over_budget = {
         name: {"sec": timings[name], "budget": BUDGETS[name]}
@@ -639,7 +644,8 @@ def main() -> None:
         "queries": timings,
         "iterative_wallclock": ITERATIVE,
         "n_iter": n_iter,
-        "retried_lanes": retried,
+        "retried_lanes": sorted(retried),
+        "retried": retried,
         "over_budget": over_budget,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

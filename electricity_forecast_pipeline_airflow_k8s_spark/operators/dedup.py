@@ -263,22 +263,22 @@ def minhash_lsh_dedup_pairs(
         )
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
-            "jaccard",
+            "jaccard_raw",
             # try_divide: two sub-n-token docs have empty shingle sets ->
             # 0/0 -> NULL -> filtered (ANSI mode would throw otherwise)
-            F.floor(
-                F.try_divide(
-                    F.size(F.array_intersect("sh_a", "sh_b")),
-                    F.size(F.array_union("sh_a", "sh_b")),
-                )
-                * 10000
-                + 0.5
-            )
-            / 10000,
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
         )
     )
-    result = j.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    # Threshold on the RAW ratio (the oracle filters raw too); round only
+    # for output. Filtering the rounded value would admit raw jaccards in
+    # [threshold - 5e-5, threshold) that the oracle rejects.
+    result = j.filter(F.col("jaccard_raw") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("jaccard_raw") * 10000 + 0.5) / 10000).alias("jaccard"),
     )
     if scoped_cache:
         result = result.localCheckpoint(eager=True)

@@ -52,6 +52,7 @@ def sequence_windows(
     horizon: int = 24,
     tiebreak_cols: Sequence[str] = (),
     extra_partition_cols: Sequence[str] = (),
+    emit_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Stride-1 supervised windows: x = rows [i, i+L), y = rows [i+L, i+L+H)
     (`core/model.py:19-41`). Exactly n-L-H+1 windows per partition
@@ -63,6 +64,12 @@ def sequence_windows(
     §4.2). Windows never cross ``extra_partition_cols`` boundaries (pass the
     split column so train windows can't peek into val -- the reference's
     per-split window construction, `core/kubeflow_pipeline.py:134-136`).
+
+    ``emit_cols`` projects the window-start row's named columns through
+    (e.g. the tiebreak id), so downstream order-sensitive picks like
+    ``tail_window`` can break ``window_start`` ties deterministically --
+    without it, duplicate (group, ts) rows make the latest-window pick
+    nondeterministic.
     """
     parts = [group_col, *extra_partition_cols]
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
@@ -81,6 +88,7 @@ def sequence_windows(
     out = df.select(
         *[F.col(c) for c in parts],
         F.col(ts_col).alias("window_start"),
+        *[F.col(c) for c in emit_cols],
         unwrap(F.collect_list(v).over(wx)).alias("x"),
         unwrap(F.collect_list(v).over(wy)).alias("y"),
     )

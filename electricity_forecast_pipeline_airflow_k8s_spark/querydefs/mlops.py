@@ -42,6 +42,8 @@ def _windows(spark: SparkSession, sf_dir: str):
         horizon=H,
         tiebreak_cols=("event_id",),
         extra_partition_cols=("split",),
+        # carried so tail_window picks can tiebreak on the start row's id
+        emit_cols=("event_id",),
     )
 
 
@@ -95,6 +97,7 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         horizon=H,
         tiebreak_cols=("event_id",),
         extra_partition_cols=("split",),
+        emit_cols=("event_id",),
     )
 
     def _n(col, val):
@@ -124,6 +127,7 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         group_col="respondent",
         ts_col="window_start",
         n=1,
+        tiebreak_cols=("event_id",),
     ).select("respondent", "x")
     # forecast-horizon shape + inverse-envelope invariants (VERDICT r3
     # item 5): hours must span exactly 1..H, and every ridge prediction
@@ -346,6 +350,7 @@ def q_ml_forecast_next(spark: SparkSession, sf_dir: str):
         group_col="respondent",
         ts_col="window_start",
         n=1,
+        tiebreak_cols=("event_id",),
     ).select("respondent", "x")
     out = forecast_rows(predict_per_group(latest, params))
     return out.select(
@@ -614,17 +619,19 @@ def q_ml_forecast_next_lag1(spark: SparkSession, sf_dir: str):
         horizon=1,
         tiebreak_cols=("event_id",),
         extra_partition_cols=("split",),
+        emit_cols=("event_id",),
     )
     params = fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
-    # tail_window orders on window_start alone (the windows frame carries
-    # no tiebreak column -- same surface as ml_forecast_next); verified
-    # tie-free in the fixtures: zero duplicate (event_type, ts) pairs at
-    # sf0.001/0.01/0.1, so the pick equals the oracle's rn = n_tr - 1 row.
+    # tie-safe latest-window pick: windows carry their start row's
+    # event_id, and tail_window orders (window_start, event_id) -- the
+    # exact order the oracle's rn = n_tr - 1 row is defined by, so
+    # duplicate (respondent, ts) data can no longer diverge (ADVICE r7).
     latest = tail_window(
         wins.filter(F.col("split") == "train"),
         group_col="respondent",
         ts_col="window_start",
         n=1,
+        tiebreak_cols=("event_id",),
     ).select("respondent", "x")
     out = forecast_rows(predict_per_group(latest, params))
     return out.select(

@@ -142,18 +142,19 @@ def q_inc_minhash_new_batch(spark: SparkSession, sf_dir: str):
         cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
-            "jaccard",
-            F.floor(
-                F.try_divide(
-                    F.size(F.array_intersect("sh_a", "sh_b")),
-                    F.size(F.array_union("sh_a", "sh_b")),
-                )
-                * 10000
-                + 0.5
-            )
-            / 10000,
+            "jaccard_raw",
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        # raw-ratio threshold, rounded output -- mirrors the oracle, which
+        # filters the raw ratio; rounding before filtering would admit
+        # jaccards in [0.49995, 0.5) the oracle rejects
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .withColumn(
+            "jaccard", F.floor(F.col("jaccard_raw") * 10000 + 0.5) / 10000
+        )
     )
     kind = F.when(
         (F.col("doc_a") % _BATCH_MOD == _BATCH_REM)
@@ -426,11 +427,65 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str):
 # expressions per row and the argmin taken as array_min over (dist, cid)
 # structs -- no explode, no corpus shuffle; only the M-per-vector
 # assignment rows reach the final (subspace, centroid) aggregate.
-# Codebook here = the first _PQ_K vectors' subvectors (deterministic
-# stand-in for a trained codebook; the assignment algebra is identical).
+# Codebook = TRAINED: init from the first _PQ_K vectors' subvectors,
+# then _PQ_TRAIN_ITERS k-means iterations over subvectors (round 8 --
+# recall against a trained codebook is what an ANN recall number means).
+# Training is the broadcast-iterate shape used everywhere else in the
+# repo (PageRank, SSSP, kmeans_step): each iteration is ONE corpus pass
+# -- assign every (vector, subspace) to its nearest centroid with the
+# same 1e-9-grid integer distances and cid tiebreak as the serving path,
+# then average the assigned subvector dims -- followed by a K*M*(d/M)-
+# sized collect (1024 doubles) that re-broadcasts the updated codebook.
+# Updated centroids are quantized to the 1e-6 grid on BOTH engines so
+# the next iteration's integer distances are bit-identical (raw float
+# avgs differ in the last ulp across engines/orders and would flip
+# argmins); empty clusters carry the previous centroid forward (oracle:
+# LEFT JOIN + COALESCE). The oracle replays the identical iterations as
+# unrolled CTEs -- the SSSP/PageRank iteration pattern.
 # Per-dim squared diffs are quantized to the 1e-9 grid and decimal-summed
 # so both engines compute identical distances; ties break on centroid id.
 _PQ_M, _PQ_K = 4, 16
+_PQ_TRAIN_ITERS = 2
+
+
+def _pq_trained_cdims_sql(iters: int = _PQ_TRAIN_ITERS) -> str:
+    """Oracle-side replay of _pq_train_codebook as unrolled CTE text:
+    given CTEs ``dims`` and ``cdims0`` (the init codebook), emits
+    dist_t{t}/codes_t{t}/upd_t{t}/cdims{t} per iteration and a final
+    ``cdims AS (SELECT * FROM cdims{iters})`` so downstream oracle SQL
+    keeps referencing ``cdims`` unchanged."""
+    parts = []
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""dist_t{t} AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS d2
+  FROM dims v JOIN cdims{p} c ON c.i = v.i AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+codes_t{t} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rk
+    FROM dist_t{t}
+  ) WHERE rk = 1
+),
+upd_t{t} AS (
+  SELECT k.sub, k.cid, v.i, floor(avg(v.x) * 1e6 + 0.5) / 1e6 AS c
+  FROM dims v JOIN codes_t{t} k ON k.vec_id = v.vec_id AND k.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+cdims{t} AS (
+  SELECT c0.sub, c0.cid, c0.i, COALESCE(u.c, c0.c) AS c
+  FROM cdims{p} c0 LEFT JOIN upd_t{t} u
+    ON u.sub = c0.sub AND u.cid = c0.cid AND u.i = c0.i
+)"""
+        )
+    parts.append(f"cdims AS (SELECT * FROM cdims{iters})")
+    return ",\n".join(parts)
 
 
 def _pq_oracle() -> str:
@@ -445,9 +500,10 @@ dims AS (
          CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
   FROM e, unnest(range(1, d + 1)) r(i)
 ),
-cdims AS (
+cdims0 AS (
   SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
 ),
+{_pq_trained_cdims_sql()},
 dist AS (
   SELECT v.vec_id, v.sub, c.cid,
          sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) / 1e9
@@ -514,16 +570,11 @@ def q_emb_pq_assign(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
     )
-    # k-sized boundary collect (codebook = _PQ_K vectors), the same
-    # accepted pattern as quantile thresholds / ntile edges: the codebook
-    # is broadcast INSIDE the expressions -- no join anywhere.
-    cents = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < _PQ_K)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    cids = sorted(cents)
+    # trained codebook (k-means over subvectors, round 8); the collect is
+    # k-sized (16 centroids), the same accepted pattern as quantile
+    # thresholds / ntile edges: the codebook is broadcast INSIDE the
+    # expressions -- no join anywhere in the serving pass.
+    cents, _, cids = _pq_train_codebook(emb)
     bestf = _pq_best_frame(emb, cents, cids)
     return (
         bestf.groupBy(
@@ -954,9 +1005,10 @@ dims AS (
          CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
   FROM e, unnest(range(1, d + 1)) r(i)
 ),
-cdims AS (
+cdims0 AS (
   SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
 ),
+{_pq_trained_cdims_sql()},
 dist AS (
   SELECT v.vec_id, v.sub, c.cid,
          sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
@@ -1032,7 +1084,15 @@ def _pq_q9i_int(a: float, b: float) -> int:
 
 
 def _pq_sub_bounds(dlen: int, s: int) -> tuple[int, int]:
-    return (dlen * s) // _PQ_M, (dlen * (s + 1)) // _PQ_M
+    # Subspace of dim i is floor(i*M/d), so subspace s owns the
+    # half-open dim range [ceil(s*d/M), ceil((s+1)*d/M)). CEIL bounds,
+    # not floor: for d not divisible by M (e.g. d=6, M=4) floor bounds
+    # give sub0={0} while the assignment puts {0,1} in sub0, which would
+    # silently corrupt every ADC table entry.
+    return (
+        (dlen * s + _PQ_M - 1) // _PQ_M,
+        (dlen * (s + 1) + _PQ_M - 1) // _PQ_M,
+    )
 
 
 def _pq_collect_small(emb):
@@ -1047,6 +1107,55 @@ def _pq_collect_small(emb):
     cents = {k: v for k, v in small.items() if k < _PQ_K}
     queries_ = {k: v for k, v in small.items() if k < _ADC_NQ}
     return cents, queries_, sorted(cents)
+
+
+def _pq_train_codebook(emb, iters: int = _PQ_TRAIN_ITERS):
+    """Returns (cents, queries_, cids) like _pq_collect_small, but with
+    the codebook refined by ``iters`` k-means iterations over subvectors."""
+    cents, queries_, cids = _pq_collect_small(emb)
+    rows = emb.select(
+        "vec_id",
+        F.size("embedding").alias("d"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    sub = F.floor(F.col("i") * _PQ_M / F.col("d")).cast("int")
+    for _ in range(iters):
+        aggs = []
+        for cid in cids:
+            clit = F.array(*[F.lit(v) for v in cents[cid]])
+            diff = F.col("x").cast("double") - F.get(clit, F.col("i"))
+            aggs.append(F.sum(_PQ_Q9I(diff * diff)).alias(f"d2_{cid}"))
+        # carry the subvector dims through the same single-pass agg so the
+        # centroid update never re-joins the corpus
+        aggs.append(
+            F.collect_list(
+                F.struct(F.col("i").alias("i"), F.col("x").cast("double").alias("x"))
+            ).alias("dims")
+        )
+        per = rows.groupBy("vec_id", sub.alias("sub")).agg(*aggs)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"d2_{cid}").alias("d2"), F.lit(cid).alias("cid")
+                    )
+                    for cid in cids
+                ]
+            )
+        )
+        upd = (
+            per.select(
+                "sub", best.getField("cid").alias("cid"), F.explode("dims").alias("z")
+            )
+            .groupBy("sub", "cid", F.col("z.i").alias("i"))
+            .agg((F.floor(F.avg("z.x") * 1e6 + 0.5) / 1e6).alias("c"))
+            .collect()
+        )
+        nxt = {cid: list(v) for cid, v in cents.items()}
+        for r in upd:
+            nxt[int(r["cid"])][int(r["i"])] = float(r["c"])
+        cents = nxt
+    return cents, queries_, cids
 
 
 def _pq_adc_tables(queries_, cents, cids):
@@ -1126,7 +1235,7 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
     )
-    cents, queries_, cids = _pq_collect_small(emb)
+    cents, queries_, cids = _pq_train_codebook(emb)
     adc_t = _pq_adc_tables(queries_, cents, cids)
     coded = _pq_codes_wide(emb, cents, cids)
 
@@ -1210,9 +1319,10 @@ dims AS (
          CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
   FROM e, unnest(range(1, d + 1)) r(i)
 ),
-cdims AS (
+cdims0 AS (
   SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
 ),
+{_pq_trained_cdims_sql()},
 dist AS (
   SELECT v.vec_id, v.sub, c.cid,
          sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
@@ -1311,7 +1421,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str):
     emb = table(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
     )
-    cents, queries_, cids = _pq_collect_small(emb)
+    cents, queries_, cids = _pq_train_codebook(emb)
     adc_t = _pq_adc_tables(queries_, cents, cids)
 
     # coarse probe: per-cluster mean centroids (clusters x d aggregate),

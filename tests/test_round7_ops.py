@@ -107,11 +107,14 @@ def test_label_propagation_hand_model(tmp_path, spark):
 
 
 def test_pq_assign_hand_model(tmp_path, spark):
-    """Codebook = constant vectors c_j = [j]*8 (vec_id 0..15). Every
-    centroid self-assigns with zero distortion in all 4 subspaces; test
+    """Init codebook = constant vectors c_j = [j]*8 (vec_id 0..15); test
     vectors [3.4]*8 and [3.5]*8 both snap to centroid 3 (the 3.5 case by
-    the cid tie-break against centroid 4), giving (subspace, 3) exactly
-    n=3 and mean distortion (0 + 0.32 + 0.5) / 3 = 0.273333."""
+    the cid tie-break against centroid 4). k-means training (round 8)
+    then moves centroid 3 to avg(3, 3.4, 3.5) = 3.3 per dim while every
+    singleton self-cluster stays put; the final assignment gives
+    (subspace, 3) n=3 with mean distortion
+    (2*(0.3^2) + 2*(0.1^2) + 2*(0.2^2)) / 3 = 0.28/3 = 0.093333 and every
+    other centroid a zero-distortion self-assignment."""
     import pandas as pd
 
     vecs = [
@@ -126,7 +129,7 @@ def test_pq_assign_hand_model(tmp_path, spark):
         for r in rows
     }
     for s in range(4):
-        assert got[(s, 3)] == (3, 0.273333), got[(s, 3)]
+        assert got[(s, 3)] == (3, 0.093333), got[(s, 3)]
         for j in range(16):
             if j != 3:
                 assert got[(s, j)] == (1, 0.0), (s, j, got[(s, j)])

@@ -1,0 +1,169 @@
+"""Round-8 pins: the ADVICE-r7 latent-divergence fixes.
+
+1. PQ subspace bounds for embedding lengths not divisible by M (the
+   floor-vs-ceil bound bug that silently corrupted ADC tables for d%4!=0).
+2. Tie-safe latest-window pick at the ML edge (duplicate (group, ts)
+   rows must not make ml_forecast_next_lag1 diverge from the oracle).
+3. Raw-ratio jaccard thresholds (filter before rounding, both minhash
+   queries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+
+from electricity_forecast_pipeline_airflow_k8s_spark.parity import _normalize
+from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round7 import (
+    _PQ_M,
+    _pq_adc_tables,
+    _pq_q9i_int,
+    _pq_sub_bounds,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def test_pq_sub_bounds_partition_matches_assignment():
+    """For every length (divisible by M or not), the per-subspace dim
+    ranges must be exactly {i : floor(i*M/d) == s} -- the assignment rule
+    the corpus codes and both oracles use."""
+    for d in (4, 5, 6, 7, 8, 9, 13, 63, 64):
+        seen = []
+        for s in range(_PQ_M):
+            lo, hi = _pq_sub_bounds(d, s)
+            dims = list(range(lo, hi))
+            assert dims == [i for i in range(d) if i * _PQ_M // d == s], (d, s)
+            seen += dims
+        assert seen == list(range(d)), d  # tiles [0, d) exactly
+
+
+def test_pq_adc_tables_brute_force_d6():
+    """d=6 (d%4 != 0): every ADC table entry must equal the brute-force
+    sum of per-dim quantized squared diffs over the ASSIGNMENT's dim set.
+    With floor bounds, sub0 would sum 1 dim instead of 2 and sub1 the
+    wrong dim entirely."""
+    cents = {c: [((c * 7 + i * 13) % 23) * 0.5 for i in range(6)] for c in range(3)}
+    queries_ = {0: [1.0, 2.0, 0.5, 3.5, 4.0, 0.25]}
+    tables = _pq_adc_tables(queries_, cents, sorted(cents))
+    for s in range(_PQ_M):
+        dims = [i for i in range(6) if i * _PQ_M // 6 == s]
+        for ci, c in enumerate(sorted(cents)):
+            want = sum(_pq_q9i_int(queries_[0][i], cents[c][i]) for i in dims)
+            assert tables[0][s][ci] == want, (s, c)
+
+
+def test_pq_adc_recall_oracle_parity_d6(tmp_path, spark):
+    """End-to-end engine-vs-oracle parity for sim_pq_adc_recall on d=6
+    embeddings, where per-vector subspace codes genuinely differ across
+    subspaces -- the configuration the floor-bound bug corrupted."""
+    import pandas as pd
+
+    vecs = [
+        {
+            "vec_id": j,
+            "embedding": [float((j * 7 + i * 13) % 23) * 0.5 for i in range(6)],
+            "label": j % 3,
+        }
+        for j in range(30)
+    ]
+    pd.DataFrame(vecs).to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    q = registry()["sim_pq_adc_recall"]
+    sdf = q.build(spark, str(tmp_path))
+    sc, sr = _normalize(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+        )
+        cur = con.execute(q.oracle)
+        dc, dr = _normalize(
+            [d[0] for d in cur.description], [tuple(r) for r in cur.fetchall()]
+        )
+    finally:
+        con.close()
+    assert sc == dc and sr == dr, (sr[:3], dr[:3])
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_forecast_lag1_tie_safe_duplicate_ts(tmp_path, spark):
+    """Duplicate (event_type, ts) pairs with DISTINCT values around the
+    latest-train-window position: without the (window_start, event_id)
+    tiebreak the pick is nondeterministic and can diverge from the
+    oracle's rn = n_tr - 1 row. Every ts is duplicated here, so an
+    untiebroken pick has a 50% chance per group of choosing the wrong x."""
+    rows = []
+    eid = 0
+    for g in ("a", "b"):
+        for k in range(5):  # 5 distinct ts, each duplicated -> n=10
+            ts = BASE + dt.timedelta(hours=k)
+            for dup in range(2):
+                # values all distinct so a wrong pick changes the output
+                rows.append((eid, ts, 1, g, float(eid * 3 + 7), "{}"))
+                eid += 1
+    sf = _write_events(tmp_path, rows)
+
+    q = registry()["ml_forecast_next_lag1"]
+    sdf = q.build(spark, sf)
+    sc, sr = _normalize(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        cur = con.execute(q.oracle)
+        dc, dr = _normalize(
+            [d[0] for d in cur.description], [tuple(r) for r in cur.fetchall()]
+        )
+    finally:
+        con.close()
+    assert sc == dc and sr == dr, (sr, dr)
+
+
+def test_minhash_threshold_is_raw_ratio(tmp_path, spark):
+    """A pair whose raw jaccard rounds UP to the threshold but sits below
+    it raw must be excluded (the oracle filters raw). 3-shingle overlap:
+    docs share 9999 of 20003 distinct shingles... impractical -- instead
+    pin the boundary with a pair at exactly 0.5 (included) and one just
+    below (excluded), using small shingle sets."""
+    import pandas as pd
+
+    # doc pairs built from token streams: shingle sets are 3-gram joins.
+    # docs 1,2: tokens overlap so |∩|/|∪| == 1/2 exactly (included).
+    # docs 3,4: |∩|/|∪| == 2/5 = 0.4 < 0.5 (excluded).
+    d1 = "a b c d e f"  # shingles: abc bcd cde def (4)
+    d2 = "a b c d x y"  # shingles: abc bcd cdx dxy -> ∩ = {abc,bcd} = 2, ∪ = 6
+    # |∩|/|∪| = 2/6 = 0.333 -- adjust: want 0.5: share 4 of 8
+    d1 = "a b c d e f g h"  # 6 shingles
+    d2 = "a b c d e f x y"  # shingles abc..def (4 shared) + efx fxy -> ∪ = 8, ∩ = 4
+    pd.DataFrame(
+        [
+            (1, d1, "en", "web", len(d1)),
+            (2, d2, "en", "web", len(d2)),
+            (3, "p q r s", "en", "web", 7),
+            (4, "p q r z", "en", "web", 7),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries()["dedup_minhash_lsh_pairs"](spark, str(tmp_path)).collect()
+    }
+    # (1,2) raw jaccard = 4/8 = 0.5 -> included at exactly the threshold;
+    # (3,4) = 1/3 < 0.5 -> excluded even if LSH banded them together
+    assert got.get((1, 2)) == 0.5, got
+    assert (3, 4) not in got, got
