@@ -228,6 +228,8 @@ HEADLINE = [
     "sess_absorbing_markov",
     "text_oov_rate",
     "ts_croston",
+    # round-8 addition
+    "inc_cc_new_edges",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -278,6 +280,9 @@ ITERATIVE = [
     # codebook + query collects at build time
     "sim_pq_adc_recall",
     "sim_ivfpq_recall",
+    # round-8: two CC fixpoints (old half + contracted merge) checkpoint
+    # during build, same policy as dedup_clusters
+    "inc_cc_new_edges",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run

@@ -28,71 +28,30 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-7 window: the 18 queries whose
-# implementations are new or changed this round lead (12 new:
-# ml_ridge_lag1_parity + ml_forecast_next_lag1 (the reduced-dim ML-edge
-# twins), inc_minhash_new_batch, inc_sessionize_rollforward,
-# graph_label_propagation, emb_pq_assign, sim_pq_adc_recall,
-# sim_ivfpq_recall, mm_scene_change, text_ndcg_eval,
-# layout_zonemap_pruning, dedup_cluster_size_histogram; 6 semantic/plan
-# changes: sess_window_funnel strict-range frame, rel_decile_lift
-# edge-binned deciles, graph_sssp_weighted hour-capped edges,
-# text_bpe_merge_step scoped-cache hygiene, emb_label_separability
-# singleton guard, text_winnow_fingerprints r6 rewrite never re-proven --
-# ADVICE r6), then the never-proven backlog in registry order, then
-# proven queries oldest-evidence-first. Regenerate with
-# tools/rotate_window.py.
+# registration order per round). Round-8 window: the 11 queries whose
+# implementations are new or changed this round lead (1 new:
+# inc_cc_new_edges, the incremental connected-components merge; 10
+# changed: emb_pq_assign + sim_pq_adc_recall + sim_ivfpq_recall now use
+# the TRAINED codebook, ml_forecast_next_lag1 / ml_forecast_next /
+# ml_invariants gained the (window_start, event_id) tie-safe latest-
+# window pick, dedup_minhash_lsh_pairs / inc_minhash_new_batch filter on
+# the raw jaccard ratio, dedup_clusters / dedup_keep_best sit on the
+# changed minhash operator -- VERDICT/ADVICE r7), then the 59-query
+# never-proven backlog in registry order (39 fit this round's 50-window;
+# the residue closes in r9), then proven queries oldest-evidence-first.
+# Regenerate with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    "inc_minhash_new_batch",
-    "inc_sessionize_rollforward",
-    "graph_label_propagation",
-    "emb_pq_assign",
-    "sim_pq_adc_recall",
-    "sim_ivfpq_recall",
-    "mm_scene_change",
-    "text_ndcg_eval",
-    "layout_zonemap_pruning",
-    "ml_ridge_lag1_parity",
-    "ml_forecast_next_lag1",
-    "dedup_cluster_size_histogram",
-    "sess_window_funnel",  # last green r6
-    "rel_decile_lift",  # last green r5
-    "graph_sssp_weighted",  # last green r6
-    "text_bpe_merge_step",  # last green r6
-    "emb_label_separability",  # last green r6
-    "text_winnow_fingerprints",  # last green r3
-    "stream_stream_join",
-    "val_benford_digits",
-    "rel_skyline_pareto",
-    "sess_markov_transitions",
-    "text_zipf_slope",
-    "sample_poisson_bootstrap",
-    "ts_holt_winters",
-    "sess_path_topk",
-    "sample_class_balance",
-    "rel_hll_mergeable",
-    "rel_tombstone_read",
-    "ts_hierarchical_reconcile",
-    "rel_salted_skew_join",
-    "sim_halfdim_overlap",
-    "stream_join_windowed_attribution",
-    "val_referential_integrity",
-    "val_pk_uniqueness",
-    "emb_mahalanobis_outliers",
-    "rel_asof_nearest",
-    "ts_permutation_entropy",
-    "text_sparse_cosine_pairs",
-    "ts_xcorr_click_purchase",
-    "val_outlier_consensus",
-    "sess_conversion_latency",
-    "ts_peak_stats",
-    "ts_load_factor",
-    "rel_order_value_gini",
-    "dedup_lsh_bucket_histogram",
-    "dedup_lsh_recall_eval",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "stream_upsert_replay_state",
+    "inc_cc_new_edges",
+    "emb_pq_assign",  # last green r7
+    "sim_pq_adc_recall",  # last green r7
+    "sim_ivfpq_recall",  # last green r7
+    "ml_forecast_next_lag1",  # last green r7
+    "ml_forecast_next",
+    "ml_invariants",  # last green r3
+    "dedup_minhash_lsh_pairs",  # last green r3
+    "inc_minhash_new_batch",  # last green r7
+    "dedup_clusters",  # last green r3
+    "dedup_keep_best",  # last green r3
     "sess_cogroup_hour_corr",
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
@@ -152,7 +111,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_ewma",
     "ts_gap_fill_locf",
     "ml_train_eval_metrics",
-    "ml_forecast_next",
     "val_dup_count",  # last green r1
     "val_value_stats",  # last green r1
     "val_summary",  # last green r1
@@ -218,7 +176,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_null_counts",  # last green r3
     "val_gap_stats",  # last green r3
     "val_outlier_rows",  # last green r3
-    "ml_invariants",  # last green r3
     "ml_linreg_trend",  # last green r3
     "rel_pricing_summary",  # last green r3
     "rel_star_revenue",  # last green r3
@@ -236,10 +193,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "scd2_user_type_versions",  # last green r3
     "scd2_point_in_time",  # last green r3
     "dedup_exact_stats",  # last green r3
-    "dedup_minhash_lsh_pairs",  # last green r3
     "sim_topk_bruteforce",  # last green r3
     "sim_topk_ivf",  # last green r3
-    "dedup_clusters",  # last green r3
     "mm_decode_features",  # last green r3
     "emb_neardup_pairs",  # last green r3
     "text_bpe_token_estimate",  # last green r3
@@ -249,7 +204,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "dedup_contamination_check",  # last green r3
     "text_entropy_stats",  # last green r3
     "emb_centroid_assign",  # last green r3
-    "dedup_keep_best",  # last green r3
     "text_fuzzy_prefix_pairs",  # last green r3
     "tpch_large_orders",  # last green r3
     "tpch_product_profit",  # last green r3
@@ -356,6 +310,51 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_merge_upsert",  # last green r6
     "sim_recall_eval",  # last green r6
     "text_bm25_topk",  # last green r6
+    "inc_sessionize_rollforward",  # last green r7
+    "graph_label_propagation",  # last green r7
+    "mm_scene_change",  # last green r7
+    "text_ndcg_eval",  # last green r7
+    "layout_zonemap_pruning",  # last green r7
+    "ml_ridge_lag1_parity",  # last green r7
+    "dedup_cluster_size_histogram",  # last green r7
+    "sess_window_funnel",  # last green r7
+    "rel_decile_lift",  # last green r7
+    "graph_sssp_weighted",  # last green r7
+    "text_bpe_merge_step",  # last green r7
+    "emb_label_separability",  # last green r7
+    "text_winnow_fingerprints",  # last green r7
+    "stream_stream_join",  # last green r7
+    "val_benford_digits",  # last green r7
+    "rel_skyline_pareto",  # last green r7
+    "sess_markov_transitions",  # last green r7
+    "text_zipf_slope",  # last green r7
+    "sample_poisson_bootstrap",  # last green r7
+    "ts_holt_winters",  # last green r7
+    "sess_path_topk",  # last green r7
+    "sample_class_balance",  # last green r7
+    "rel_hll_mergeable",  # last green r7
+    "rel_tombstone_read",  # last green r7
+    "ts_hierarchical_reconcile",  # last green r7
+    "rel_salted_skew_join",  # last green r7
+    "sim_halfdim_overlap",  # last green r7
+    "stream_join_windowed_attribution",  # last green r7
+    "val_referential_integrity",  # last green r7
+    "val_pk_uniqueness",  # last green r7
+    "emb_mahalanobis_outliers",  # last green r7
+    "rel_asof_nearest",  # last green r7
+    "ts_permutation_entropy",  # last green r7
+    "text_sparse_cosine_pairs",  # last green r7
+    "ts_xcorr_click_purchase",  # last green r7
+    "val_outlier_consensus",  # last green r7
+    "sess_conversion_latency",  # last green r7
+    "ts_peak_stats",  # last green r7
+    "ts_load_factor",  # last green r7
+    "rel_order_value_gini",  # last green r7
+    "dedup_lsh_bucket_histogram",  # last green r7
+    "dedup_lsh_recall_eval",  # last green r7
+    "graph_pagerank",  # last green r7
+    "graph_triangle_count",  # last green r7
+    "stream_upsert_replay_state",  # last green r7
 )
 
 

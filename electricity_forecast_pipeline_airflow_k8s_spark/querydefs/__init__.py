@@ -9,6 +9,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     relational2,
     relational3,
     round7,
+    round8,
     sessions,
     stats5,
     stats6,

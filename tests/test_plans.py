@@ -402,3 +402,47 @@ def test_pq_assign_is_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan, plan[:2000]
     assert tree.count("Scan parquet") == 1, plan[:2000]
     assert tree.count("Generate") == 1, plan[:2000]
+
+
+def test_pq_adc_recall_two_scans_broadcast_rankings(spark, sf_dir):
+    """sim_pq_adc_recall: the per-query ADC tables and query vectors ride
+    the closure as literals, so the corpus contributes exactly two
+    codegen scan passes (PQ codes + exact-L2 truth) and the only joins
+    are over k-sized top-k frames -- no corpus-side join, no cartesian,
+    no Python. Top-k windows must stay partitioned by query_id."""
+    q = registry()["sim_pq_adc_recall"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+
+
+def test_ivfpq_recall_probes_broadcast_corpus_never_nested_loop(spark, sf_dir):
+    """sim_ivfpq_recall: the probe list (queries x nprobe rows) must reach
+    the candidate join as a BROADCAST side against the single-pass PQ
+    codes -- the corpus side never cartesians and never feeds a
+    nested-loop; ranking windows stay query-partitioned."""
+    q = registry()["sim_ivfpq_recall"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+
+
+def test_inc_minhash_probe_side_filtered_below_join(spark, sf_dir, monkeypatch):
+    """inc_minhash_new_batch: the candidate join must be (full banded
+    index) x (BATCH-FILTERED bands) -- the probe never becomes full x
+    full. Pin: the batch predicate (doc_id % 10 = 9) sits below the
+    band/hash equi-join as a Filter on exactly one join input, and the
+    join itself is an equi-join (no cartesian)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCOPED_CACHE", "0")
+    q = registry()["inc_minhash_new_batch"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    assert "% 10) = 9" in plan, plan[:3000]

@@ -167,3 +167,66 @@ def test_minhash_threshold_is_raw_ratio(tmp_path, spark):
     # (3,4) = 1/3 < 0.5 -> excluded even if LSH banded them together
     assert got.get((1, 2)) == 0.5, got
     assert (3, 4) not in got, got
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_inc_cc_merges_old_components_hand_model(tmp_path, spark):
+    """Two OLD components A={1,2} (text X) and B={3,4} (text Y), an
+    untouched component C={5,6}, and a batch chain 9~X, 9~19, 19~Y
+    (adjacent jaccard 0.556 -- token windows sliding by 2; the 'w1x'
+    token seed is chosen so every chain pair survives LSH banding
+    deterministically). The incremental merge must union A, the chain,
+    and B into component 1 -- two old labels merging THROUGH new nodes,
+    the hardest contracted-graph case -- while C passes through
+    untouched. Expected output pinned against scratch CC by hand."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    toks = [f"w1x{i}" for i in range(30)]
+    x_text = " ".join(toks[0:9])
+    n9 = " ".join(toks[2:11])
+    n19 = " ".join(toks[4:13])
+    y_text = " ".join(toks[6:15])
+    w_text = " ".join(toks[20:29])
+    sf = _write_docs(
+        tmp_path,
+        [
+            (i, t, "en", "web", len(t))
+            for i, t in [
+                (1, x_text), (2, x_text), (3, y_text), (4, y_text),
+                (5, w_text), (6, w_text), (9, n9), (19, n19),
+            ]
+        ],
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in queries()["inc_cc_new_edges"](spark, sf).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (9, 1), (19, 1)
+    ], got
+
+
+def test_inc_cc_equals_scratch_clusters(spark, sf_dir):
+    """On the real fixtures, the incremental contracted-merge labeling
+    must be EXACTLY the scratch connected-components labeling over the
+    full near-dup pair set (the operator-level incremental == full
+    statement, against the independently registered full pipeline)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    full = {
+        r["node"]: r["component"]
+        for r in queries()["dedup_clusters"](spark, sf_dir).collect()
+    }
+    inc = {
+        r["node"]: r["component"]
+        for r in queries()["inc_cc_new_edges"](spark, sf_dir).collect()
+    }
+    assert inc == full, (len(inc), len(full))

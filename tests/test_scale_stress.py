@@ -305,3 +305,119 @@ def test_pq_assign_10x_replication_invariant(spark, sf_dir):
         assert ten[cell][0] == REPLICAS * n, (cell, n, ten[cell])
         assert abs(ten[cell][1] - md) <= 1e-6, (cell, md, ten[cell])
     assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_inc_minhash_10x_batch_probe_scales_linearly(spark):
+    """inc_minhash_new_batch on a 10x corpus where every replica's tokens
+    are salted disjoint (suffix per replica) and doc_id shifts preserve
+    batch membership (% 10): the batch-probe result must be EXACTLY 10x
+    the single-copy pair set -- pair growth follows batch x postings, not
+    corpus^2 (identical-text replication would instead explode cross-
+    replica pairs ~50x). Wall bound is a generous sanity gate."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    docs = (
+        load_table(spark, "documents", SF_DIR)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    q = registry()["inc_minhash_new_batch"]
+    one = q.build(spark, SF_DIR).count()
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        .withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", r"$1x%d" % r)
+        )
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        t0 = time.perf_counter()
+        ten = q.build(spark, td).count()
+        elapsed = time.perf_counter() - t0
+    assert ten == REPLICAS * one, (one, ten)
+    assert elapsed < 240, elapsed  # generous sanity bound, not a budget
+
+
+def test_inc_sessionize_10x_counts_scale_with_users(spark, events_10x):
+    """inc_sessionize_rollforward on the 10x user-shifted events: user
+    cardinality grows 10x with per-user history unchanged, so every
+    session count (old / new / merges / total) must be EXACTLY 10x the
+    single-copy answer and avg_session_events unchanged -- the merge
+    state stays 2 rows/user (a per-user boundary pair), never
+    corpus-shaped."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    q = registry()["inc_sessionize_rollforward"]
+    one = q.build(spark, SF_DIR).collect()[0]
+    with tempfile.TemporaryDirectory() as td:
+        events_10x.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        t0 = time.perf_counter()
+        ten = q.build(spark, td).collect()[0]
+        elapsed = time.perf_counter() - t0
+    for col in ("n_users", "n_sessions_old", "n_sessions_new",
+                "n_boundary_merges", "n_sessions"):
+        assert ten[col] == REPLICAS * one[col], (col, one[col], ten[col])
+    assert ten["avg_session_events"] == one["avg_session_events"]
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
+
+
+def test_quality_profile_scale_task_shape_groups_x_buckets_10x(spark, events_10x):
+    """The 100 TB parallelism claim, pinned at 10x: the exact flagship's
+    shuffle keys are the GROUP alone (5 keys -- its reduce stage can never
+    use more than 5 tasks no matter the data), while the scale variant's
+    row-level pass shuffles on (group, time-bucket), whose key cardinality
+    grows with the data's time span -- two orders of magnitude more
+    parallelism on the same input."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.profile import (
+        quality_profile,
+        quality_profile_scale,
+    )
+
+    n_groups = events_10x.select("event_type").distinct().count()
+    n_keys = (
+        events_10x.filter(F.col("ts").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_groups == 5
+    assert n_keys >= 30 * n_groups  # parallelism scales with buckets
+
+    flag_plan = (
+        quality_profile(
+            events_10x, group_col="event_type", ts_col="ts", value_col="value"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scale_plan = (
+        quality_profile_scale(
+            events_10x,
+            group_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            scoped_cache=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # flagship: every hash exchange keys on the group alone
+    assert "hashpartitioning(event_type" in flag_plan
+    assert "_bkt" not in flag_plan
+    # scale variant: the row-level exchange carries the bucket key
+    assert any(
+        "hashpartitioning(event_type" in ln and "_bkt" in ln
+        for ln in scale_plan.splitlines()
+    ), scale_plan[:2000]
