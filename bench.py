@@ -228,8 +228,10 @@ HEADLINE = [
     "sess_absorbing_markov",
     "text_oov_rate",
     "ts_croston",
-    # round-8 addition
-    "inc_cc_new_edges",
+    # round-8 additions (inc_cc_new_edges / emb_pq_train_curve are
+    # ITERATIVE-only: their CC fixpoints / training collects run at build)
+    "inc_quantile_merge",
+    "inc_topk_merge",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -283,6 +285,8 @@ ITERATIVE = [
     # round-8: two CC fixpoints (old half + contracted merge) checkpoint
     # during build, same policy as dedup_clusters
     "inc_cc_new_edges",
+    # round-8: two k-means training passes collect at build time
+    "emb_pq_train_curve",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -309,6 +313,17 @@ ITERATIVE = [
 #     from percentile_approx sketches to exact-on-grid histogram deciles
 #     via ROLLUP(group, bin) -- still ONE fact scan, ~same cost, and the
 #     whole output is now DuckDB-hash-verifiable driver evidence.
+# Round-8 re-baseline (VERDICT r7 item 7): Sum(budgets) had drifted to
+# ~1.85x Sum(current best) -- stale-loose budgets would let a real 1.4x
+# regression on an old lane pass silently. Every lane whose budget
+# exceeded 2x its best recorded time (r7 committed ledger vs the r8
+# opening run, 63 lanes) was re-based to 1.5x best. Plan-changed lanes
+# re-measured warm best-of-3 with the codebook-trajectory memo:
+# emb_pq_assign 1.70 -> 2.55, sim_pq_adc_recall 4.50 -> 6.75,
+# sim_ivfpq_recall 4.78 -> 7.20 (training now memoized per corpus, the
+# persisted-index production shape). graph_link_prediction bumped
+# 1.95 -> 2.50 (1.5x its 1.66 best) after flapping at 2.003 in the r7
+# judge marathon.
 BUDGETS: dict[str, float] = {
     "quality_profile": 1.70,
     "quality_profile_approx": 1.80,
@@ -320,7 +335,7 @@ BUDGETS: dict[str, float] = {
     "rel_shipping_priority": 0.75,
     "rel_nation_revenue": 1.00,
     "rel_topk_per_group": 0.75,
-    "rel_rollup": 0.78,
+    "rel_rollup": 0.55,
     "ts_split_counts": 0.75,
     "ts_sequence_windows": 2.40,
     "ts_resample_hourly": 0.50,
@@ -335,17 +350,17 @@ BUDGETS: dict[str, float] = {
     "emb_neardup_pairs": 0.75,
     "tpch_large_orders": 1.85,
     "ts_calendar_features": 0.55,
-    "ts_backtest_folds": 1.30,
+    "ts_backtest_folds": 0.85,
     "text_entropy_stats": 1.50,
     "emb_centroid_assign": 1.10,
     "tpch_returned_items": 1.35,
     # round-4 additions: 1.5x idle-machine best-of-3 (2026-08-14)
-    "text_pii_redaction": 1.50,
+    "text_pii_redaction": 1.08,
     "emb_norm_stats": 0.35,
     "sample_stratified_topk": 0.40,
-    "text_packing_estimate": 0.55,
+    "text_packing_estimate": 0.4,
     "text_ngram_novelty": 2.40,
-    "sample_split_assign": 0.25,
+    "sample_split_assign": 0.17,
     "text_para_dedup": 1.05,
     "val_mad_outliers": 1.15,
     "ts_ewma": 1.10,
@@ -359,15 +374,15 @@ BUDGETS: dict[str, float] = {
     # two full corpus passes by construction (model + score), the repo's
     # heaviest text op
     "text_bigram_lm_score": 4.30,
-    "ts_cusum_changepoint": 1.59,
-    "sess_retention_cohorts": 1.05,
+    "ts_cusum_changepoint": 1.14,
+    "sess_retention_cohorts": 0.75,
     "inc_agg_merge": 0.72,
-    "emb_quantize_int8": 0.80,
+    "emb_quantize_int8": 0.58,
     "rel_variant_props": 0.71,
     "val_checksum_reconciliation": 0.68,
-    "ts_seasonal_naive_error": 1.00,
-    "sample_weighted_topk": 0.50,
-    "text_pack_chunks": 0.84,
+    "ts_seasonal_naive_error": 0.46,
+    "sample_weighted_topk": 0.35,
+    "text_pack_chunks": 0.54,
     # round-5 additions: 1.5x idle-machine best-of-3 (2026-08-14)
     "tpch_small_qty_revenue": 0.60,
     "tpch_disjunctive_revenue": 0.42,
@@ -391,13 +406,13 @@ BUDGETS: dict[str, float] = {
     "ts_holt_winters": 1.25,
     "sess_path_topk": 0.65,
     "sample_class_balance": 0.62,
-    "rel_hll_mergeable": 0.50,
+    "rel_hll_mergeable": 0.35,
     "rel_tombstone_read": 0.64,
-    "ts_hierarchical_reconcile": 0.82,
+    "ts_hierarchical_reconcile": 0.53,
     "rel_salted_skew_join": 0.58,
-    "sim_halfdim_overlap": 0.98,
-    "val_referential_integrity": 0.93,
-    "val_pk_uniqueness": 1.01,
+    "sim_halfdim_overlap": 0.65,
+    "val_referential_integrity": 0.59,
+    "val_pk_uniqueness": 0.7,
     "emb_mahalanobis_outliers": 1.11,
     "rel_asof_nearest": 0.81,
     "ts_permutation_entropy": 0.88,
@@ -409,7 +424,7 @@ BUDGETS: dict[str, float] = {
     "ts_load_factor": 0.44,
     "rel_order_value_gini": 1.16,
     "dedup_lsh_bucket_histogram": 1.90,
-    "dedup_lsh_recall_eval": 2.40,
+    "dedup_lsh_recall_eval": 1.51,
     # graph lanes time the fully-lazy plan (scoped cache off in bench):
     # pagerank's 3 unrolled iterations and the triangle wedge join
     # recompute their event pass per reference -- production runs persist
@@ -421,15 +436,15 @@ BUDGETS: dict[str, float] = {
     "sess_cogroup_hour_corr": 1.30,
     "ts_time_weighted_avg": 0.76,
     "ts_minmax_downsample": 1.01,
-    "text_pmi_source_terms": 1.26,
+    "text_pmi_source_terms": 0.92,
     "emb_top_pc_power_iteration": 5.25,
-    "graph_link_prediction": 1.95,
-    "emb_kcenter_seeds": 2.20,
-    "val_drift_chi2": 0.71,
+    "graph_link_prediction": 2.5,
+    "emb_kcenter_seeds": 1.27,
+    "val_drift_chi2": 0.44,
     "sess_shapley_attribution": 1.30,
-    "graph_bfs_reachability": 6.00,
+    "graph_bfs_reachability": 4.42,
     "emb_contrastive_triplets": 1.46,
-    "ts_pi_coverage": 1.12,
+    "ts_pi_coverage": 0.77,
     "val_monotonic_event_ids": 0.80,
     "rel_cohort_ltv": 1.08,
     "rel_basket_lift": 2.23,
@@ -441,30 +456,30 @@ BUDGETS: dict[str, float] = {
     "rel_supplier_hhi": 1.62,
     "ts_ramp_rate_stats": 0.83,
     "text_ttr_by_source": 0.57,
-    "rel_rfm_segments_scale": 2.35,
-    "rel_exact_quantiles_scale": 2.55,
-    "text_heavy_hitters": 1.50,
+    "rel_rfm_segments_scale": 1.37,
+    "rel_exact_quantiles_scale": 1.79,
+    "text_heavy_hitters": 1.08,
     "rel_interval_union_days": 1.55,
-    "ts_rolling_median_7d": 1.05,
-    "val_winsorized_stats": 3.85,
-    "rel_weighted_quantiles_scale": 3.60,
+    "ts_rolling_median_7d": 0.47,
+    "val_winsorized_stats": 1.71,
+    "rel_weighted_quantiles_scale": 1.99,
     "text_setsim_prefix_join": 7.50,
     "rel_max_concurrent_intervals": 1.95,
     "text_cms_freq_est": 0.75,
-    "ts_spectral_daily_strength": 0.85,
+    "ts_spectral_daily_strength": 0.54,
     "rel_woe_iv": 0.70,
     "sess_pattern_funnel": 0.60,
-    "ts_theilsen_trend": 0.90,
+    "ts_theilsen_trend": 0.49,
     "ts_gap_fill_interp": 0.75,
-    "text_chunk_overlap": 0.95,
+    "text_chunk_overlap": 0.51,
     "ts_w1_drift": 1.00,
     "rel_purchase_gap_stats": 0.95,
     "sess_touch_attribution": 0.80,
-    "val_volume_anomaly_days": 1.10,
+    "val_volume_anomaly_days": 0.55,
     "ts_missing_block_report": 0.65,
     "sim_topk_hamming": 1.15,
     "graph_kcore": 2.55,
-    "rel_abc_classification": 1.65,
+    "rel_abc_classification": 0.78,
     "sess_entropy_rate": 0.90,
     "rel_km_repurchase": 0.91,
     "ts_hurst_rs": 1.18,
@@ -472,7 +487,7 @@ BUDGETS: dict[str, float] = {
     # r7 re-baseline: deciles moved to ntile_by_edges (boundary jobs at
     # build -> ITERATIVE wall-clock, 1.88 best-of-2 quiet) -- the honest
     # price of removing the last dimension-sized single-task window
-    "rel_decile_lift": 2.80,
+    "rel_decile_lift": 1.5,
     "ts_ljung_box": 1.19,
     "rel_bitmap_overlap": 0.62,
     "ts_granger_lag1": 0.52,
@@ -482,24 +497,24 @@ BUDGETS: dict[str, float] = {
     # first-measured under a concurrent full-bench run: extra headroom
     "sess_next_pred_accuracy": 1.62,
     "sample_token_budget_plan": 1.13,
-    "emb_kmeans_step": 1.79,
-    "sess_lifecycle_states": 0.91,
+    "emb_kmeans_step": 1.31,
+    "sess_lifecycle_states": 0.65,
     "graph_modularity": 2.00,
     "text_langid_confusion": 1.23,
     "val_key_skew_report": 1.78,
     "val_join_cardinality": 1.27,
-    "val_median_of_means": 0.60,
-    "text_tokenizer_fertility": 1.30,
+    "val_median_of_means": 0.36,
+    "text_tokenizer_fertility": 0.66,
     "sample_curriculum_order": 2.40,
-    "val_k_anonymity": 0.60,
-    "mm_audio_frame_energy": 1.40,
+    "val_k_anonymity": 0.39,
+    "mm_audio_frame_energy": 0.6,
     "rel_cdf_normalize": 0.75,
     "ts_forecast_ensemble": 1.60,
     "val_duplicate_payments": 0.80,
-    "text_code_detect_stats": 1.10,
+    "text_code_detect_stats": 0.33,
     "ts_intermittency_stats": 1.20,
-    "text_boilerplate_share": 1.40,
-    "text_negative_sampling_dist": 1.10,
+    "text_boilerplate_share": 0.6,
+    "text_negative_sampling_dist": 0.45,
     "rel_discount_elasticity": 0.90,
     "graph_reciprocity": 0.80,
     "rel_holiday_lift": 0.70,
@@ -513,44 +528,50 @@ BUDGETS: dict[str, float] = {
     "layout_compaction_plan": 0.48,
     "sess_absorbing_markov": 1.92,
     "text_oov_rate": 1.07,
-    "text_bpe_merge_step": 1.10,
-    "ts_sax_motifs": 1.85,
-    "text_winnow_fingerprints": 1.20,
+    "text_bpe_merge_step": 0.51,
+    "ts_sax_motifs": 1.1,
+    "text_winnow_fingerprints": 0.73,
     "dedup_winnow_shared_spans": 1.50,
-    "sess_window_funnel": 1.70,
-    "val_mutual_information": 1.30,
+    "sess_window_funnel": 0.84,
+    "val_mutual_information": 0.54,
     # r7 re-baseline: under the lazy-bracket convention the persisted
     # edge frame is plan-cache-reused across iterations, so the recorded
     # best is 0.14 s -- the old 3.20 came from a cold first-measurement
-    "graph_sssp_weighted": 0.60,
-    "ts_psi_weekly_trend": 1.70,
-    "emb_cosine_pair_histogram": 1.00,
-    "val_simpson_slope_reversal": 1.00,
-    "mm_phash_dup_groups": 1.60,
-    "ts_daily_profile_motifs": 2.10,
-    "sample_group_kfold": 1.25,
-    "sess_interarrival_burstiness": 1.20,
-    "emb_label_separability": 1.70,
-    "dedup_cross_source_leakage": 1.00,
+    "graph_sssp_weighted": 0.22,
+    "ts_psi_weekly_trend": 0.81,
+    "emb_cosine_pair_histogram": 0.48,
+    "val_simpson_slope_reversal": 0.4,
+    "mm_phash_dup_groups": 0.51,
+    "ts_daily_profile_motifs": 1.35,
+    "sample_group_kfold": 0.46,
+    "sess_interarrival_burstiness": 0.72,
+    "emb_label_separability": 0.66,
+    "dedup_cross_source_leakage": 0.58,
     "ts_croston": 1.89,
     # round-7 additions: 1.5x quiet-machine best-of-3 (1.41 / 0.65 /
     # 0.65 / 2.66 / 4.43 wall-clock)
     "ml_ridge_lag1_parity": 2.10,
-    "inc_minhash_new_batch": 1.00,
-    "inc_sessionize_rollforward": 1.00,
+    "inc_minhash_new_batch": 0.54,
+    "inc_sessionize_rollforward": 0.55,
     # r7 re-baseline: same plan-cache reuse as sssp (recorded best 0.16;
     # the 4.00 was a cold wall-clock first measurement)
-    "graph_label_propagation": 0.60,
-    "emb_pq_assign": 2.10,  # r7 reshape: best 1.40 (was 4.43 HOF form)
-    "mm_scene_change": 0.80,
+    "graph_label_propagation": 0.25,
+    "emb_pq_assign": 2.55,  # r7 reshape: best 1.40 (was 4.43 HOF form)
+    "mm_scene_change": 0.43,
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
     # r7 reshape (HOF lambdas -> posexplode + codegen hash-agg, SCALING.md
     # "distance-computation shape"): bests 1.40 / 3.61 / 4.56
-    "sim_pq_adc_recall": 5.40,
-    "sim_ivfpq_recall": 6.85,
+    "sim_pq_adc_recall": 6.75,
+    "sim_ivfpq_recall": 7.2,
     "ml_forecast_next_lag1": 1.90,
-    "dedup_cluster_size_histogram": 0.90,
+    "dedup_cluster_size_histogram": 0.46,
+    # round-8 lanes: 1.5x warm best-of-3 at sf0.1 (3.31 / 0.86 / 0.32 /
+    # 3.82 with the codebook-trajectory memo; see SCALING.md round-8)
+    "inc_cc_new_edges": 5.00,
+    "inc_quantile_merge": 1.30,
+    "inc_topk_merge": 0.50,
+    "emb_pq_train_curve": 5.75,
 }
 
 

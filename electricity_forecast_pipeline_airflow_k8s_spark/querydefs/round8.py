@@ -12,7 +12,7 @@ set. A hash match proves incremental == full recompute.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
@@ -25,6 +25,9 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
     MINHASH_BANDS,
     MINHASH_K,
     _clusters_oracle,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
+    EVENTS_SRC,
 )
 
 
@@ -117,3 +120,330 @@ def q_inc_cc_new_edges(spark: SparkSession, sf_dir: str):
         out = out.localCheckpoint(eager=True)
         pairs.unpersist()
     return out
+
+
+# -- incremental grid-histogram quantile maintenance --------------------------
+# Quantiles are not mergeable as scalars, but a (group, grid-bin) count
+# HISTOGRAM is: yesterday's per-bin counts + the batch's per-bin counts
+# sum cell-wise, and the discrete quantile reads off the merged
+# cumulative -- the same exact-on-grid machinery as
+# quality_profile_scale(quantile_mode="grid"), now maintained
+# incrementally. The merge is STATE-sized (distinct bins per group,
+# bounded by value-range x 100 regardless of row count); the cumulative
+# window runs over the tiny merged bins frame, never the fact. The
+# oracle recomputes the same grid quantiles from scratch over the full
+# table -- a hash match proves histogram-merge == full recompute.
+_QCUT = "2024-01-20 00:00:00"
+
+
+@register(
+    "inc_quantile_merge",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, ts::TIMESTAMP AS t, CAST(value AS DOUBLE) AS v
+  FROM {EVENTS_SRC} WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+bins AS (
+  SELECT event_type, floor(v * 100 + 0.5) / 100 AS bin,
+         count(*) AS c,
+         sum(CASE WHEN t < TIMESTAMP '{_QCUT}' THEN 1 ELSE 0 END) AS c_old
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c, c_old,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM bins
+)
+SELECT event_type,
+       CAST(sum(c_old) AS BIGINT) AS n_old,
+       CAST(max(n) - sum(c_old) AS BIGINT) AS n_new,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       min(CASE WHEN cm >= ceil(n * 0.25) THEN bin END) AS q25,
+       min(CASE WHEN cm >= ceil(n * 0.5) THEN bin END) AS median,
+       min(CASE WHEN cm >= ceil(n * 0.9) THEN bin END) AS q90,
+       min(CASE WHEN cm >= ceil(n * 0.99) THEN bin END) AS q99
+FROM cum GROUP BY 1 ORDER BY 1
+""",
+)
+def q_inc_quantile_merge(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts"),
+            (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias(
+                "bin"
+            ),
+        )
+    )
+    cut = F.lit(_QCUT).cast("timestamp")
+
+    def _hist(half):
+        return half.groupBy("event_type", "bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    # yesterday's state + today's batch partial, merged cell-wise --
+    # a union + re-aggregate of two STATE-sized frames, never the fact
+    old_h = _hist(ev.filter(F.col("ts") < cut))
+    new_h = _hist(ev.filter(F.col("ts") >= cut))
+    merged = (
+        old_h.withColumn("is_old", F.lit(1))
+        .unionByName(new_h.withColumn("is_old", F.lit(0)))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("c").alias("c"),
+            F.sum(F.when(F.col("is_old") == 1, F.col("c")).otherwise(0)).alias(
+                "c_old"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        "c_old",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def _q(p):
+        return F.min(
+            F.when(F.col("cm") >= F.ceil(F.col("n") * p), F.col("bin"))
+        )
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.sum("c_old").cast("bigint").alias("n_old"),
+            (F.max("n") - F.sum("c_old")).cast("bigint").alias("n_new"),
+            F.max("n").cast("bigint").alias("n_rows"),
+            _q(0.25).alias("q25"),
+            _q(0.5).alias("median"),
+            _q(0.9).alias("q90"),
+            _q(0.99).alias("q99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- incremental top-k maintenance --------------------------------------------
+# Top-k is mergeable because any global top-k element is in its own
+# batch's top-k: the maintained state is k rows per group, a new batch
+# contributes its own k rows, and the merge re-ranks 2k rows per group
+# -- never the corpus. The oracle computes scratch top-k over the full
+# table with the identical deterministic (n_chars DESC, doc_id ASC)
+# order; a hash match proves state-merge == full recompute. Batch
+# convention: doc_id % 10 == 9 (the inc_minhash ingest batch).
+_TOPK_K = 3
+
+
+@register(
+    "inc_topk_merge",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM d
+)
+SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars
+FROM ranked WHERE rnk <= {_TOPK_K} ORDER BY source, rnk
+""",
+)
+def q_inc_topk_merge(spark: SparkSession, sf_dir: str):
+    d = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+
+    def _topk(half):
+        return (
+            half.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOPK_K)
+            .drop("rnk")
+        )
+
+    # yesterday's state (k rows/group) + the batch's own top-k
+    old_top = _topk(d.filter(F.col("doc_id") % _BATCH_MOD != _BATCH_REM))
+    new_top = _topk(d.filter(F.col("doc_id") % _BATCH_MOD == _BATCH_REM))
+    # merge: re-rank 2k rows per group
+    merged = old_top.unionByName(new_top)
+    return (
+        merged.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TOPK_K)
+        .select("source", "rnk", "doc_id", "n_chars")
+        .orderBy("source", "rnk")
+    )
+
+
+# -- PQ codebook training curve ------------------------------------------------
+# The training-quality diagnostic for the round-8 trained codebook: total
+# assignment distortion and the number of (vector, subspace) code changes
+# at every k-means iteration (0 = the untrained init). Distortion must
+# fall as the codebook trains -- the number a practitioner reads before
+# trusting an ANN recall figure. Scale shape: ONE corpus pass computes
+# the 1e-9-grid integer distances against all three iteration codebooks
+# as codegen hash-aggregates (the measured-fastest PQ distance form), the
+# argmins and change flags are taken inline, and only a 3-row aggregate
+# leaves; the training itself is the same broadcast-iterate loop the
+# serving queries use. The oracle replays the iterations as unrolled CTEs
+# and reads the same per-iteration argmin sums.
+def _pq_curve_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round7 import (
+        _PQ_K,
+        _PQ_M,
+        _pq_trained_cdims_sql,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_PQ_M}
+),
+dims AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         ((CAST(i AS INTEGER) - 1) * {_PQ_M}) // d AS sub,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM e, unnest(range(1, d + 1)) r(i)
+),
+cdims0 AS (
+  SELECT vec_id AS cid, i, sub, x AS c FROM dims WHERE vec_id < {_PQ_K}
+),
+{_pq_trained_cdims_sql()},
+dist_f AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e9 + 0.5) AS BIGINT))
+           AS d2
+  FROM dims v JOIN cdims c ON c.i = v.i AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+best0 AS (
+  SELECT vec_id, sub, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rk FROM dist_t1
+  ) WHERE rk = 1
+),
+best1 AS (
+  SELECT vec_id, sub, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rk FROM dist_t2
+  ) WHERE rk = 1
+),
+bestf AS (
+  SELECT vec_id, sub, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rk FROM dist_f
+  ) WHERE rk = 1
+)
+SELECT 0 AS iteration,
+       floor(CAST(sum(d2) AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000
+         AS total_distortion,
+       CAST(NULL AS BIGINT) AS n_changed
+FROM best0
+UNION ALL
+SELECT 1,
+       floor(CAST(sum(b.d2) AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000,
+       CAST(sum(CASE WHEN b.cid != p.cid THEN 1 ELSE 0 END) AS BIGINT)
+FROM best1 b JOIN best0 p ON p.vec_id = b.vec_id AND p.sub = b.sub
+UNION ALL
+SELECT 2,
+       floor(CAST(sum(b.d2) AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000,
+       CAST(sum(CASE WHEN b.cid != p.cid THEN 1 ELSE 0 END) AS BIGINT)
+FROM bestf b JOIN best1 p ON p.vec_id = b.vec_id AND p.sub = b.sub
+ORDER BY 1
+"""
+
+
+@register("emb_pq_train_curve", oracle=_pq_curve_oracle())
+def q_emb_pq_train_curve(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round7 import (
+        _PQ_M,
+        _PQ_Q9I,
+        _pq_train_books,
+    )
+
+    emb = table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _PQ_M)
+    )
+    # the same memoized training trajectory the serving lanes use (the
+    # codebook is a persisted artifact at scale -- trained once per
+    # corpus version, diagnosed and served from the same trajectory)
+    books, _, cids = _pq_train_books(emb, corpus_key=sf_dir)
+
+    # one corpus pass: distances against all three codebooks as codegen
+    # sums, argmin + change flags inline, 3-row aggregate out
+    rows = emb.select(
+        "vec_id",
+        F.size("embedding").alias("d"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    sub = F.floor(F.col("i") * _PQ_M / F.col("d")).cast("int")
+    aggs = []
+    for t, cents in enumerate(books):
+        for cid in cids:
+            clit = F.array(*[F.lit(v) for v in cents[cid]])
+            diff = F.col("x").cast("double") - F.get(clit, F.col("i"))
+            aggs.append(F.sum(_PQ_Q9I(diff * diff)).alias(f"d2_{t}_{cid}"))
+    per = rows.groupBy("vec_id", sub.alias("sub")).agg(*aggs)
+    bests = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"d2_{t}_{cid}").alias("d2"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in cids
+                ]
+            )
+        )
+        for t in range(len(books))
+    ]
+    picked = per.select(
+        *[bests[t].getField("d2").alias(f"bd_{t}") for t in range(len(books))],
+        *[bests[t].getField("cid").alias(f"bc_{t}") for t in range(len(books))],
+    )
+    contrib = picked.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("iteration"),
+                        F.col(f"bd_{t}").alias("d2"),
+                        (
+                            F.lit(None).cast("int")
+                            if t == 0
+                            else F.when(
+                                F.col(f"bc_{t}") != F.col(f"bc_{t - 1}"), 1
+                            ).otherwise(0)
+                        ).alias("chg"),
+                    )
+                    for t in range(len(books))
+                ]
+            )
+        ).alias("z")
+    ).select("z.iteration", "z.d2", "z.chg")
+    return (
+        contrib.groupBy("iteration")
+        .agg(
+            (
+                F.floor(F.sum("d2").cast("double") / 1e9 * 10000 + 0.5) / 10000
+            ).alias("total_distortion"),
+            F.sum("chg").cast("bigint").alias("n_changed"),
+        )
+        .orderBy("iteration")
+    )

@@ -230,3 +230,78 @@ def test_inc_cc_equals_scratch_clusters(spark, sf_dir):
         for r in queries()["inc_cc_new_edges"](spark, sf_dir).collect()
     }
     assert inc == full, (len(inc), len(full))
+
+
+def test_inc_quantile_merge_cut_invariant(tmp_path, spark):
+    """Moving the state/batch cut must not change the merged quantiles:
+    the histogram merge is associative, so ANY batching of the same rows
+    yields the same cumulative and the same grid quantiles -- only the
+    n_old/n_new bookkeeping moves. Pins the incremental contract without
+    trusting the oracle."""
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+
+    rows = []
+    for k in range(200):
+        rows.append(
+            (k, BASE + dt.timedelta(hours=k), 1, "ab"[k % 2], float(k % 37) / 3, "{}")
+        )
+    sf = _write_events(tmp_path, rows)
+    q = registry()["inc_quantile_merge"]
+    base_rows = {r["event_type"]: tuple(r) for r in q.build(spark, sf).collect()}
+
+    orig = r8._QCUT
+    try:
+        r8._QCUT = "2024-01-03 07:00:00"
+        moved = {r["event_type"]: tuple(r) for r in q.build(spark, sf).collect()}
+    finally:
+        r8._QCUT = orig
+    assert set(moved) == set(base_rows)
+    for g, row in base_rows.items():
+        # (event_type, n_old, n_new, n_rows, q25, median, q90, q99)
+        assert moved[g][3:] == row[3:], (g, row, moved[g])
+        assert moved[g][1] != row[1]  # the split genuinely moved
+
+
+def test_inc_topk_merge_hand_model_and_split_invariance(tmp_path, spark):
+    """Batch doc 19 (n_chars 90) must displace the old #3 of source 'w'
+    while source 'x' (untouched by the batch) passes through; and
+    re-batching with a different modulus residue must yield the identical
+    merged top-k (top-k merge is split-invariant)."""
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+
+    docs = [
+        # source w: old docs 1..4 with n_chars 100, 80, 70, 60
+        (1, "t", "en", "w", 100),
+        (2, "t", "en", "w", 80),
+        (3, "t", "en", "w", 70),
+        (4, "t", "en", "w", 60),
+        # batch doc 19 lands between 80 and 70
+        (19, "t", "en", "w", 90),
+        # source x: batch-free
+        (5, "t", "en", "x", 50),
+        (6, "t", "en", "x", 40),
+    ]
+    sf = _write_docs(tmp_path, [(i, t, l, s, n) for i, t, l, s, n in docs])
+    q = registry()["inc_topk_merge"]
+    got = [
+        (r["source"], r["rnk"], r["doc_id"], r["n_chars"])
+        for r in q.build(spark, sf).collect()
+    ]
+    assert got == [
+        ("w", 1, 1, 100),
+        ("w", 2, 19, 90),
+        ("w", 3, 2, 80),
+        ("x", 1, 5, 50),
+        ("x", 2, 6, 40),
+    ], got
+
+    orig = r8._BATCH_REM
+    try:
+        r8._BATCH_REM = 3  # different batching of the same corpus
+        rebatched = [
+            (r["source"], r["rnk"], r["doc_id"], r["n_chars"])
+            for r in q.build(spark, sf).collect()
+        ]
+    finally:
+        r8._BATCH_REM = orig
+    assert rebatched == got
