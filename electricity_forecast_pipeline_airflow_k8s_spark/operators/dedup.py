@@ -196,19 +196,20 @@ def jaccard_verify(
         pairs.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
-            "jaccard",
-            F.floor(
-                F.try_divide(
-                    F.size(F.array_intersect("sh_a", "sh_b")),
-                    F.size(F.array_union("sh_a", "sh_b")),
-                )
-                * 10000
-                + 0.5
-            )
-            / 10000,
+            "jaccard_raw",
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    # raw-ratio threshold, rounded output (the shared minhash boundary
+    # rule -- ADVICE r7)
+    return j.filter(F.col("jaccard_raw") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("jaccard_raw") * 10000 + 0.5) / 10000).alias("jaccard"),
+    )
 
 
 def minhash_lsh_dedup_pairs(

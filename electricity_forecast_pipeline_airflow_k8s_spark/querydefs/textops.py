@@ -408,16 +408,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     par = spark.sparkContext.defaultParallelism
     a = sh.repartition(par).withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
-    j = (
-        F.floor(
-            F.try_divide(
-                F.size(F.array_intersect("sa", "sb")),
-                F.size(F.array_union("sa", "sb")),
-            )
-            * 10000
-            + 0.5
-        )
-        / 10000
+    j_raw = F.try_divide(
+        F.size(F.array_intersect("sa", "sb")),
+        F.size(F.array_union("sa", "sb")),
     )
     # size-ratio prefilter: jaccard >= t implies min(|a|,|b|)/max(|a|,|b|)
     # >= t, so pairs failing the cheap size check can never pass -- prunes
@@ -426,8 +419,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     return (
         a.crossJoin(b)
         .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", j_raw.alias("j_raw"))
+        # threshold on the RAW ratio (the oracle filters raw); round only
+        # for output -- the same [0.49995, 0.5) boundary rule as the
+        # minhash queries (ADVICE r7)
+        .filter(F.col("j_raw") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("j_raw") * 10000 + 0.5) / 10000).alias("jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

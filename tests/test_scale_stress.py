@@ -421,3 +421,29 @@ def test_quality_profile_scale_task_shape_groups_x_buckets_10x(spark, events_10x
         "hashpartitioning(event_type" in ln and "_bkt" in ln
         for ln in scale_plan.splitlines()
     ), scale_plan[:2000]
+
+
+def test_inc_quantile_merge_10x_state_bounded(spark, events_10x):
+    """inc_quantile_merge on 10x replicated events (users shifted, values
+    and timestamps untouched): the histogram STATE (distinct bins per
+    group) is identical to the single-copy state -- bounded by the value
+    grid, not the row count -- and the discrete grid quantiles are
+    replication-invariant (ceil(p*10n) lands in the same bin) while the
+    n_old/n_new bookkeeping scales exactly 10x."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    q = registry()["inc_quantile_merge"]
+    one = {r["event_type"]: tuple(r) for r in q.build(spark, SF_DIR).collect()}
+    with tempfile.TemporaryDirectory() as td:
+        events_10x.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        ten = {r["event_type"]: tuple(r) for r in q.build(spark, td).collect()}
+    assert set(ten) == set(one)
+    for g, row in one.items():
+        # (event_type, n_old, n_new, n_rows, q25, median, q90, q99)
+        assert ten[g][1] == REPLICAS * row[1], (g, row, ten[g])
+        assert ten[g][2] == REPLICAS * row[2], (g, row, ten[g])
+        assert ten[g][3] == REPLICAS * row[3], (g, row, ten[g])
+        assert ten[g][4:] == row[4:], (g, row, ten[g])
