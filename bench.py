@@ -232,6 +232,7 @@ HEADLINE = [
     # ITERATIVE-only: their CC fixpoints / training collects run at build)
     "inc_quantile_merge",
     "inc_topk_merge",
+    "dedup_containment_pairs",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -569,6 +570,8 @@ BUDGETS: dict[str, float] = {
     # round-8 lanes: 1.5x warm best-of-3 at sf0.1 (3.31 / 0.86 / 0.32 /
     # 3.82 with the codebook-trajectory memo; see SCALING.md round-8)
     "inc_cc_new_edges": 5.00,
+    # directed-containment posting join, undirected-count form: 4.06 warm
+    "dedup_containment_pairs": 6.10,
     "inc_quantile_merge": 1.30,
     "inc_topk_merge": 0.50,
     "emb_pq_train_curve": 5.75,

@@ -28,25 +28,28 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window: the 14 queries whose
-# implementations are new or changed this round lead (4 new:
+# registration order per round). Round-8 window: the 17 queries whose
+# implementations are new or changed this round lead (5 new:
 # inc_cc_new_edges (incremental connected components), inc_quantile_merge
-# (mergeable grid-histogram quantiles), inc_topk_merge (mergeable
-# top-k), emb_pq_train_curve (per-iteration PQ training diagnostics); 10
-# changed: emb_pq_assign + sim_pq_adc_recall + sim_ivfpq_recall now use
-# the TRAINED codebook, ml_forecast_next_lag1 / ml_forecast_next /
-# ml_invariants gained the (window_start, event_id) tie-safe latest-
-# window pick, dedup_minhash_lsh_pairs / inc_minhash_new_batch filter on
-# the raw jaccard ratio, dedup_clusters / dedup_keep_best sit on the
-# changed minhash operator -- VERDICT/ADVICE r7), then the 56-query
-# never-proven backlog in registry order (36 fit this round's 50-window;
-# the residue closes in r9), then proven queries oldest-evidence-first.
-# Regenerate with tools/rotate_window.py.
+# (mergeable grid-histogram quantiles), inc_topk_merge (mergeable top-k),
+# emb_pq_train_curve (per-iteration PQ training diagnostics),
+# dedup_containment_pairs (asymmetric quote-inclusion dedup with the
+# stop-shingle DF cap); 12 changed: emb_pq_assign + sim_pq_adc_recall +
+# sim_ivfpq_recall use the TRAINED codebook, ml_forecast_next_lag1 /
+# ml_forecast_next / ml_invariants gained the (window_start, event_id)
+# tie-safe latest-window pick, dedup_minhash_lsh_pairs /
+# inc_minhash_new_batch / dedup_ngram_jaccard_pairs /
+# dedup_lsh_recall_eval filter on the raw jaccard ratio, dedup_clusters /
+# dedup_keep_best sit on the changed minhash operator -- VERDICT/ADVICE
+# r7), then the 56-query never-proven backlog in registry order (33 fit
+# this round's 50-window; the residue closes in r9), then proven queries
+# oldest-evidence-first. Regenerate with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_cc_new_edges",
     "inc_quantile_merge",
     "inc_topk_merge",
     "emb_pq_train_curve",
+    "dedup_containment_pairs",
     "emb_pq_assign",  # last green r7
     "sim_pq_adc_recall",  # last green r7
     "sim_ivfpq_recall",  # last green r7
@@ -57,6 +60,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_minhash_new_batch",  # last green r7
     "dedup_clusters",  # last green r3
     "dedup_keep_best",  # last green r3
+    "dedup_ngram_jaccard_pairs",  # last green r2
+    "dedup_lsh_recall_eval",  # last green r7
     "sess_cogroup_hour_corr",
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
@@ -161,7 +166,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_top_tokens",  # last green r2
     "text_tfidf_top_terms",  # last green r2
     "dedup_tokenset_groups",  # last green r2
-    "dedup_ngram_jaccard_pairs",  # last green r2
     "dedup_simhash_codes",  # last green r2
     "sim_topk_lsh",  # last green r2
     "tpch_min_balance_supplier",  # last green r2
@@ -356,7 +360,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_load_factor",  # last green r7
     "rel_order_value_gini",  # last green r7
     "dedup_lsh_bucket_histogram",  # last green r7
-    "dedup_lsh_recall_eval",  # last green r7
     "graph_pagerank",  # last green r7
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7

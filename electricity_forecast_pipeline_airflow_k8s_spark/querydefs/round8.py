@@ -447,3 +447,112 @@ def q_emb_pq_train_curve(spark: SparkSession, sf_dir: str):
         )
         .orderBy("iteration")
     )
+
+
+# -- containment near-dup pairs (subset/quote-inclusion dedup) -----------------
+# Jaccard misses the asymmetric duplicate a real corpus is full of: a
+# short doc quoted whole inside a longer one (jaccard |A∩B|/|A∪B| dives
+# as |B| grows, containment |A∩B|/|A| stays 1). Directed output:
+# (inner_doc, outer_doc, containment = shared/|inner|) at >= 0.8 with a
+# >= 5-shingle floor. Scale shape: inverted-index posting join -- only
+# pairs sharing a shingle are ever materialized -- with a STOP-SHINGLE
+# document-frequency cap first (shingles in > _CONT_DF_CAP docs are
+# boilerplate; they blow the posting lists quadratically and carry no
+# signal), the standard production guard. Both the n_inner floor and the
+# containment threshold are computed over the capped shingle space on
+# BOTH engines, and the threshold filters the RAW ratio (rounding only
+# the output), so the operator stays exactly oracle-replayable.
+_CONT_THRESHOLD, _CONT_MIN_SHINGLES, _CONT_DF_CAP = 0.8, 5, 500
+
+
+def _containment_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
+        _SHINGLES,
+        _TOKS,
+    )
+
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs WHERE len(t) >= 3),
+ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+keep AS (
+  SELECT sg FROM ex0 GROUP BY sg HAVING count(*) <= {_CONT_DF_CAP}
+),
+ex AS (SELECT e.doc_id, e.sg FROM ex0 e JOIN keep k ON k.sg = e.sg),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, count(*) AS c
+  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.inner_doc, c.outer_doc,
+       floor(c.c * 1.0 / s.n * 10000 + 0.5) / 10000 AS containment
+FROM common c JOIN sizes s ON s.doc_id = c.inner_doc
+WHERE c.c * 1.0 / s.n >= {_CONT_THRESHOLD} AND s.n >= {_CONT_MIN_SHINGLES}
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_containment_pairs", oracle=_containment_oracle())
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", DD.shingles("text").alias("s")).filter(
+        F.size("s") > 0
+    )
+    ex0 = sh.select("doc_id", F.explode("s").alias("sg"))
+    # stop-shingle cap: document frequency over the distinct-per-doc
+    # shingle stream (shingles() emits distinct shingles per doc)
+    keep = ex0.groupBy("sg").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _CONT_DF_CAP
+    )
+    ex = ex0.join(keep.select("sg"), "sg")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # shared-shingle counts computed UNDIRECTED (a < b) -- half the join
+    # output -- then both orientations emitted from the tiny pair frame
+    # (containment is asymmetric only through the inner size, not c)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    directed = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("da").alias("inner_doc"), F.col("db").alias("outer_doc")
+                ),
+                F.struct(
+                    F.col("db").alias("inner_doc"), F.col("da").alias("outer_doc")
+                ),
+            )
+        ).alias("p"),
+        "c",
+    ).select("p.inner_doc", "p.outer_doc", "c")
+    out = (
+        directed.join(
+            sizes.withColumnsRenamed({"doc_id": "inner_doc"}), "inner_doc"
+        )
+        .withColumn("cont_raw", F.col("c") / F.col("n"))
+        .filter(
+            (F.col("cont_raw") >= _CONT_THRESHOLD)
+            & (F.col("n") >= _CONT_MIN_SHINGLES)
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            (F.floor(F.col("cont_raw") * 10000 + 0.5) / 10000).alias(
+                "containment"
+            ),
+        )
+        .orderBy("inner_doc", "outer_doc")
+    )
+    return out

@@ -305,3 +305,71 @@ def test_inc_topk_merge_hand_model_and_split_invariance(tmp_path, spark):
     finally:
         r8._BATCH_REM = orig
     assert rebatched == got
+
+
+def test_containment_hand_model(tmp_path, spark):
+    """Doc 2 (tokens 5..12 of doc 1) is FULLY contained in doc 1:
+    containment(2 in 1) = 1.0 while the reverse ratio 6/18 stays far
+    below threshold -- the asymmetric duplicate jaccard misses. Doc 3
+    shares nothing. Doc 4 is a 4-token slice (2 shingles < the 5-shingle
+    floor) and must be excluded even at containment 1.0."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    toks = [f"c{i}" for i in range(20)]
+    big = " ".join(toks)            # 18 shingles
+    inner = " ".join(toks[5:13])    # 6 shingles, all inside big
+    tiny = " ".join(toks[2:6])      # 2 shingles, inside big
+    other = "x0 x1 x2 x3 x4 x5"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, big, "en", "web", len(big)),
+            (2, inner, "en", "web", len(inner)),
+            (3, other, "en", "web", len(other)),
+            (4, tiny, "en", "web", len(tiny)),
+        ],
+    )
+    got = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in queries()["dedup_containment_pairs"](spark, sf).collect()
+    }
+    assert got == {(2, 1): 1.0}, got
+
+
+def test_containment_stop_shingle_cap(tmp_path, spark):
+    """With the DF cap forced to 2, a shingle shared by 3 docs is
+    boilerplate and leaves the shingle space: doc 2's containment in
+    doc 1 is then computed over its remaining shingles only. Spark-side
+    semantics pin (the registered oracle keeps the production cap)."""
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    toks = [f"d{i}" for i in range(12)]
+    boiler = "b0 b1 b2"  # one shingle, present in 3 docs -> df 3
+    big = " ".join(toks) + " " + boiler
+    # capped shingle space of inner: 8 d-shingles shared with big + 2
+    # boundary shingles not in big (the b0b1b2 shingle leaves via the
+    # cap) -> containment exactly 8/10 = 0.8, at the threshold
+    inner = " ".join(toks[0:10]) + " " + boiler
+    third = "z0 z1 z2 z3 " + boiler
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, big, "en", "web", len(big)),
+            (2, inner, "en", "web", len(inner)),
+            (3, third, "en", "web", len(third)),
+        ],
+    )
+    orig = r8._CONT_DF_CAP
+    try:
+        r8._CONT_DF_CAP = 2
+        got = {
+            (r["inner_doc"], r["outer_doc"]): r["containment"]
+            for r in queries()["dedup_containment_pairs"](spark, sf).collect()
+        }
+    finally:
+        r8._CONT_DF_CAP = orig
+    # the pure b0-b1-b2 shingle is df-3 boilerplate and must not create a
+    # (3, x) pair; doc 2 still contains in doc 1 via its d-token shingles
+    assert all(p[0] != 3 and p[1] != 3 for p in got), got
+    assert any(p == (2, 1) for p in got), got
