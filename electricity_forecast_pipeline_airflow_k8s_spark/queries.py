@@ -28,26 +28,29 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window: the 17 queries whose
-# implementations are new or changed this round lead (5 new:
+# registration order per round). Round-8 window: the 18 queries whose
+# implementations are new or changed this round lead (6 new:
 # inc_cc_new_edges (incremental connected components), inc_quantile_merge
 # (mergeable grid-histogram quantiles), inc_topk_merge (mergeable top-k),
-# emb_pq_train_curve (per-iteration PQ training diagnostics),
-# dedup_containment_pairs (asymmetric quote-inclusion dedup with the
-# stop-shingle DF cap); 12 changed: emb_pq_assign + sim_pq_adc_recall +
-# sim_ivfpq_recall use the TRAINED codebook, ml_forecast_next_lag1 /
-# ml_forecast_next / ml_invariants gained the (window_start, event_id)
-# tie-safe latest-window pick, dedup_minhash_lsh_pairs /
-# inc_minhash_new_batch / dedup_ngram_jaccard_pairs /
-# dedup_lsh_recall_eval filter on the raw jaccard ratio, dedup_clusters /
-# dedup_keep_best sit on the changed minhash operator -- VERDICT/ADVICE
-# r7), then the 56-query never-proven backlog in registry order (33 fit
-# this round's 50-window; the residue closes in r9), then proven queries
-# oldest-evidence-first. Regenerate with tools/rotate_window.py.
+# stream_topk_merge (the same mergeable contract folded through
+# Structured Streaming foreachBatch state), emb_pq_train_curve
+# (per-iteration PQ training diagnostics), dedup_containment_pairs
+# (asymmetric quote-inclusion dedup with the stop-shingle DF cap); 12
+# changed: emb_pq_assign + sim_pq_adc_recall + sim_ivfpq_recall use the
+# TRAINED codebook, ml_forecast_next_lag1 / ml_forecast_next /
+# ml_invariants gained the (window_start, event_id) tie-safe latest-
+# window pick, dedup_minhash_lsh_pairs / inc_minhash_new_batch /
+# dedup_ngram_jaccard_pairs / dedup_lsh_recall_eval filter on the raw
+# jaccard ratio, dedup_clusters / dedup_keep_best sit on the changed
+# minhash operator -- VERDICT/ADVICE r7), then the 56-query never-proven
+# backlog in registry order (32 fit this round's 50-window; the residue
+# closes in r9), then proven queries oldest-evidence-first. Regenerate
+# with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_cc_new_edges",
     "inc_quantile_merge",
     "inc_topk_merge",
+    "stream_topk_merge",
     "emb_pq_train_curve",
     "dedup_containment_pairs",
     "emb_pq_assign",  # last green r7

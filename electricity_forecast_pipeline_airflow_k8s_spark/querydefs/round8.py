@@ -244,10 +244,7 @@ def q_inc_quantile_merge(spark: SparkSession, sf_dir: str):
 # convention: doc_id % 10 == 9 (the inc_minhash ingest batch).
 _TOPK_K = 3
 
-
-@register(
-    "inc_topk_merge",
-    oracle=f"""
+_TOPK_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, source, n_chars FROM documents
   WHERE n_chars IS NOT NULL AND source IS NOT NULL
@@ -260,8 +257,10 @@ ranked AS (
 )
 SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars
 FROM ranked WHERE rnk <= {_TOPK_K} ORDER BY source, rnk
-""",
-)
+"""
+
+
+@register("inc_topk_merge", oracle=_TOPK_ORACLE)
 def q_inc_topk_merge(spark: SparkSession, sf_dir: str):
     d = (
         table(spark, "documents", sf_dir)
@@ -556,3 +555,86 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str):
         .orderBy("inner_doc", "outer_doc")
     )
     return out
+
+
+# -- streaming top-k maintenance (the mergeable contract, on the engine) -----
+# inc_topk_merge proves top-k state-merge == full recompute in batch;
+# this drives the SAME contract through Structured Streaming: documents
+# arrive as 4 micro-batches (one file per trigger), and foreachBatch
+# folds each batch's own top-k into a landed k-rows-per-group state
+# table -- the state read back after the stream drains must equal
+# scratch top-k over everything (the identical oracle). Because top-k
+# merge is order-invariant, the result is deterministic whatever order
+# the engine picks the files in -- which is exactly WHY this state shape
+# is safe to maintain under streaming retries at 100 TB. State lands per
+# batch_id (idempotent-overwrite, the stream_upsert_replay_state
+# convention) so an at-least-once replay of a batch cannot corrupt it.
+@register("stream_topk_merge", oracle=_TOPK_ORACLE)
+def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
+    import glob
+    import tempfile
+
+    d = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+
+    def _topk(df):
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOPK_K)
+            .drop("rnk")
+        )
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        state_root = f"{tmp}/state"
+        d.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def land(batch_df, batch_id: int) -> None:
+            prev_dirs = sorted(
+                glob.glob(f"{state_root}/v=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+            prev = (
+                spark.read.parquet(prev_dirs[-1])
+                if prev_dirs
+                else spark.createDataFrame([], batch_df.schema)
+            )
+            merged = _topk(prev.unionByName(_topk(batch_df)))
+            # idempotent land: a replayed batch_id overwrites its own dir
+            merged.write.mode("overwrite").parquet(
+                f"{state_root}/v={batch_id}"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("topk stream did not finish in 300s")
+        final_dirs = sorted(
+            glob.glob(f"{state_root}/v=*"),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        out = (
+            _topk(spark.read.parquet(final_dirs[-1]))
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .select("source", "rnk", "doc_id", "n_chars")
+            .orderBy("source", "rnk")
+        )
+        # materialize before the tmp dir (the state's backing files) vanishes
+        return out.localCheckpoint(eager=True)

@@ -446,3 +446,14 @@ def test_inc_minhash_probe_side_filtered_below_join(spark, sf_dir, monkeypatch):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
     assert "% 10) = 9" in plan, plan[:3000]
+
+
+def test_containment_pairs_posting_join_shaped(spark, sf_dir):
+    """dedup_containment_pairs must stay inverted-index shaped: shingle
+    equi-joins only (candidates = pairs sharing a kept shingle), never a
+    CartesianProduct / nested-loop all-pairs comparison, and no Python
+    boundary."""
+    q = registry()["dedup_containment_pairs"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

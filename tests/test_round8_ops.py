@@ -373,3 +373,18 @@ def test_containment_stop_shingle_cap(tmp_path, spark):
     # (3, x) pair; doc 2 still contains in doc 1 via its d-token shingles
     assert all(p[0] != 3 and p[1] != 3 for p in got), got
     assert any(p == (2, 1) for p in got), got
+
+
+def test_stream_topk_matches_batch_inc_topk(tmp_path, spark):
+    """The streaming state fold and the batch merge implement the SAME
+    mergeable-top-k contract: on an arbitrary fixture their outputs must
+    be identical (and equal scratch top-k by each one's oracle)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    docs = [
+        (i, "t", "en", ["w", "x", "y"][i % 3], (i * 37) % 100) for i in range(40)
+    ]
+    sf = _write_docs(tmp_path, docs)
+    batch = [tuple(r) for r in queries()["inc_topk_merge"](spark, sf).collect()]
+    streamed = [tuple(r) for r in queries()["stream_topk_merge"](spark, sf).collect()]
+    assert streamed == batch, (streamed, batch)
