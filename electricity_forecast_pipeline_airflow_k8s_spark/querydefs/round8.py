@@ -638,3 +638,89 @@ def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
         )
         # materialize before the tmp dir (the state's backing files) vanishes
         return out.localCheckpoint(eager=True)
+
+
+# -- SCD type-2 interval build (lakehouse dimension history) -------------------
+# The standard lakehouse dimension op the merge/tombstone family was
+# missing: collapse a change stream into type-2 validity intervals --
+# one row per consecutive run of an attribute value, with
+# [valid_from, valid_to) spans, a per-key version number, and an
+# is_current flag. Gaps-and-islands: a user-partitioned lag marks value
+# changes, a running sum numbers the islands, one hash-agg collapses
+# each island to its span, and a lead() over the tiny per-version frame
+# closes the intervals. Scale: ONE shuffle on the entity key; the
+# windows never span users; version frames are change-count-sized.
+# user_id < 100 keeps the driver-compare payload bounded (the
+# doc_id < 500 convention).
+@register(
+    "rel_scd2_intervals",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM marked
+),
+islands AS (
+  SELECT user_id, CAST(version AS INTEGER) AS version,
+         min(event_type) AS attr_value,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, attr_value, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM islands ORDER BY user_id, version
+""",
+)
+def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("user_id") < 100)
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    versioned = ev.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    islands = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return islands.select(
+        "user_id",
+        "version",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")

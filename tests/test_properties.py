@@ -669,3 +669,101 @@ def test_label_propagation_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in queries()["graph_label_propagation"](spark, sf_dir).collect())
     b = sorted(tuple(r) for r in queries()["graph_label_propagation"](spark, sf_dir).collect())
     assert a == b and a
+
+
+# -- round-8 incremental-maintenance contracts vs pure-python models ---------
+
+inc_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # group
+        st.integers(min_value=-80, max_value=200),      # hours around the cut
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(rows=inc_vals)
+@_settings
+def test_inc_quantile_merge_matches_python_model(spark, tmp_path_factory, rows):
+    """For ANY random events frame, the histogram-merge quantiles must
+    equal a pure-python grid-quantile model (round-half-up to 1e-2 bins,
+    smallest bin whose cumulative count reaches ceil(p*n)) -- and the
+    n_old/n_new bookkeeping must match the cut exactly."""
+    import math
+
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    cut = dt.datetime(2024, 1, 20)
+    data = [
+        (i, cut + dt.timedelta(hours=h), 1, f"g{g}", float(v), "{}")
+        for i, (g, h, v) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp("incq")
+    pd.DataFrame(
+        data, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in queries()["inc_quantile_merge"](spark, str(d)).collect()}
+
+    by_g = {}
+    for i, (g, h, v) in enumerate(rows):
+        by_g.setdefault(f"g{g}", []).append((h, float(v)))
+    for g, items in by_g.items():
+        bins = sorted(math.floor(float(v) * 100 + 0.5) / 100 for _, v in items)
+        n = len(bins)
+
+        def q(p):
+            return bins[max(0, math.ceil(n * p) - 1)]
+
+        r = got[g]
+        assert r["n_rows"] == n
+        assert r["n_old"] == sum(1 for h, _ in items if h < 0)
+        assert r["n_new"] == sum(1 for h, _ in items if h >= 0)
+        for col, p in (("q25", 0.25), ("median", 0.5), ("q90", 0.9), ("q99", 0.99)):
+            assert abs(r[col] - q(p)) < 1e-9, (g, col, r[col], q(p))
+
+
+topk_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # source
+        st.integers(min_value=0, max_value=500),   # n_chars
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(docs=topk_docs)
+@_settings
+def test_inc_topk_merge_matches_python_model(spark, tmp_path_factory, docs):
+    """For ANY random documents frame (duplicated n_chars included, so
+    the doc_id tiebreak is exercised), the state-merge top-k must equal
+    the python reference sort per source."""
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    data = [
+        (i, "t", "en", f"s{s}", n) for i, (s, n) in enumerate(docs)
+    ]
+    d = tmp_path_factory.mktemp("inct")
+    pd.DataFrame(
+        data, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+
+    got = [
+        (r["source"], r["rnk"], r["doc_id"], r["n_chars"])
+        for r in queries()["inc_topk_merge"](spark, str(d)).collect()
+    ]
+    want = []
+    by_s = {}
+    for i, (s, n) in enumerate(docs):
+        by_s.setdefault(f"s{s}", []).append((-n, i))
+    for s in sorted(by_s):
+        for rnk, (negn, i) in enumerate(sorted(by_s[s])[:3], start=1):
+            want.append((s, rnk, i, -negn))
+    assert got == want, (got, want)

@@ -388,3 +388,32 @@ def test_stream_topk_matches_batch_inc_topk(tmp_path, spark):
     batch = [tuple(r) for r in queries()["inc_topk_merge"](spark, sf).collect()]
     streamed = [tuple(r) for r in queries()["stream_topk_merge"](spark, sf).collect()]
     assert streamed == batch, (streamed, batch)
+
+
+def test_scd2_intervals_hand_model(tmp_path, spark):
+    """User 1: A A B A -> three versions with correct spans, n_events,
+    and exactly one open (is_current) interval; user 2: constant -> one
+    open interval."""
+    rows = [
+        (1, BASE + dt.timedelta(hours=0), 1, "A", 1.0, "{}"),
+        (2, BASE + dt.timedelta(hours=1), 1, "A", 1.0, "{}"),
+        (3, BASE + dt.timedelta(hours=2), 1, "B", 1.0, "{}"),
+        (4, BASE + dt.timedelta(hours=3), 1, "A", 1.0, "{}"),
+        (5, BASE, 2, "C", 1.0, "{}"),
+        (6, BASE + dt.timedelta(hours=5), 2, "C", 1.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    got = [
+        (r["user_id"], r["version"], r["attr_value"], r["valid_from"],
+         r["valid_to"], r["n_events"], r["is_current"])
+        for r in queries()["rel_scd2_intervals"](spark, sf).collect()
+    ]
+    h = lambda k: BASE + dt.timedelta(hours=k)  # noqa: E731
+    assert got == [
+        (1, 1, "A", h(0), h(2), 2, False),
+        (1, 2, "B", h(2), h(3), 1, False),
+        (1, 3, "A", h(3), None, 1, True),
+        (2, 1, "C", h(0), None, 2, True),
+    ], got
