@@ -234,6 +234,13 @@ HEADLINE = [
     "inc_topk_merge",
     "dedup_containment_pairs",
     "rel_scd2_intervals",
+    # round-8b additions (layout_bloom_pruning is ITERATIVE: edge-binned
+    # layout boundary jobs run at build)
+    "rel_scd2_merge",
+    "text_span_dedup",
+    "text_quality_gopher",
+    "sim_int8_recall",
+    "inc_kmv_distinct_merge",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -289,6 +296,9 @@ ITERATIVE = [
     "inc_cc_new_edges",
     # round-8: two k-means training passes collect at build time
     "emb_pq_train_curve",
+    # round-8b: edge-binned layout boundary jobs at build time (same
+    # policy as layout_zonemap_pruning)
+    "layout_bloom_pruning",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -578,6 +588,14 @@ BUDGETS: dict[str, float] = {
     "inc_quantile_merge": 1.30,
     "inc_topk_merge": 0.50,
     "emb_pq_train_curve": 5.75,
+    # round-8b lanes: 1.5x warm best-of-3 at sf0.1 (1.18 / 2.09 / 0.70 /
+    # 1.26 / 4.74)
+    "rel_scd2_merge": 1.80,
+    "text_span_dedup": 3.15,
+    "text_quality_gopher": 1.05,
+    "sim_int8_recall": 1.90,
+    "layout_bloom_pruning": 7.15,
+    "inc_kmv_distinct_merge": 0.85,
 }
 
 

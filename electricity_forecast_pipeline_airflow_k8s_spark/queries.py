@@ -28,26 +28,29 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window: the 19 queries whose
-# implementations are new or changed this round lead (7 new:
-# inc_cc_new_edges (incremental connected components), inc_quantile_merge
-# (mergeable grid-histogram quantiles), inc_topk_merge (mergeable top-k),
-# stream_topk_merge (the same mergeable contract folded through
-# Structured Streaming foreachBatch state), emb_pq_train_curve
-# (per-iteration PQ training diagnostics), dedup_containment_pairs
-# (asymmetric quote-inclusion dedup with the stop-shingle DF cap),
-# rel_scd2_intervals (type-2 dimension history via gaps-and-islands); 12
-# changed: emb_pq_assign + sim_pq_adc_recall + sim_ivfpq_recall use the
-# TRAINED codebook, ml_forecast_next_lag1 / ml_forecast_next /
-# ml_invariants gained the (window_start, event_id) tie-safe latest-
-# window pick, dedup_minhash_lsh_pairs / inc_minhash_new_batch /
-# dedup_ngram_jaccard_pairs / dedup_lsh_recall_eval filter on the raw
-# jaccard ratio, dedup_clusters / dedup_keep_best sit on the changed
-# minhash operator -- VERDICT/ADVICE r7), then the 56-query never-proven
-# backlog in registry order (31 fit this round's 50-window; the residue
-# closes in r9), then proven queries oldest-evidence-first. Regenerate
-# with tools/rotate_window.py.
+# registration order per round). Round-8 window (second session): the 7
+# round-8b queries lead (rel_scd2_merge -- incremental SCD2 maintenance
+# proven against the scratch rebuild, text_span_dedup -- cross-document
+# maximal repeated spans, text_quality_gopher -- the published Gopher
+# A1.1 rules per source, sim_int8_recall -- scalar-quantization recall
+# audit, layout_bloom_pruning -- bloom file-skip vs zonemap/truth,
+# inc_kmv_distinct_merge -- the exactly-replayable mergeable distinct
+# sketch, stream_quantile_merge -- the mergeable histogram contract
+# folded through Structured Streaming), then
+# the 19 round-8a new/changed queries (incremental CC/quantile/top-k
+# family, streaming top-k fold, PQ training curve + trained-codebook
+# serving lanes, containment dedup, tie-safe ML-edge picks, raw-jaccard
+# thresholds -- VERDICT/ADVICE r7), then the never-proven backlog in
+# registry order (the residue closes in r9), then proven queries
+# oldest-evidence-first. Regenerate with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
+    "rel_scd2_merge",
+    "text_span_dedup",
+    "text_quality_gopher",
+    "sim_int8_recall",
+    "layout_bloom_pruning",
+    "inc_kmv_distinct_merge",
+    "stream_quantile_merge",
     "inc_cc_new_edges",
     "inc_quantile_merge",
     "inc_topk_merge",
@@ -369,6 +372,8 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
 )
+
+
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -10,6 +10,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     relational3,
     round7,
     round8,
+    round8b,
     sessions,
     stats5,
     stats6,

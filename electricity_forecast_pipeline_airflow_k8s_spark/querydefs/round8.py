@@ -652,9 +652,9 @@ def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
 # windows never span users; version frames are change-count-sized.
 # user_id < 100 keeps the driver-compare payload bounded (the
 # doc_id < 500 convention).
-@register(
-    "rel_scd2_intervals",
-    oracle=f"""
+# shared with rel_scd2_merge (round8b): the scratch full-history rebuild
+# is the incremental merge's oracle, so both register the same SQL
+_SCD2_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
   FROM {EVENTS_SRC}
@@ -687,8 +687,10 @@ SELECT user_id, version, attr_value, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
          IS NULL AS is_current
 FROM islands ORDER BY user_id, version
-""",
-)
+"""
+
+
+@register("rel_scd2_intervals", oracle=_SCD2_ORACLE)
 def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str):
     ev = (
         table(spark, "events", sf_dir)
