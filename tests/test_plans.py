@@ -457,3 +457,73 @@ def test_containment_pairs_posting_join_shaped(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_int8_recall_all_joins_broadcast(spark, sf_dir):
+    """sim_int8_recall: the dim stats (64 rows), probe code/dim frames
+    (10 x 64) and the final recall join are all broadcast sides -- no
+    SortMergeJoin anywhere, so the corpus stream is never re-sorted or
+    re-shuffled for a join; candidate rows only shuffle for the
+    query-partitioned top-k windows. No cartesian, no Python."""
+    q = registry()["sim_int8_recall"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+
+
+def test_bloom_pruning_probe_joins_broadcast(spark, sf_dir):
+    """layout_bloom_pruning: every probe-side join (bits, truth, zones,
+    and the output assembly) is a broadcast against 20-row / 60-row
+    frames; the only nested-loop is the 20 x 64 probe x zone range join
+    (the zonemap comparison, same accepted shape as the zonemap lane).
+    The fact table itself never sort-merge-joins."""
+    q = registry()["layout_bloom_pruning"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_scd2_merge_windows_never_span_users(spark, sf_dir):
+    """rel_scd2_merge: every window in the merge path partitions by
+    user_id (the gaps-and-islands windows over pseudo+batch, the
+    current-row pick, the per-version lead) -- no global window, so no
+    single-task bottleneck at any corpus size. No Python boundary."""
+    q = registry()["rel_scd2_merge"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_span_dedup_df_is_aggregate_join_back(spark, sf_dir):
+    """text_span_dedup: gram document-frequency must be the map-side-
+    combinable groupBy + join-back (partial_count below the gram
+    exchange), never a gram-partitioned window (the boilerplate-gram
+    hot-spot); the island window partitions by doc_id."""
+    q = registry()["text_span_dedup"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:2000]
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "doc_id" in ln, ln
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_kmv_windows_rank_truncating_per_group(spark, sf_dir):
+    """inc_kmv_distinct_merge: the bottom-k selections are row_number
+    windows partitioned by event_type over DISTINCT-key frames --
+    WindowGroupLimit pushes the k-truncation below the exchange, and no
+    window is unpartitioned."""
+    q = registry()["inc_kmv_distinct_merge"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "event_type" in ln, ln

@@ -447,3 +447,69 @@ def test_inc_quantile_merge_10x_state_bounded(spark, events_10x):
         assert ten[g][2] == REPLICAS * row[2], (g, row, ten[g])
         assert ten[g][3] == REPLICAS * row[3], (g, row, ten[g])
         assert ten[g][4:] == row[4:], (g, row, ten[g])
+
+
+def test_kmv_merge_10x_state_bounded(spark, events_10x):
+    """inc_kmv_distinct_merge on 10x user cardinality: the sketch state
+    stays exactly k rows per group (bounded by k, never by the key
+    count) while the exact distinct count grows ~10x -- and the KMV
+    estimate still tracks it within the sketch's sanity envelope. This
+    is the 100 TB contract: the merge cost is k-sized however large the
+    corpus gets."""
+    import os
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    q = registry()["inc_kmv_distinct_merge"]
+    one = {r["event_type"]: r.asDict() for r in q.build(spark, SF_DIR).collect()}
+    with tempfile.TemporaryDirectory() as td:
+        events_10x.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        ten = {r["event_type"]: r.asDict() for r in q.build(spark, td).collect()}
+    assert set(ten) == set(one)
+    for g, row in ten.items():
+        assert row["n_state"] <= 16, row
+        assert row["n_exact"] >= 9 * one[g]["n_exact"], (g, one[g], row)
+        if row["n_state"] == 16:
+            # k=16 KMV: std error ~ 1/sqrt(k-1) ~ 26%; generous sanity bound
+            assert row["rel_err"] < 0.8, row
+
+
+def test_span_dedup_10x_replication_full_coverage(spark):
+    """text_span_dedup on the corpus replicated 10x (ids shifted, one
+    replica keeping original ids): every gram now has df = 10, so every
+    doc with >= 7 tokens must collapse to exactly ONE maximal span
+    covering the whole token range -- the replication-invariant answer
+    the gaps-and-islands merge owes -- and the posting/DF plan must
+    survive the 10x gram stream."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    import os
+    import tempfile
+
+    docs = load_table(spark, "documents", SF_DIR)
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    expected = {
+        r["doc_id"]: r["n_tok"]
+        for r in docs.filter(F.col("doc_id") < 300)
+        .select("doc_id", F.size(tokens("text")).alias("n_tok"))
+        .collect()
+        if r["n_tok"] >= 7
+    }
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        t0 = time.perf_counter()
+        rows = registry()["text_span_dedup"].build(spark, td).collect()
+        elapsed = time.perf_counter() - t0
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"]) for r in rows}
+    assert len(rows) == len(got) == len(expected), (len(rows), len(expected))
+    for doc_id, n_tok in expected.items():
+        assert got[doc_id] == (1, n_tok, n_tok), (doc_id, n_tok, got[doc_id])
+    assert elapsed < 120, f"span dedup 10x took {elapsed:.1f}s"
