@@ -241,6 +241,9 @@ HEADLINE = [
     "text_quality_gopher",
     "sim_int8_recall",
     "inc_kmv_distinct_merge",
+    "inc_ridge_moments_merge",
+    "val_snapshot_diff",
+    "text_span_dedup_impact",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -596,6 +599,10 @@ BUDGETS: dict[str, float] = {
     "sim_int8_recall": 1.90,
     "layout_bloom_pruning": 7.15,
     "inc_kmv_distinct_merge": 0.85,
+    # batch 3: 1.5x warm best-of-3 at sf0.1 (0.97 / 0.56 / 2.46)
+    "inc_ridge_moments_merge": 1.45,
+    "val_snapshot_diff": 0.85,
+    "text_span_dedup_impact": 3.70,
 }
 
 

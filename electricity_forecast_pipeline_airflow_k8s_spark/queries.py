@@ -28,7 +28,7 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window (second session): the 7
+# registration order per round). Round-8 window (second session): the 10
 # round-8b queries lead (rel_scd2_merge -- incremental SCD2 maintenance
 # proven against the scratch rebuild, text_span_dedup -- cross-document
 # maximal repeated spans, text_quality_gopher -- the published Gopher
@@ -36,7 +36,10 @@ _REGISTRY: dict[str, Query] = {}
 # audit, layout_bloom_pruning -- bloom file-skip vs zonemap/truth,
 # inc_kmv_distinct_merge -- the exactly-replayable mergeable distinct
 # sketch, stream_quantile_merge -- the mergeable histogram contract
-# folded through Structured Streaming), then
+# folded through Structured Streaming, inc_ridge_moments_merge --
+# incremental model refresh via mergeable moments + the boundary pair,
+# val_snapshot_diff -- CDC-style version reconciliation,
+# text_span_dedup_impact -- corpus-wide removable-token coverage), then
 # the 19 round-8a new/changed queries (incremental CC/quantile/top-k
 # family, streaming top-k fold, PQ training curve + trained-codebook
 # serving lanes, containment dedup, tie-safe ML-edge picks, raw-jaccard
@@ -51,6 +54,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "layout_bloom_pruning",
     "inc_kmv_distinct_merge",
     "stream_quantile_merge",
+    "inc_ridge_moments_merge",
+    "val_snapshot_diff",
+    "text_span_dedup_impact",
     "inc_cc_new_edges",
     "inc_quantile_merge",
     "inc_topk_merge",
@@ -372,6 +378,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
 )
+
 
 
 

@@ -1075,3 +1075,319 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str):
         )
         # materialize before the tmp dir (the state's backing files) vanishes
         return out.localCheckpoint(eager=True)
+
+
+# -- incremental ridge-model maintenance (mergeable moments) -------------------
+# The inc_* contract applied to MODEL FITTING: a least-squares/ridge fit
+# is a function of five moment sums (n, Sx, Sxx, Sxy, Sy), and moments
+# are mergeable -- so the maintained state is O(1) per group (the old
+# half's moments plus its LAST observation), and a batch folds in as
+# batch-internal pair moments + ONE boundary pair (state.last ->
+# batch.first) + cell-wise addition. No old event is ever re-read; the
+# refreshed model is hash-proven equal (same closed-form 2x2 ridge as
+# ml_ridge_lag1_parity) to a scratch fit over ALL consecutive pairs,
+# which is what the oracle computes. This is how a 100 TB forecaster
+# refreshes nightly without re-scanning history.
+_IRM_ALPHA = 1.0
+
+
+def _irm_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        portable_round_sql,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT event_type AS respondent, ts::TIMESTAMP AS period, event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT respondent, value AS x,
+         lead(value) OVER (PARTITION BY respondent
+                           ORDER BY period, event_id) AS y
+  FROM ev
+),
+p AS (SELECT * FROM o WHERE y IS NOT NULL),
+m AS (
+  SELECT respondent, count(*) AS n,
+         sum(x * x) AS sxx, sum(x) AS sx, sum(x * y) AS sxy, sum(y) AS sy
+  FROM p GROUP BY 1
+)
+SELECT respondent,
+       CAST(n AS BIGINT) AS n_pairs,
+       {portable_round_sql(
+           f"((n + {_IRM_ALPHA}) * sxy - sx * sy)"
+           f" / ((sxx + {_IRM_ALPHA}) * (n + {_IRM_ALPHA}) - sx * sx)", 4)}
+         AS slope,
+       {portable_round_sql(
+           f"((sxx + {_IRM_ALPHA}) * sy - sx * sxy)"
+           f" / ((sxx + {_IRM_ALPHA}) * (n + {_IRM_ALPHA}) - sx * sx)", 2)}
+         AS intercept
+FROM m ORDER BY 1
+"""
+
+
+@register("inc_ridge_moments_merge", oracle=_irm_oracle())
+def q_inc_ridge_moments_merge(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
+        portable_round,
+    )
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("respondent"),
+            "ts",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    cut = F.lit(_QCUT).cast("timestamp")
+    old, new = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+
+    def internal_pairs(half):
+        w = Window.partitionBy("respondent").orderBy("ts", "event_id")
+        return (
+            half.withColumn("y", F.lead("value").over(w))
+            .filter(F.col("y").isNotNull())
+            .select("respondent", F.col("value").alias("x"), "y")
+        )
+
+    def edge(half, last: bool):
+        w = Window.partitionBy("respondent").orderBy(
+            *(
+                [F.desc("ts"), F.desc("event_id")]
+                if last
+                else [F.asc("ts"), F.asc("event_id")]
+            )
+        )
+        return (
+            half.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("respondent", "value")
+        )
+
+    # the ONE cross-boundary pair per group: state's last -> batch's first
+    boundary = (
+        edge(old, last=True)
+        .withColumnRenamed("value", "x")
+        .join(edge(new, last=False).withColumnRenamed("value", "y"), "respondent")
+    )
+
+    def moments(pairs):
+        return pairs.groupBy("respondent").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("y").alias("sy"),
+        )
+
+    # yesterday's persisted moment state + the batch's own moments + the
+    # boundary pair, merged CELL-WISE (never re-reading old events)
+    merged = (
+        moments(internal_pairs(old))
+        .unionByName(moments(internal_pairs(new)))
+        .unionByName(moments(boundary))
+        .groupBy("respondent")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("sx").alias("sx"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sy").alias("sy"),
+        )
+    )
+    det = (F.col("sxx") + _IRM_ALPHA) * (F.col("n") + _IRM_ALPHA) - F.col(
+        "sx"
+    ) * F.col("sx")
+    slope = ((F.col("n") + _IRM_ALPHA) * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    intercept = (
+        (F.col("sxx") + _IRM_ALPHA) * F.col("sy") - F.col("sx") * F.col("sxy")
+    ) / det
+    return merged.select(
+        "respondent",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        portable_round(slope, 4).alias("slope"),
+        portable_round(intercept, 2).alias("intercept"),
+    ).orderBy("respondent")
+
+
+# -- snapshot diff (CDC-style version reconciliation) --------------------------
+# The lakehouse audit the tombstone/merge family was missing: given two
+# versions of a table, classify every key as added / removed / changed /
+# unchanged -- the change-data-feed a replication pipeline validates
+# against. Versions derive deterministically from the one fixture on
+# BOTH engines (A drops event_id % 13 = 3 "later inserts"; B drops
+# event_id % 17 = 5 "deletes" and perturbs value where event_id % 7 = 2
+# "updates"), so the classification is fully oracle-replayable. Shape:
+# ONE full-outer equi-join on the key (AQE-skew-splittable) feeding a
+# group-count-sized aggregate; change detection is null-safe so
+# null-valued rows compare as unchanged.
+_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM {EVENTS_SRC}
+),
+a AS (SELECT * FROM base WHERE event_id % 13 != 3),
+b AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 2 THEN value * 1.1 ELSE value END AS value
+  FROM base WHERE event_id % 17 != 5
+),
+d AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         CASE WHEN a.event_id IS NULL THEN 'added'
+              WHEN b.event_id IS NULL THEN 'removed'
+              WHEN a.value IS NOT DISTINCT FROM b.value THEN 'unchanged'
+              ELSE 'changed' END AS kind
+  FROM a FULL OUTER JOIN b ON b.event_id = a.event_id
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN kind = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN kind = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("val_snapshot_diff", oracle=_DIFF_ORACLE)
+def q_val_snapshot_diff(spark: SparkSession, sf_dir: str):
+    base = table(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    a = base.filter(F.col("event_id") % 13 != 3).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_value"),
+    )
+    b = base.filter(F.col("event_id") % 17 != 5).select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.when(F.col("event_id") % 7 == 2, F.col("value") * 1.1)
+        .otherwise(F.col("value"))
+        .alias("b_value"),
+    )
+    d = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.coalesce("a_type", "b_type").alias("event_type"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_value").eqNullSafe(F.col("b_value")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("kind"),
+    )
+    cnt = lambda k: F.sum(F.when(F.col("kind") == k, 1).otherwise(0)).cast(  # noqa: E731
+        "bigint"
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            cnt("added").alias("n_added"),
+            cnt("removed").alias("n_removed"),
+            cnt("changed").alias("n_changed"),
+            cnt("unchanged").alias("n_unchanged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- span-dedup impact (the Lee-et-al headline number) --------------------------
+# text_span_dedup reports WHERE the repeated spans are (bounded payload);
+# this reports HOW MUCH an exact-substring dedup would remove, corpus-
+# wide: per source, the fraction of tokens covered by >= 1 cross-document
+# duplicated 5-gram. Coverage is a token-position UNION (each duplicated
+# gram start covers positions i..i+4; overlapping islands must not double
+# count), computed as explode(5 offsets) -> distinct -- the duplicated-
+# position stream is gram-bounded, never corpus^2. Aggregate output (20
+# sources), so no doc_id cap: this is the number that decides whether to
+# run span-level dedup on the corpus at all.
+_SPAN_IMPACT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K - 2})) r(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+df AS (SELECT g FROM pos GROUP BY g
+       HAVING count(DISTINCT doc_id) >= {_SPAN_DF}),
+cover AS (
+  SELECT DISTINCT p.doc_id, CAST(j AS INTEGER) AS j
+  FROM pos p JOIN df USING (g),
+       unnest(range(p.i, p.i + {_SPAN_K})) r(j)
+),
+per_doc AS (SELECT doc_id, count(*) AS dup_toks FROM cover GROUP BY 1)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t.t)) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(p.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+       floor(sum(coalesce(p.dup_toks, 0)) * 1.0
+             / greatest(sum(len(t.t)), 1) * 10000 + 0.5) / 10000 AS dup_pct
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("text_span_dedup_impact", oracle=_SPAN_IMPACT_ORACLE)
+def q_text_span_dedup_impact(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source", TX.tokens("text").alias("t"))
+    gram = lambda _, j: F.concat_ws(  # noqa: E731
+        " ", *[F.col("t")[j + d] for d in range(_SPAN_K)]
+    )
+    pos = (
+        toks.filter(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.slice("t", 1, F.size("t") - (_SPAN_K - 1)), gram)
+            ).alias("i0", "g"),
+        )
+        .select("doc_id", (F.col("i0") + 1).cast("int").alias("i"), "g")
+    )
+    dfreq = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= _SPAN_DF)
+        .select("g")
+    )
+    cover = (
+        pos.join(dfreq, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SPAN_K - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    per_doc = cover.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_toks"))
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce("dup_toks", F.lit(0))).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            (
+                F.floor(
+                    F.sum(F.coalesce("dup_toks", F.lit(0)))
+                    * 1.0
+                    / F.greatest(F.sum(F.size("t")), F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("dup_pct"),
+        )
+        .orderBy("source")
+    )

@@ -250,3 +250,64 @@ def test_stream_quantile_hand_grid(tmp_path, spark):
         90.0,
         99.0,
     ), r
+
+
+def test_ridge_moments_merge_boundary_pair(tmp_path, spark):
+    """Old half [1, 2], batch [3, 4]: the merge must fold the boundary
+    pair (2 -> 3) that neither half contains internally -- n_pairs = 3
+    -- and the closed-form ridge over x=[1,2,3], y=[2,3,4] with alpha=1
+    gives slope 26/24 = 1.0833, intercept 15/24 = 0.625 -> 0.63."""
+    ev = [
+        (1, dt.datetime(2024, 1, 10), 1, "load", 1.0, None),
+        (2, dt.datetime(2024, 1, 12), 1, "load", 2.0, None),
+        (3, dt.datetime(2024, 1, 21), 1, "load", 3.0, None),
+        (4, dt.datetime(2024, 1, 22), 1, "load", 4.0, None),
+    ]
+    sf = _write_events(tmp_path, ev)
+    rows = queries()["inc_ridge_moments_merge"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_pairs"], r["slope"], r["intercept"]) == (3, 1.0833, 0.63), r
+
+
+def test_snapshot_diff_classification(tmp_path, spark):
+    """One key per class: 3 (in B only -> added), 5 (in A only ->
+    removed), 2 (value perturbed -> changed), 1 (untouched -> unchanged),
+    and 9 (null value perturbed -> null*1.1 is still null -> UNCHANGED,
+    the null-safe compare)."""
+    mk = lambda i, v: (i, dt.datetime(2024, 1, 10), 1, "load", v, None)  # noqa: E731
+    sf = _write_events(tmp_path, [mk(1, 5.0), mk(2, 5.0), mk(3, 5.0), mk(5, 5.0), mk(9, None)])
+    rows = queries()["val_snapshot_diff"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (
+        1,
+        1,
+        1,
+        2,
+    ), r
+
+
+def test_span_impact_union_never_double_counts(tmp_path, spark):
+    """Doc 1's two duplicated grams start at positions 1 and 3 -- their
+    5-token covers [1..5] and [3..7] OVERLAP, so the union coverage is 7
+    tokens, never 10: the per-position distinct is what keeps the impact
+    number honest when islands overlap in token space."""
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "a b c d e f g", "en", "s1", 13),
+            (2, "a b c d e z1 z2 z3", "en", "s2", 18),
+            (3, "c d e f g y1 y2", "en", "s3", 15),
+        ],
+    )
+    rows = queries()["text_span_dedup_impact"](spark, sf).collect()
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["dup_tokens"], r["dup_pct"])
+        for r in rows
+    }
+    assert got == {
+        "s1": (1, 7, 7, 1.0),
+        "s2": (1, 8, 5, 0.625),
+        "s3": (1, 7, 5, 0.7143),
+    }, got

@@ -162,6 +162,13 @@ SHOWCASE = [
     "emb_pq_train_curve",
     "dedup_containment_pairs",
     "rel_scd2_intervals",
+    # round 8b
+    "rel_scd2_merge",
+    "text_span_dedup",
+    "text_quality_gopher",
+    "sim_int8_recall",
+    "layout_bloom_pruning",
+    "inc_kmv_distinct_merge",
 ]
 
 
