@@ -579,7 +579,11 @@ BUDGETS: dict[str, float] = {
     # "distance-computation shape"): bests 1.40 / 3.61 / 4.56
     "sim_pq_adc_recall": 6.75,
     "sim_ivfpq_recall": 7.2,
-    "ml_forecast_next_lag1": 1.90,
+    # r8b re-base: the 1.90 budget came from an unusually warm 1.27 best;
+    # marathon history runs 1.54-2.05 (Arrow python-worker pressure) and a
+    # quiet isolated best-of-3 is 1.74 -> 1.5x isolated best, the
+    # graph_link_prediction convention for marathon-flapping lanes
+    "ml_forecast_next_lag1": 2.60,
     "dedup_cluster_size_histogram": 0.46,
     # round-8 lanes: 1.5x warm best-of-3 at sf0.1 (3.31 / 0.86 / 0.32 /
     # 3.82 with the codebook-trajectory memo; see SCALING.md round-8)

@@ -767,3 +767,183 @@ def test_inc_topk_merge_matches_python_model(spark, tmp_path_factory, docs):
         for rnk, (negn, i) in enumerate(sorted(by_s[s])[:3], start=1):
             want.append((s, rnk, i, -negn))
     assert got == want, (got, want)
+
+
+scd2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=-100, max_value=100), # hours around the cut
+        st.integers(min_value=0, max_value=2),      # attr id
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(events=scd2_events)
+@_settings
+def test_scd2_merge_matches_python_model(spark, tmp_path_factory, events):
+    """For ANY random change stream (renewals, reverts, batch-only keys,
+    state-only keys, duplicate timestamps tie-broken by event_id), the
+    incremental SCD2 merge must equal the pure-python gaps-and-islands
+    walk over the FULL history -- the scratch model the state fold is
+    never allowed to diverge from."""
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    cut = dt.datetime(2024, 1, 20)
+    rows = [
+        (i, cut + dt.timedelta(hours=h), u, f"a{a}", 1.0, "{}")
+        for i, (u, h, a) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("scd2m")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(d / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["version"]): (
+            r["attr_value"],
+            r["valid_from"],
+            r["valid_to"],
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in queries()["rel_scd2_merge"](spark, str(d)).collect()
+    }
+
+    expected = {}
+    by_user = {}
+    for i, (u, h, a) in enumerate(events):
+        by_user.setdefault(u, []).append((cut + dt.timedelta(hours=h), i, f"a{a}"))
+    for u, items in by_user.items():
+        items.sort()
+        islands = []
+        for ts, _, attr in items:
+            if islands and islands[-1][0] == attr:
+                islands[-1][2] += 1
+            else:
+                islands.append([attr, ts, 1])
+        for v, (attr, vfrom, n) in enumerate(islands, start=1):
+            vto = islands[v][1] if v < len(islands) else None
+            expected[(u, v)] = (attr, vfrom, vto, n, vto is None)
+    assert got == expected, (got, expected)
+
+
+kmv_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # group
+        st.integers(min_value=0, max_value=500),    # user
+        st.integers(min_value=-50, max_value=50),   # hours around the cut
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(events=kmv_events)
+@_settings
+def test_kmv_merge_matches_python_model(spark, tmp_path_factory, events):
+    """For ANY random key stream, the merged bottom-k sketch must equal
+    the GLOBAL bottom-k over all distinct keys (the mergeability theorem:
+    the union of per-half bottom-ks contains the global bottom-k), and
+    the estimate/exact/rel_err columns must match a pure-python replay of
+    the md5-fraction arithmetic."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    cut = dt.datetime(2024, 1, 20)
+    rows = [
+        (i, cut + dt.timedelta(hours=h), u, f"g{g}", 1.0, "{}")
+        for i, (g, u, h) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("kmv")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(d / "events.parquet"))
+
+    got = {r["event_type"]: r for r in queries()["inc_kmv_distinct_merge"](spark, str(d)).collect()}
+
+    def h(u):
+        hx = hashlib.md5(f"kmv\x1f{u}".encode()).hexdigest()[:8]
+        return (int(hx, 16) + 0.5) / 2**32
+
+    by_g = {}
+    for g, u, _ in events:
+        by_g.setdefault(f"g{g}", set()).add(u)
+    r4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    for g, users in by_g.items():
+        ranked = sorted(users, key=lambda u: (h(u), u))[:16]
+        n_state = len(ranked)
+        est = (16 - 1) / h(ranked[-1]) if n_state >= 16 else float(n_state)
+        r = got[g]
+        assert r["n_exact"] == len(users)
+        assert r["n_state"] == n_state
+        assert abs(r["kmv_estimate"] - r4(est)) < 1e-9, (g, r, est)
+        assert abs(r["rel_err"] - r4(abs(est - len(users)) / len(users))) < 1e-9
+
+
+ridge_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # respondent
+        st.integers(min_value=-40, max_value=40),   # hours around the cut
+        st.integers(min_value=0, max_value=20),     # integer-valued load
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(events=ridge_events)
+@_settings
+def test_ridge_merge_matches_python_model(spark, tmp_path_factory, events):
+    """For ANY random series, the moment-merged ridge (old internal pairs
+    + batch internal pairs + the boundary pair) must equal the pure-python
+    closed form over ALL consecutive pairs. Integer-valued loads keep
+    every moment exactly representable, so the comparison is exact at the
+    output rounding."""
+    import math
+
+    import pandas as pd
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
+
+    cut = dt.datetime(2024, 1, 20)
+    rows = [
+        (i, cut + dt.timedelta(hours=h), 1, f"g{g}", float(v), "{}")
+        for i, (g, h, v) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("irm")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(d / "events.parquet"))
+
+    got = {r["respondent"]: r for r in queries()["inc_ridge_moments_merge"](spark, str(d)).collect()}
+
+    by_g = {}
+    for i, (g, h, v) in enumerate(events):
+        by_g.setdefault(f"g{g}", []).append((cut + dt.timedelta(hours=h), i, float(v)))
+    for g, items in by_g.items():
+        items.sort()
+        vals = [v for _, _, v in items]
+        pairs = list(zip(vals, vals[1:]))
+        if not pairs:
+            assert g not in got
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        det = (sxx + 1.0) * (n + 1.0) - sx * sx
+        slope = ((n + 1.0) * sxy - sx * sy) / det
+        intercept = ((sxx + 1.0) * sy - sx * sxy) / det
+        r = got[g]
+        assert r["n_pairs"] == n
+        assert abs(r["slope"] - math.floor(slope * 10000 + 0.5) / 10000) < 1e-9
+        assert abs(r["intercept"] - math.floor(intercept * 100 + 0.5) / 100) < 1e-9
