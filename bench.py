@@ -244,6 +244,8 @@ HEADLINE = [
     "inc_ridge_moments_merge",
     "val_snapshot_diff",
     "text_span_dedup_impact",
+    "graph_ppr_unrolled",
+    "ts_coincidence_factor",
 ]
 
 # Streaming queries run sinks + checkpoints inside the query builder, so
@@ -607,6 +609,9 @@ BUDGETS: dict[str, float] = {
     "inc_ridge_moments_merge": 1.45,
     "val_snapshot_diff": 0.85,
     "text_span_dedup_impact": 3.70,
+    # batch 4: 1.5x warm best-of-3 at sf0.1 (2.83 / 0.42)
+    "graph_ppr_unrolled": 4.25,
+    "ts_coincidence_factor": 0.65,
 }
 
 

@@ -28,7 +28,7 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window (second session): the 10
+# registration order per round). Round-8 window (second session): the 13
 # round-8b queries lead (rel_scd2_merge -- incremental SCD2 maintenance
 # proven against the scratch rebuild, text_span_dedup -- cross-document
 # maximal repeated spans, text_quality_gopher -- the published Gopher
@@ -39,7 +39,11 @@ _REGISTRY: dict[str, Query] = {}
 # folded through Structured Streaming, inc_ridge_moments_merge --
 # incremental model refresh via mergeable moments + the boundary pair,
 # val_snapshot_diff -- CDC-style version reconciliation,
-# text_span_dedup_impact -- corpus-wide removable-token coverage), then
+# text_span_dedup_impact -- corpus-wide removable-token coverage,
+# graph_ppr_unrolled -- personalized PageRank on the integer grid,
+# ts_coincidence_factor -- the power-systems diversity metric,
+# stream_kmv_merge -- the distinct-count fold completing the streaming
+# mergeable trilogy), then
 # the 19 round-8a new/changed queries (incremental CC/quantile/top-k
 # family, streaming top-k fold, PQ training curve + trained-codebook
 # serving lanes, containment dedup, tie-safe ML-edge picks, raw-jaccard
@@ -57,6 +61,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_ridge_moments_merge",
     "val_snapshot_diff",
     "text_span_dedup_impact",
+    "graph_ppr_unrolled",
+    "ts_coincidence_factor",
+    "stream_kmv_merge",
     "inc_cc_new_edges",
     "inc_quantile_merge",
     "inc_topk_merge",
@@ -378,6 +385,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
 )
+
 
 
 

@@ -1391,3 +1391,395 @@ def q_text_span_dedup_impact(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# -- personalized PageRank (seed-restart ranking) -------------------------------
+# graph_pagerank ranks globally; recommendation/similarity serving needs
+# the PERSONALIZED variant: all teleport mass (and dangling mass)
+# restarts at one seed node, so ranks measure proximity TO THE SEED.
+# Same determinism design as graph_pagerank: every quantity on a
+# fixed-point integer grid (weights 1e6, ranks 1e9, per-term integer
+# division before summation -- integer sums are associative, so Spark is
+# bit-identical to the oracle's unrolled CTE iterations regardless of
+# partitioning). Seed = the lexicographically smallest node, derived as
+# a 1-row frame (crossJoin), never a collect. Same scale story: one
+# events-sized pass builds the edge list; iterations touch node/edge-
+# sized tables only, lineage capped per iteration.
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _D_DEN,
+        _D_NUM,
+        _P_SCALE,
+        _R_SCALE,
+    )
+
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+edges AS (
+  SELECT a.event_type AS u, b.event_type AS v, count(*) AS c
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2
+),
+outdeg AS (SELECT u, sum(c) AS tot FROM edges GROUP BY 1),
+w AS (
+  SELECT e.u, e.v, (e.c * {_P_SCALE}) // o.tot AS p_fp
+  FROM edges e JOIN outdeg o ON o.u = e.u
+),
+nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+),
+seed AS (SELECT min(node) AS s FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = (SELECT s FROM seed)
+               THEN CAST({_R_SCALE} AS BIGINT) ELSE 0 END AS r_fp
+  FROM nodes
+)"""
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(
+            f""",
+inflow{i} AS MATERIALIZED (
+  SELECT w.v AS node, sum((w.p_fp * r.r_fp) // {_P_SCALE}) AS s
+  FROM w JOIN r{i - 1} r ON r.node = w.u GROUP BY 1
+),
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r_fp), 0) AS m
+  FROM r{i - 1} r LEFT JOIN outdeg o ON o.u = r.node WHERE o.u IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (CASE WHEN n.node = (SELECT s FROM seed)
+               THEN ({(_D_DEN - _D_NUM) * _R_SCALE}) // {_D_DEN}
+               ELSE 0 END)
+         + ({_D_NUM} * (coalesce(f.s, 0)
+             + CASE WHEN n.node = (SELECT s FROM seed) THEN d.m ELSE 0 END))
+           // {_D_DEN} AS r_fp
+  FROM nodes n CROSS JOIN dang{i} d
+  LEFT JOIN inflow{i} f ON f.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       (SELECT s FROM seed) AS seed,
+       CAST(r_fp AS BIGINT) AS ppr_fp,
+       floor(r_fp * 1.0 / 1000 + 0.5) / 1000000 AS ppr
+FROM r{_PPR_ITERS}
+ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+@register("graph_ppr_unrolled", oracle=_ppr_oracle())
+def q_graph_ppr_unrolled(spark: SparkSession, sf_dir: str):
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _D_DEN,
+        _D_NUM,
+        _P_SCALE,
+        _R_SCALE,
+    )
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("v", F.lead("event_type").over(wseq))
+        .filter(F.col("v").isNotNull())
+        .groupBy(F.col("event_type").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if scoped:
+        edges = edges.persist()
+    outdeg = edges.groupBy("u").agg(F.sum("c").alias("tot"))
+    w = edges.join(outdeg, "u").select(
+        "u", "v", F.expr(f"(c * {_P_SCALE}) div tot").alias("p_fp")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node").alias("s"))
+    dangling = nodes.join(outdeg, nodes.node == outdeg.u, "left_anti")
+    ranks = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(_R_SCALE).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r_fp"),
+    )
+    for _ in range(_PPR_ITERS):
+        if scoped:
+            ranks = ranks.localCheckpoint(eager=True)
+        inflow = (
+            w.join(ranks, w.u == ranks.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr(f"(p_fp * r_fp) div {_P_SCALE}")).alias("infl"))
+        )
+        dang = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("r_fp"), F.lit(0)).alias("m")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(seed))
+            .crossJoin(F.broadcast(dang))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("s"),
+                        F.lit(((_D_DEN - _D_NUM) * _R_SCALE) // _D_DEN).cast(
+                            "long"
+                        ),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.expr(
+                        f"({_D_NUM} * (coalesce(infl, CAST(0 AS BIGINT))"
+                        f" + CASE WHEN node = s THEN m"
+                        f" ELSE CAST(0 AS BIGINT) END)) div {_D_DEN}"
+                    )
+                ).alias("r_fp"),
+            )
+        )
+    out = ranks.crossJoin(F.broadcast(seed.withColumnRenamed("s", "seed"))).select(
+        "node",
+        "seed",
+        F.col("r_fp").alias("ppr_fp"),
+        (F.floor(F.col("r_fp") * 1.0 / 1000 + 0.5) / 1000000).alias("ppr"),
+    ).orderBy("node")
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out
+
+
+# -- coincidence / diversity factor (power-systems aggregation metric) --------
+# The electricity-domain number the reference's forecasting pipeline
+# implicitly depends on: the system peak is LESS than the sum of the
+# per-unit peaks because units don't peak together. coincidence factor =
+# system peak / sum(unit peaks) in (0, 1]; diversity factor = its
+# reciprocal. Units = event types, hourly DECIMAL load sums (exact,
+# order-independent), peaks = max over hours. Two shuffles ((unit, hour)
+# agg, then unit- and hour-level maxes over hour-count-sized frames);
+# ratios computed once on doubles, rounded at the edge.
+_CF_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+         sum(CAST(value AS DECIMAL(18,2))) AS load
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+unit_peaks AS (
+  SELECT event_type, max(load) AS unit_peak FROM hourly GROUP BY 1
+),
+system_hourly AS (SELECT h, sum(load) AS sys_load FROM hourly GROUP BY 1),
+agg AS (
+  SELECT (SELECT count(*) FROM unit_peaks) AS n_units,
+         (SELECT CAST(sum(unit_peak) AS DOUBLE) FROM unit_peaks)
+           AS sum_unit_peaks,
+         (SELECT CAST(max(sys_load) AS DOUBLE) FROM system_hourly)
+           AS system_peak
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       floor(sum_unit_peaks * 100 + 0.5) / 100 AS sum_unit_peaks,
+       floor(system_peak * 100 + 0.5) / 100 AS system_peak,
+       floor(system_peak / sum_unit_peaks * 10000 + 0.5) / 10000
+         AS coincidence_factor,
+       floor(sum_unit_peaks / system_peak * 10000 + 0.5) / 10000
+         AS diversity_factor
+FROM agg
+"""
+
+
+@register("ts_coincidence_factor", oracle=_CF_ORACLE)
+def q_ts_coincidence_factor(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.sum("v").alias("load"))
+    unit_peaks = hourly.groupBy("event_type").agg(F.max("load").alias("unit_peak"))
+    up = unit_peaks.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("unit_peak").cast("double").alias("sum_unit_peaks"),
+    )
+    sys_peak = (
+        hourly.groupBy("h")
+        .agg(F.sum("load").alias("sys_load"))
+        .agg(F.max("sys_load").cast("double").alias("system_peak"))
+    )
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return up.crossJoin(F.broadcast(sys_peak)).select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        r2(F.col("sum_unit_peaks")).alias("sum_unit_peaks"),
+        r2(F.col("system_peak")).alias("system_peak"),
+        r4(F.col("system_peak") / F.col("sum_unit_peaks")).alias(
+            "coincidence_factor"
+        ),
+        r4(F.col("sum_unit_peaks") / F.col("system_peak")).alias(
+            "diversity_factor"
+        ),
+    )
+
+
+# -- streaming KMV fold (the third mergeable state shape on the engine) --------
+# stream_topk_merge (order statistics) and stream_quantile_merge
+# (distributions) proved their batch merge contracts through Structured
+# Streaming; this completes the trilogy with DISTINCT COUNTS: the KMV
+# bottom-k sketch folds per micro-batch (batch's own bottom-k -> dedup
+# union with landed state -> re-rank, k rows/group state, idempotent
+# per-batch_id overwrite). Bottom-k of a set union is order-invariant
+# and replay-idempotent -- the drained sketch equals the global scratch
+# bottom-k whatever file order the engine picked. The oracle is the
+# GLOBAL scratch derivation (not a split replay), so the hash match
+# proves fold == scratch independently of how the stream was cut.
+_SKMV_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+h AS (
+  SELECT event_type, user_id, {_KMV_H_SQL} AS h FROM ev
+),
+state AS (
+  SELECT event_type, user_id, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY h, user_id) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+est AS (
+  SELECT event_type, count(*) AS n_state, max(h) AS hmax
+  FROM state GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(*) AS n_exact FROM ev GROUP BY 1
+)
+SELECT x.event_type,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(e.n_state AS BIGINT) AS n_state,
+       floor((CASE WHEN e.n_state >= {_KMV_K}
+                   THEN ({_KMV_K} - 1) / e.hmax
+                   ELSE e.n_state * 1.0 END) * 10000 + 0.5) / 10000
+         AS kmv_estimate
+FROM est e JOIN exact x USING (event_type) ORDER BY 1
+"""
+
+
+@register("stream_kmv_merge", oracle=_SKMV_ORACLE)
+def q_stream_kmv_merge(spark: SparkSession, sf_dir: str):
+    import glob
+    import tempfile
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
+        stable_hash,
+    )
+
+    d = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "user_id")
+    )
+    h = (
+        F.conv(
+            F.substring(stable_hash(F.lit("kmv"), F.col("user_id")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(16**8)
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+
+    def bottomk(df):
+        return (
+            df.select("event_type", "user_id")
+            .distinct()
+            .withColumn("h", h)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        state_root = f"{tmp}/state"
+        d.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def land(batch_df, batch_id: int) -> None:
+            prev_dirs = sorted(
+                glob.glob(f"{state_root}/v=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+            merged = bottomk(batch_df)
+            if prev_dirs:
+                prev = spark.read.parquet(prev_dirs[-1])
+                merged = bottomk(
+                    prev.select("event_type", "user_id").unionByName(
+                        merged.select("event_type", "user_id")
+                    )
+                )
+            merged.write.mode("overwrite").parquet(f"{state_root}/v={batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("kmv stream did not finish in 300s")
+        final_dirs = sorted(
+            glob.glob(f"{state_root}/v=*"),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        state = spark.read.parquet(final_dirs[-1])
+        est = state.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_state"), F.max("h").alias("hmax")
+        )
+        exact = d.distinct().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
+        est_raw = F.when(
+            F.col("n_state") >= _KMV_K, (_KMV_K - 1) / F.col("hmax")
+        ).otherwise(F.col("n_state") * 1.0)
+        out = (
+            est.join(exact, "event_type")
+            .select(
+                "event_type",
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                F.col("n_state").cast("bigint").alias("n_state"),
+                (F.floor(est_raw * 10000 + 0.5) / 10000).alias("kmv_estimate"),
+            )
+            .orderBy("event_type")
+        )
+        # materialize before the tmp dir (the state's backing files) vanishes
+        return out.localCheckpoint(eager=True)

@@ -311,3 +311,70 @@ def test_span_impact_union_never_double_counts(tmp_path, spark):
         "s2": (1, 8, 5, 0.625),
         "s3": (1, 7, 5, 0.7143),
     }, got
+
+
+def test_ppr_hand_graph_exact_fixed_point(tmp_path, spark):
+    """Two-component graph: user 1 walks a->b->a->b (edges a->b x2,
+    b->a x1), user 2 walks c->d. Seed = 'a' (lexicographic min). The
+    c/d component is unreachable from the seed, so its personalized
+    ranks must be exactly 0; a and b follow the integer fixed-point
+    recurrence by hand:
+      r1 = (a: 0.15e9, b: 0.85e9)
+      r2 = (a: 0.15e9 + 85%*0.85e9 = 872500000, b: 85%*0.15e9 = 127500000)
+      r3 = (a: 0.15e9 + 85%*127500000 = 258375000, b: 85%*872500000
+            = 741625000)"""
+    d = lambda h: dt.datetime(2024, 1, 10, h)  # noqa: E731
+    ev = [
+        (1, d(1), 1, "a", 1.0, None),
+        (2, d(2), 1, "b", 1.0, None),
+        (3, d(3), 1, "a", 1.0, None),
+        (4, d(4), 1, "b", 1.0, None),
+        (5, d(1), 2, "c", 1.0, None),
+        (6, d(2), 2, "d", 1.0, None),
+    ]
+    sf = _write_events(tmp_path, ev)
+    rows = queries()["graph_ppr_unrolled"](spark, sf).collect()
+    got = {r["node"]: (r["seed"], r["ppr_fp"]) for r in rows}
+    assert got == {
+        "a": ("a", 258375000),
+        "b": ("a", 741625000),
+        "c": ("a", 0),
+        "d": ("a", 0),
+    }, got
+
+
+def test_coincidence_factor_hand(tmp_path, spark):
+    """Unit X peaks at hour 1 (10), unit Y at hour 2 (8): the system
+    never sees 18 -- system peak is 10, coincidence 10/18 = 0.5556,
+    diversity 1.8."""
+    ev = [
+        (1, dt.datetime(2024, 1, 10, 1), 1, "X", 10.0, None),
+        (2, dt.datetime(2024, 1, 10, 2), 1, "Y", 8.0, None),
+    ]
+    sf = _write_events(tmp_path, ev)
+    rows = queries()["ts_coincidence_factor"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["n_units"],
+        r["sum_unit_peaks"],
+        r["system_peak"],
+        r["coincidence_factor"],
+        r["diversity_factor"],
+    ) == (2, 18.0, 10.0, 0.5556, 1.8), r
+
+
+def test_stream_kmv_equals_batch_merge(spark, sf_dir):
+    """The streaming fold must land exactly the batch merge's sketch
+    (both equal the global bottom-k): same n_exact / n_state /
+    kmv_estimate per group, whatever micro-batch order the engine
+    picked."""
+    stream_rows = {
+        r["event_type"]: (r["n_exact"], r["n_state"], r["kmv_estimate"])
+        for r in queries()["stream_kmv_merge"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        r["event_type"]: (r["n_exact"], r["n_state"], r["kmv_estimate"])
+        for r in queries()["inc_kmv_distinct_merge"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
