@@ -501,9 +501,10 @@ BUDGETS: dict[str, float] = {
     "rel_km_repurchase": 0.91,
     "ts_hurst_rs": 1.18,
     "ts_pinball_loss": 0.97,
-    # r7 re-baseline: deciles moved to ntile_by_edges (boundary jobs at
-    # build -> ITERATIVE wall-clock, 1.88 best-of-2 quiet) -- the honest
-    # price of removing the last dimension-sized single-task window
+    # r7: deciles moved to ntile_by_edges (boundary jobs at build ->
+    # ITERATIVE wall-clock; first quiet best-of-2 was 1.88). r8 re-base:
+    # warm marathon best settled at ~1.0, budget 1.5x that -- the 1.88
+    # was a cold first measurement, superseded
     "rel_decile_lift": 1.5,
     "ts_ljung_box": 1.19,
     "rel_bitmap_overlap": 0.62,
@@ -573,7 +574,9 @@ BUDGETS: dict[str, float] = {
     # r7 re-baseline: same plan-cache reuse as sssp (recorded best 0.16;
     # the 4.00 was a cold wall-clock first measurement)
     "graph_label_propagation": 0.25,
-    "emb_pq_assign": 2.55,  # r7 reshape: best 1.40 (was 4.43 HOF form)
+    # r7 reshape to posexplode+codegen (was 4.43 HOF form); r8 trained
+    # codebook re-measured warm best 1.70 -> 1.5x
+    "emb_pq_assign": 2.55,
     "mm_scene_change": 0.43,
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,

@@ -1152,7 +1152,13 @@ def _pq_train_step(emb, cents, cids):
     )
     nxt = {cid: list(v) for cid, v in cents.items()}
     for r in upd:
-        nxt[int(r["cid"])][int(r["i"])] = float(r["c"])
+        # a corpus vector LONGER than its assigned centroid emits update
+        # rows for dims the centroid doesn't have; the distance join (and
+        # the oracle's cdims join) drops those dims, so the writeback must
+        # drop them too -- not IndexError (mixed-dim corpora pass the
+        # size >= M filter)
+        if int(r["i"]) < len(nxt[int(r["cid"])]):
+            nxt[int(r["cid"])][int(r["i"])] = float(r["c"])
     return nxt
 
 

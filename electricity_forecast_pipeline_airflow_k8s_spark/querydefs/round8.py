@@ -571,8 +571,9 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str):
 # convention) so an at-least-once replay of a batch cannot corrupt it.
 @register("stream_topk_merge", oracle=_TOPK_ORACLE)
 def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
-    import glob
-    import tempfile
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        fold_stream_state,
+    )
 
     d = (
         table(spark, "documents", sf_dir)
@@ -588,56 +589,19 @@ def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
             .drop("rnk")
         )
 
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        state_root = f"{tmp}/state"
-        d.repartition(4).write.parquet(src)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+    def fold(prev, batch):
+        m = _topk(batch)
+        return _topk(prev.unionByName(m)) if prev is not None else m
 
-        def land(batch_df, batch_id: int) -> None:
-            prev_dirs = sorted(
-                glob.glob(f"{state_root}/v=*"),
-                key=lambda p: int(p.rsplit("=", 1)[1]),
-            )
-            prev = (
-                spark.read.parquet(prev_dirs[-1])
-                if prev_dirs
-                else spark.createDataFrame([], batch_df.schema)
-            )
-            merged = _topk(prev.unionByName(_topk(batch_df)))
-            # idempotent land: a replayed batch_id overwrites its own dir
-            merged.write.mode("overwrite").parquet(
-                f"{state_root}/v={batch_id}"
-            )
-
-        q = (
-            stream.writeStream.foreachBatch(land)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise TimeoutError("topk stream did not finish in 300s")
-        final_dirs = sorted(
-            glob.glob(f"{state_root}/v=*"),
-            key=lambda p: int(p.rsplit("=", 1)[1]),
-        )
-        out = (
-            _topk(spark.read.parquet(final_dirs[-1]))
+    def finalize(state):
+        return (
+            _topk(state)
             .withColumn("rnk", F.row_number().over(w).cast("int"))
             .select("source", "rnk", "doc_id", "n_chars")
             .orderBy("source", "rnk")
         )
-        # materialize before the tmp dir (the state's backing files) vanishes
-        return out.localCheckpoint(eager=True)
+
+    return fold_stream_state(spark, d, fold, finalize)
 
 
 # -- SCD type-2 interval build (lakehouse dimension history) -------------------
@@ -653,7 +617,42 @@ def q_stream_topk_merge(spark: SparkSession, sf_dir: str):
 # user_id < 100 keeps the driver-compare payload bounded (the
 # doc_id < 500 convention).
 # shared with rel_scd2_merge (round8b): the scratch full-history rebuild
-# is the incremental merge's oracle, so both register the same SQL
+# is the incremental merge's oracle, so both register the same SQL --
+# and both engines' island semantics live in ONE pair of helpers
+# (_scd2_change_flag / _scd2_islands) so the merge's hash-proven
+# equivalence can't silently drift from the scratch build's definition.
+
+
+def _scd2_change_flag(w: Window) -> "F.Column":
+    """1 on the first row of each per-key run of equal event_type values
+    (lag NULL or lag != current) under window spec ``w``."""
+    return F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+
+
+def _scd2_islands(e):
+    """Collapse an event frame (user_id, event_type, ts, event_id) into
+    SCD2 islands: (user_id, version, attr_value, valid_from, n_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn(
+            "version",
+            F.sum(_scd2_change_flag(w))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("attr_value"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 _SCD2_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
@@ -701,21 +700,7 @@ def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str):
         )
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")),
-        1,
-    ).otherwise(0)
-    versioned = ev.withColumn(
-        "version",
-        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
-    )
-    islands = versioned.groupBy("user_id", "version").agg(
-        F.min("event_type").alias("attr_value"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    islands = _scd2_islands(ev)
     wv = Window.partitionBy("user_id").orderBy("version")
     return islands.select(
         "user_id",

@@ -39,6 +39,8 @@ from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, ta
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 import (
     _QCUT,
     _SCD2_ORACLE,
+    _scd2_change_flag,
+    _scd2_islands,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import _TOKS
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import (
@@ -81,30 +83,10 @@ def q_rel_scd2_merge(spark: SparkSession, sf_dir: str):
     cut = F.lit(_QCUT).cast("timestamp")
     old, batch = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
 
-    def islands(e):
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        chg = F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        ).otherwise(0)
-        return (
-            e.withColumn(
-                "version",
-                F.sum(chg)
-                .over(w.rowsBetween(Window.unboundedPreceding, 0))
-                .cast("int"),
-            )
-            .groupBy("user_id", "version")
-            .agg(
-                F.min("event_type").alias("attr_value"),
-                F.min("ts").alias("valid_from"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-        )
-
-    # yesterday's persisted state (intervals, not events)
-    state = islands(old)
+    # yesterday's persisted state (intervals, not events) -- built by the
+    # SAME island helper the scratch query uses, so merge and rebuild
+    # can't drift semantically
+    state = _scd2_islands(old)
 
     affected = batch.select("user_id").distinct()
     st_aff = state.join(affected, "user_id")
@@ -142,14 +124,11 @@ def q_rel_scd2_merge(spark: SparkSession, sf_dir: str):
     )
     comb = pseudo.unionByName(b2)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")),
-        1,
-    ).otherwise(0)
     tagged = comb.withColumn(
         "_local",
-        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+        F.sum(_scd2_change_flag(w))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
     ).withColumn("_kv", F.max("_bv").over(Window.partitionBy("user_id")))
     # island 1 (the one holding the pseudo-event) keeps the current
     # version; later islands number on from it; brand-new keys start at 1
@@ -196,6 +175,35 @@ def q_rel_scd2_merge(spark: SparkSession, sf_dir: str):
 # island window partitions by doc.
 _SPAN_K, _SPAN_DF, _SPAN_MIN_GRAMS, _SPAN_DOCS = 5, 2, 3, 300
 
+
+def _span_gram_positions(toks):
+    """Shared gram machinery for text_span_dedup / text_span_dedup_impact
+    (ONE definition, so the impact number always describes the spans the
+    dedup lane reports): from (doc_id, t) build the positional 5-gram
+    stream (1-based i, gram at tokens i..i+4) and the set of grams
+    occurring in >= _SPAN_DF distinct documents (groupBy + join-back --
+    map-side combinable, never a gram-partition window)."""
+    gram = lambda _, j: F.concat_ws(  # noqa: E731
+        " ", *[F.col("t")[j + d] for d in range(_SPAN_K)]
+    )
+    pos = (
+        toks.filter(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.slice("t", 1, F.size("t") - (_SPAN_K - 1)), gram)
+            ).alias("i0", "g"),
+        )
+        .select("doc_id", (F.col("i0") + 1).cast("int").alias("i"), "g")
+    )
+    dfreq = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= _SPAN_DF)
+        .select("g")
+    )
+    return pos, dfreq
+
 _SPAN_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 pos AS (
@@ -237,24 +245,8 @@ ORDER BY doc_id, span_start
 @register("text_span_dedup", oracle=_SPAN_ORACLE)
 def q_text_span_dedup(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", TX.tokens("text").alias("t")).filter(
-        F.size("t") >= _SPAN_K
-    )
-    gram = lambda _, j: F.concat_ws(  # noqa: E731
-        " ", *[F.col("t")[j + d] for d in range(_SPAN_K)]
-    )
-    pos = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.slice("t", 1, F.size("t") - (_SPAN_K - 1)), gram)
-        ).alias("i0", "g"),
-    ).select("doc_id", (F.col("i0") + 1).cast("int").alias("i"), "g")
-    dfreq = (
-        pos.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= _SPAN_DF)
-        .select("g")
-    )
+    toks = docs.select("doc_id", TX.tokens("text").alias("t"))
+    pos, dfreq = _span_gram_positions(toks)
     dup = pos.join(dfreq, "g").filter(F.col("doc_id") < _SPAN_DOCS)
     w = Window.partitionBy("doc_id").orderBy("i")
     brk = F.when(
@@ -984,8 +976,9 @@ FROM cum GROUP BY 1 ORDER BY 1
 
 @register("stream_quantile_merge", oracle=_SQM_ORACLE)
 def q_stream_quantile_merge(spark: SparkSession, sf_dir: str):
-    import glob
-    import tempfile
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        fold_stream_state,
+    )
 
     d = (
         table(spark, "events", sf_dir)
@@ -998,52 +991,19 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str):
         )
     )
 
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        state_root = f"{tmp}/state"
-        d.repartition(4).write.parquet(src)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+    def fold(prev, batch):
+        hist = batch.groupBy("event_type", "bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        if prev is None:
+            return hist
+        return (
+            prev.unionByName(hist)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("c").alias("c"))
         )
 
-        def land(batch_df, batch_id: int) -> None:
-            prev_dirs = sorted(
-                glob.glob(f"{state_root}/v=*"),
-                key=lambda p: int(p.rsplit("=", 1)[1]),
-            )
-            batch_hist = batch_df.groupBy("event_type", "bin").agg(
-                F.count(F.lit(1)).alias("c")
-            )
-            if prev_dirs:
-                prev = spark.read.parquet(prev_dirs[-1])
-                merged = (
-                    prev.unionByName(batch_hist)
-                    .groupBy("event_type", "bin")
-                    .agg(F.sum("c").alias("c"))
-                )
-            else:
-                merged = batch_hist
-            merged.write.mode("overwrite").parquet(f"{state_root}/v={batch_id}")
-
-        q = (
-            stream.writeStream.foreachBatch(land)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise TimeoutError("quantile stream did not finish in 300s")
-        final_dirs = sorted(
-            glob.glob(f"{state_root}/v=*"),
-            key=lambda p: int(p.rsplit("=", 1)[1]),
-        )
-        bins = spark.read.parquet(final_dirs[-1])
+    def finalize(bins):
         w_cum = (
             Window.partitionBy("event_type")
             .orderBy("bin")
@@ -1062,7 +1022,7 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str):
                 F.when(F.col("cm") >= F.ceil(F.col("n") * p), F.col("bin"))
             )
 
-        out = (
+        return (
             cum.groupBy("event_type")
             .agg(
                 F.max("n").cast("bigint").alias("n_rows"),
@@ -1073,8 +1033,8 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str):
             )
             .orderBy("event_type")
         )
-        # materialize before the tmp dir (the state's backing files) vanishes
-        return out.localCheckpoint(eager=True)
+
+    return fold_stream_state(spark, d, fold, finalize)
 
 
 # -- incremental ridge-model maintenance (mergeable moments) -------------------
@@ -1339,25 +1299,7 @@ GROUP BY 1 ORDER BY 1
 def q_text_span_dedup_impact(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", "source", TX.tokens("text").alias("t"))
-    gram = lambda _, j: F.concat_ws(  # noqa: E731
-        " ", *[F.col("t")[j + d] for d in range(_SPAN_K)]
-    )
-    pos = (
-        toks.filter(F.size("t") >= _SPAN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(F.slice("t", 1, F.size("t") - (_SPAN_K - 1)), gram)
-            ).alias("i0", "g"),
-        )
-        .select("doc_id", (F.col("i0") + 1).cast("int").alias("i"), "g")
-    )
-    dfreq = (
-        pos.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= _SPAN_DF)
-        .select("g")
-    )
+    pos, dfreq = _span_gram_positions(toks)
     cover = (
         pos.join(dfreq, "g")
         .select(
@@ -1688,11 +1630,11 @@ FROM est e JOIN exact x USING (event_type) ORDER BY 1
 
 @register("stream_kmv_merge", oracle=_SKMV_ORACLE)
 def q_stream_kmv_merge(spark: SparkSession, sf_dir: str):
-    import glob
-    import tempfile
-
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.hashing import (
         stable_hash,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        fold_stream_state,
     )
 
     d = (
@@ -1720,48 +1662,17 @@ def q_stream_kmv_merge(spark: SparkSession, sf_dir: str):
             .drop("rn")
         )
 
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema)
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        state_root = f"{tmp}/state"
-        d.repartition(4).write.parquet(src)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def land(batch_df, batch_id: int) -> None:
-            prev_dirs = sorted(
-                glob.glob(f"{state_root}/v=*"),
-                key=lambda p: int(p.rsplit("=", 1)[1]),
+    def fold(prev, batch):
+        m = bottomk(batch)
+        if prev is None:
+            return m
+        return bottomk(
+            prev.select("event_type", "user_id").unionByName(
+                m.select("event_type", "user_id")
             )
-            merged = bottomk(batch_df)
-            if prev_dirs:
-                prev = spark.read.parquet(prev_dirs[-1])
-                merged = bottomk(
-                    prev.select("event_type", "user_id").unionByName(
-                        merged.select("event_type", "user_id")
-                    )
-                )
-            merged.write.mode("overwrite").parquet(f"{state_root}/v={batch_id}")
+        )
 
-        q = (
-            stream.writeStream.foreachBatch(land)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise TimeoutError("kmv stream did not finish in 300s")
-        final_dirs = sorted(
-            glob.glob(f"{state_root}/v=*"),
-            key=lambda p: int(p.rsplit("=", 1)[1]),
-        )
-        state = spark.read.parquet(final_dirs[-1])
+    def finalize(state):
         est = state.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_state"), F.max("h").alias("hmax")
         )
@@ -1771,7 +1682,7 @@ def q_stream_kmv_merge(spark: SparkSession, sf_dir: str):
         est_raw = F.when(
             F.col("n_state") >= _KMV_K, (_KMV_K - 1) / F.col("hmax")
         ).otherwise(F.col("n_state") * 1.0)
-        out = (
+        return (
             est.join(exact, "event_type")
             .select(
                 "event_type",
@@ -1781,5 +1692,5 @@ def q_stream_kmv_merge(spark: SparkSession, sf_dir: str):
             )
             .orderBy("event_type")
         )
-        # materialize before the tmp dir (the state's backing files) vanishes
-        return out.localCheckpoint(eager=True)
+
+    return fold_stream_state(spark, d, fold, finalize)

@@ -431,3 +431,37 @@ def test_idempotent_upsert_sink_survives_replay(spark, tmp_path):
     # and the change log still holds one dir per batch (no duplicate dirs)
     n_dirs = len(glob.glob(f"{root}/batch_id=*"))
     assert n_dirs >= 2 and os.path.isdir(last_dir)
+
+
+def test_fold_state_replay_idempotent(spark, tmp_path):
+    """The at-least-once contract of the shared state-fold scaffold: a
+    replayed batch N must re-fold from the newest state STRICTLY BELOW N
+    (never its own v=N output), so replaying produces byte-identical
+    state and never double-counts -- the review-caught failure mode of
+    reading prev_dirs[-1] unconditionally."""
+    from pyspark.sql import functions as F
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        land_batch,
+    )
+
+    root = str(tmp_path / "state")
+
+    def fold(prev, batch):
+        hist = batch.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        if prev is None:
+            return hist
+        return prev.unionByName(hist).groupBy("k").agg(F.sum("c").alias("c"))
+
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "k string")
+    land_batch(spark, root, fold, b0, 0)
+    land_batch(spark, root, fold, b1, 1)
+    first = {r["k"]: r["c"] for r in spark.read.parquet(f"{root}/v=1").collect()}
+    assert first == {"a": 3, "b": 1, "c": 1}
+    # at-least-once replay of batch 1: state must not change
+    land_batch(spark, root, fold, b1, 1)
+    replayed = {
+        r["k"]: r["c"] for r in spark.read.parquet(f"{root}/v=1").collect()
+    }
+    assert replayed == first
