@@ -169,6 +169,11 @@ SHOWCASE = [
     "sim_int8_recall",
     "layout_bloom_pruning",
     "inc_kmv_distinct_merge",
+    "inc_ridge_moments_merge",
+    "val_snapshot_diff",
+    "text_span_dedup_impact",
+    "graph_ppr_unrolled",
+    "ts_coincidence_factor",
 ]
 
 
