@@ -388,9 +388,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
 
 
 
-
-
-
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = Query(fn, oracle, tags)

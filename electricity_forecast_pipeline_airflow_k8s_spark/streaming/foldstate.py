@@ -85,5 +85,13 @@ def fold_stream_state(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(f"state fold did not finish in {timeout_s}s")
-        final = spark.read.parquet(_versions(state_root)[-1][1])
+        versions = _versions(state_root)
+        if not versions:
+            # Empty source: no micro-batch ever landed, so the fold's
+            # output schema is whatever fold(None, empty-source) declares.
+            # Feed finalize that empty state instead of IndexError
+            # (ADVICE r8).
+            final = fold(None, spark.read.schema(schema).parquet(src)).limit(0)
+        else:
+            final = spark.read.parquet(versions[-1][1])
         return finalize(final).localCheckpoint(eager=True)

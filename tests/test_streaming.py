@@ -465,3 +465,103 @@ def test_fold_state_replay_idempotent(spark, tmp_path):
         r["k"]: r["c"] for r in spark.read.parquet(f"{root}/v=1").collect()
     }
     assert replayed == first
+
+
+def test_fold_stream_state_empty_source(spark):
+    """An all-empty source lands zero micro-batches; the scaffold must
+    return an empty frame with the fold's output schema instead of
+    IndexError on the missing v=* dirs (ADVICE r8)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        fold_stream_state,
+    )
+
+    empty = spark.createDataFrame([], "k string, v double")
+
+    def fold(prev, batch):
+        hist = batch.groupBy("k").agg(F.sum("v").alias("total"))
+        if prev is None:
+            return hist
+        return prev.unionByName(hist).groupBy("k").agg(
+            F.sum("total").alias("total")
+        )
+
+    out = fold_stream_state(
+        spark, empty, fold, lambda st: st.orderBy("k"), n_batches=3
+    )
+    assert out.columns == ["k", "total"]
+    assert out.count() == 0
+
+
+def test_fold_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart property (VERDICT r8 item 7): a stream that dies
+    mid-run (foreachBatch raises on batch 2 after committing 0 and 1)
+    and restarts FROM THE SAME CHECKPOINT must converge to exactly the
+    state an uninterrupted run produces -- the replay-idempotent
+    land_batch contract is what makes the resumed (possibly replayed)
+    batches safe."""
+    import glob as _glob
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        land_batch,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v long"
+    rows = [(f"k{i % 3}", i) for i in range(24)]
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+
+    def fold(prev, batch):
+        hist = batch.groupBy("k").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+        )
+        if prev is None:
+            return hist
+        return (
+            prev.unionByName(hist)
+            .groupBy("k")
+            .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
+        )
+
+    def run(state_root, die_at=None):
+        def handle(bdf, bid):
+            if die_at is not None and bid >= die_at:
+                raise RuntimeError("injected crash before commit")
+            land_batch(spark, state_root, fold, bdf, bid)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here on the first run
+
+    state_a = str(tmp_path / "state_a")  # interrupted + resumed
+    run(state_a, die_at=2)
+    committed = {int(p.rsplit("=", 1)[1]) for p in _glob.glob(f"{state_a}/v=*")}
+    assert committed == {0, 1}, "crash must land only the pre-crash batches"
+    run(state_a)  # restart from the same checkpoint, no crash
+
+    state_b = str(tmp_path / "state_b")  # uninterrupted reference run
+    ckpt = str(tmp_path / "ckpt_b")
+    run(state_b)
+
+    def final(root):
+        last = sorted(
+            _glob.glob(f"{root}/v=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+        )[-1]
+        return {
+            r["k"]: (r["c"], r["s"])
+            for r in spark.read.parquet(last).collect()
+        }
+
+    assert final(state_a) == final(state_b)
+    assert sum(c for c, _ in final(state_a).values()) == len(rows)
