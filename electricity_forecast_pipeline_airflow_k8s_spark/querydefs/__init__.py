@@ -11,6 +11,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     round7,
     round8,
     round8b,
+    round9,
     sessions,
     stats5,
     stats6,

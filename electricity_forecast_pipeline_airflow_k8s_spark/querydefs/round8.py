@@ -494,7 +494,14 @@ ORDER BY 1, 2
 
 @register("dedup_containment_pairs", oracle=_containment_oracle())
 def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str):
-    docs = table(spark, "documents", sf_dir)
+    return containment_pairs(table(spark, "documents", sf_dir))
+
+
+def containment_pairs(docs):
+    """Directed subset-inclusion near-dup pairs over any (doc_id, text)
+    frame -- the inverted-index posting join with the _CONT_DF_CAP
+    stop-shingle guard (the lane body, parametrized so the 10x stress can
+    drive it on a boilerplate-injected corpus)."""
     sh = docs.select("doc_id", DD.shingles("text").alias("s")).filter(
         F.size("s") > 0
     )

@@ -287,15 +287,23 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str):
 # ratios (rounding only the output pct).
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-_GOPHER_ORACLE = f"""
-WITH d AS (
-  SELECT source, {_TOKS} AS t, text,
+
+def gopher_flags_sql(rel: str = "documents") -> str:
+    """DuckDB CTE chain computing the per-document Gopher rule flags over
+    ``rel`` (any relation with doc_id/source/text). Emits CTEs
+    ``gopher_d``/``gopher_m``/``gopher_flags``; the last holds one row per
+    doc: (doc_id, source, f_wc..f_stop). Shared by the per-source
+    aggregate lane and the corpus_prep_e2e composition so both replay the
+    IDENTICAL published rules."""
+    return f"""
+gopher_d AS (
+  SELECT doc_id, source, {_TOKS} AS t, text,
          list_filter(list_transform(string_split_regex(text, '\\n'),
                                     s -> trim(s)), s -> s != '') AS lines
-  FROM documents
+  FROM {rel}
 ),
-m AS (
-  SELECT source,
+gopher_m AS (
+  SELECT doc_id, source,
          len(t) AS n_tok,
          CASE WHEN len(t) > 0
               THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
@@ -318,10 +326,10 @@ m AS (
          END AS alpha_ratio,
          len(list_filter({list(_GOPHER_STOPS)},
                          w -> list_contains(t, w))) AS stop_hits
-  FROM d
+  FROM gopher_d
 ),
-flags AS (
-  SELECT source,
+gopher_flags AS (
+  SELECT doc_id, source,
          CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS f_wc,
          CASE WHEN n_tok = 0 OR mean_wl < 3 OR mean_wl > 10
               THEN 1 ELSE 0 END AS f_mwl,
@@ -330,8 +338,12 @@ flags AS (
          CASE WHEN ellipsis_ratio > 0.3 THEN 1 ELSE 0 END AS f_ellipsis,
          CASE WHEN n_tok = 0 OR alpha_ratio < 0.8 THEN 1 ELSE 0 END AS f_alpha,
          CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop
-  FROM m
-)
+  FROM gopher_m
+)"""
+
+
+_GOPHER_ORACLE = f"""
+WITH {gopher_flags_sql()}
 SELECT source, count(*) AS n_docs,
        CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
        CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
@@ -346,20 +358,23 @@ SELECT source, count(*) AS n_docs,
        floor(sum(CASE WHEN f_wc + f_mwl + f_sym + f_bullet + f_ellipsis
                          + f_alpha + f_stop = 0 THEN 1 ELSE 0 END)
              * 100.0 / count(*) * 10000 + 0.5) / 10000 AS pass_pct
-FROM flags GROUP BY source ORDER BY source
+FROM gopher_flags GROUP BY source ORDER BY source
 """
 
 
-@register("text_quality_gopher", oracle=_GOPHER_ORACLE)
-def q_text_quality_gopher(spark: SparkSession, sf_dir: str):
-    docs = table(spark, "documents", sf_dir)
+def gopher_doc_flags(docs):
+    """Per-document Gopher rule flags (Rae et al. 2021, A1.1) as a
+    DataFrame: (doc_id, source, f_wc, f_mwl, f_sym, f_bullet, f_ellipsis,
+    f_alpha, f_stop), each 1 = rule violated. Pure column expressions --
+    one scan, no shuffle; shared by text_quality_gopher (per-source
+    aggregate) and corpus_prep_e2e (document gate)."""
     t = TX.tokens("text")
     lines = F.filter(
         F.transform(F.split("text", r"\n"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
     d = docs.select(
-        "source", "text", t.alias("t"), lines.alias("lines")
+        "doc_id", "source", "text", t.alias("t"), lines.alias("lines")
     )
     n_tok = F.size("t")
     n_lines = F.size("lines")
@@ -398,6 +413,7 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str):
         )
     )
     m = d.select(
+        "doc_id",
         "source",
         n_tok.alias("n_tok"),
         mean_wl.alias("mean_wl"),
@@ -409,7 +425,8 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str):
     )
     flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
     z = F.col("n_tok") == 0
-    flags = m.select(
+    return m.select(
+        "doc_id",
         "source",
         flag((F.col("n_tok") < 50) | (F.col("n_tok") > 100000)).alias("f_wc"),
         flag(z | (F.col("mean_wl") < 3) | (F.col("mean_wl") > 10)).alias(
@@ -421,16 +438,26 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str):
         flag(z | (F.col("alpha_ratio") < 0.8)).alias("f_alpha"),
         flag(F.col("stop_hits") < 2).alias("f_stop"),
     )
-    total = (
-        F.col("f_wc")
-        + F.col("f_mwl")
-        + F.col("f_sym")
-        + F.col("f_bullet")
-        + F.col("f_ellipsis")
-        + F.col("f_alpha")
-        + F.col("f_stop")
-    )
-    n_pass = F.sum(F.when(total == 0, 1).otherwise(0))
+
+
+GOPHER_FLAG_COLS = (
+    "f_wc", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha", "f_stop"
+)
+
+
+def gopher_total_fails():
+    """Column: number of Gopher rules a doc violates (0 = passes the gate)."""
+    total = F.lit(0)
+    for c in GOPHER_FLAG_COLS:
+        total = total + F.col(c)
+    return total
+
+
+@register("text_quality_gopher", oracle=_GOPHER_ORACLE)
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str):
+    docs = table(spark, "documents", sf_dir)
+    flags = gopher_doc_flags(docs)
+    n_pass = F.sum(F.when(gopher_total_fails() == 0, 1).otherwise(0))
     return (
         flags.groupBy("source")
         .agg(

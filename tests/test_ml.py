@@ -176,12 +176,15 @@ def test_model_registry_retention(windows, tmp_path):
         REG.load_model(spark, root, "m", 1).count()
 
 
-def test_forecast_next_matches_golden(spark):
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_forecast_next_matches_golden(spark, sf):
     """Golden pin for the rows-only ml_forecast_next query (VERDICT r3
-    item 5): the seeded closed-form ridge is deterministic, so its sf0.001
-    output is committed as a golden fixture and compared with a 1e-3
-    absolute tolerance (absorbs float-summation reorder across partitions
-    while still catching any real regression -- wrong weights shape, unit
+    item 5, widened to all 3 SFs per VERDICT r8 item 2 so the full-dim
+    H=24 path has committed VALUE evidence, not just a row count): the
+    seeded closed-form ridge is deterministic, so each SF's output is
+    committed as a golden fixture and compared with a 1e-3 absolute
+    tolerance (absorbs float-summation reorder across partitions while
+    still catching any real regression -- wrong weights shape, unit
     corruption from a loader change, scaling drift)."""
     import json
     import os
@@ -191,14 +194,14 @@ def test_forecast_next_matches_golden(spark):
     )
 
     golden_path = os.path.join(
-        os.path.dirname(__file__), "golden", "ml_forecast_next_sf0.001.json"
+        os.path.dirname(__file__), "golden", f"ml_forecast_next_sf{sf}.json"
     )
     with open(golden_path) as f:
         golden = {(r, h): p for r, h, p in json.load(f)}
     got = {
         (r["respondent"], r["hour"]): r["predicted_load"]
         for r in all_queries()["ml_forecast_next"](
-            spark, "/root/testdata/sf0.001"
+            spark, f"/root/testdata/sf{sf}"
         ).collect()
     }
     assert set(got) == set(golden)

@@ -513,3 +513,78 @@ def test_span_dedup_10x_replication_full_coverage(spark):
     for doc_id, n_tok in expected.items():
         assert got[doc_id] == (1, n_tok, n_tok), (doc_id, n_tok, got[doc_id])
     assert elapsed < 120, f"span dedup 10x took {elapsed:.1f}s"
+
+
+def test_containment_pairs_df_cap_kills_boilerplate_quadratic(spark):
+    """dedup_containment_pairs' scale guard (VERDICT r8 item 6): the
+    _CONT_DF_CAP stop-shingle cut must keep the posting join's output
+    linear in CAPPED postings, not docs^2. The synthetic corpus has no
+    boilerplate (max shingle df ~25 even at sf0.1), so this stress
+    manufactures the failure mode the cap exists for: a 10x id-shifted
+    sf0.01 corpus (5000 docs) where EVERY document carries the same
+    appended footer -- without the cap, the footer shingles alone emit
+    >= docs^2/2 candidate rows; with it they are dropped entirely."""
+    import time as _time
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
+        shingles,
+    )
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 import (
+        _CONT_DF_CAP,
+        containment_pairs,
+    )
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.01")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" zq boiler plate footer zq")
+            ).alias("text"),
+        )
+    )
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        for r in range(REPLICAS)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionAll(p)
+    big = big.localCheckpoint(eager=True)
+    n_docs = big.count()
+
+    # analytic join work from the df histogram (one cheap groupBy):
+    # uncapped = sum d(d-1)/2 over ALL shingles; capped = same over
+    # df <= CAP only. The footer shingles have df = n_docs >> CAP.
+    hist = (
+        big.select("doc_id", F.explode(shingles("text")).alias("sg"))
+        .groupBy("sg")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w_uncapped"),
+            F.sum(
+                F.when(
+                    F.col("d") <= _CONT_DF_CAP,
+                    F.col("d") * (F.col("d") - 1) / 2,
+                ).otherwise(F.lit(0))
+            ).alias("w_capped"),
+            F.max("d").alias("max_df"),
+        )
+        .collect()[0]
+    )
+    assert hist["max_df"] == n_docs, "footer must be corpus-wide"
+    assert hist["w_uncapped"] >= n_docs * (n_docs - 1) / 2, (
+        "uncapped boilerplate mass must be >= all-pairs"
+    )
+    assert hist["w_capped"] <= 0.2 * hist["w_uncapped"], hist
+
+    # the lane itself must complete in linear-in-capped-postings time and
+    # emit a candidate-pair space nowhere near docs^2
+    t0 = _time.perf_counter()
+    out = containment_pairs(big)
+    n_pairs = out.count()
+    elapsed = _time.perf_counter() - t0
+    all_pairs = n_docs * (n_docs - 1)  # directed
+    assert n_pairs <= 0.01 * all_pairs, (n_pairs, all_pairs)
+    assert elapsed < 120, elapsed  # generous sanity bound, not a budget
