@@ -246,11 +246,121 @@ HEADLINE = [
     "text_span_dedup_impact",
     "graph_ppr_unrolled",
     "ts_coincidence_factor",
+    # round-9 additions (VERDICT r8 item 3: close the ledger-coverage
+    # gap -- every remaining batch lane; dedup_ngram_jaccard_pairs is the
+    # documented O(n^2) brute-force verification surface of the LSH path
+    # and is the only multi-second entry)
+    "ml_forecast_next_lag1_h3",
+    "ml_forecast_next",
+    "ts_load_duration_curve",
+    "ts_cvar_ramp",
+    "mm_frame_sample",
+    "ml_train_eval_metrics",
+    "val_dup_count",
+    "val_value_stats",
+    "val_summary",
+    "val_top_group",
+    "val_distinct_groups",
+    "val_dup_rows",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_cube",
+    "rel_window_rank",
+    "rel_date_functions",
+    "rel_string_functions",
+    "rel_json_extract",
+    "rel_range_join",
+    "rel_sql_exists_priority",
+    "rel_sql_above_nation_avg",
+    "rel_outer_join_counts",
+    "rel_pivot_status_priority",
+    "rel_grouping_sets",
+    "rel_regex_extract",
+    "rel_union_pages",
+    "rel_promo_share",
+    "rel_part_brand_stats",
+    "rel_window_analytic",
+    "rel_events_by_segment",
+    "val_domain_violations",
+    "val_extreme_gate",
+    "rel_math_functions",
+    "text_token_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_quality_filter_stats",
+    "text_length_profile",
+    "text_top_tokens",
+    "text_tfidf_top_terms",
+    "dedup_tokenset_groups",
+    "dedup_simhash_codes",
+    "sim_topk_lsh",
+    "tpch_min_balance_supplier",
+    "tpch_significant_parts",
+    "tpch_top_supplier",
+    "tpch_part_supplier_counts",
+    "tpch_nation_volume",
+    "tpch_idle_rich_customers",
+    "ts_window_counts",
+    "ts_tail_window",
+    "ts_scaler_params",
+    "ts_scaled_values",
+    "ts_hour_coverage",
+    "quality_profile_scale_contract",
+    "val_null_counts",
+    "ml_linreg_trend",
+    "rel_window_running",
+    "rel_asof_click_before_purchase",
+    "approx_distinct_and_quantiles",
+    "rel_unpivot_measures",
+    "rel_salted_skew_stats",
+    "rel_monthly_revenue_growth",
+    "sess_funnel_counts",
+    "scd2_user_type_versions",
+    "scd2_point_in_time",
+    "dedup_exact_stats",
+    "mm_decode_features",
+    "text_bpe_token_estimate",
+    "text_repetition_stats",
+    "text_pii_stats",
+    "sample_mix_sources",
+    "dedup_contamination_check",
+    "text_fuzzy_prefix_pairs",
+    "tpch_product_profit",
+    "ts_resample_15min",
+    "ml_hpo_best_trials",
+    "ml_invariants",
+    "dedup_ngram_jaccard_pairs",
+    "rel_lateral_explode",
+    "rel_null_safe_join",
+    "ts_week_spine_rcte",
 ]
 
-# Streaming queries run sinks + checkpoints inside the query builder, so
-# they are timed nowhere in the headline lane (same policy as rounds 2-4:
-# the streaming parity queries measure correctness, not throughput).
+# Streaming queries are EXCLUDED from the timing ledger by policy (same
+# policy as rounds 2-4, made explicit as a lane list in round 9 -- VERDICT
+# r8 item 3): they run real Structured Streaming sinks + checkpoints
+# inside the query builder (availableNow triggers, temp-dir state), so
+# neither timing bracket measures a comparable per-query quantity -- the
+# wall-clock is dominated by micro-batch scheduling and checkpoint I/O at
+# this data size, and the lanes exist to prove streaming CORRECTNESS
+# (batch-oracle hash parity), not throughput. The list is explicit so
+# HEADLINE + ITERATIVE + STREAMING_EXCLUDED covers the registry exactly
+# (pinned by tests/test_bench_smoke.py::test_bench_covers_registry).
+STREAMING_EXCLUDED = [
+    "stream_windowed_stats",
+    "stream_dedup_counts",
+    "stream_session_stats",
+    "stream_quality_counts",
+    "stream_static_enrich",
+    "stream_hopping_topk",
+    "stream_stream_join",
+    "stream_join_windowed_attribution",
+    "stream_upsert_replay_state",
+    "stream_topk_merge",
+    "stream_quantile_merge",
+    "stream_kmv_merge",
+]
 
 # The iterative connected-components queries materialize during plan BUILD
 # (lineage-capping checkpoints), so the noop-write bracket above would
@@ -304,6 +414,13 @@ ITERATIVE = [
     # round-8b: edge-binned layout boundary jobs at build time (same
     # policy as layout_zonemap_pruning)
     "layout_bloom_pruning",
+    # round-9: stage manifests + per-source counts localCheckpoint at
+    # build time (the write-manifest-between-stages discipline), so
+    # wall-clock is the honest number
+    "corpus_prep_e2e",
+    # connected-components fixpoint checkpoints at build (same policy
+    # as dedup_clusters)
+    "dedup_semantic_clusters",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -341,6 +458,17 @@ ITERATIVE = [
 # persisted-index production shape). graph_link_prediction bumped
 # 1.95 -> 2.50 (1.5x its 1.66 best) after flapping at 2.003 in the r7
 # judge marathon.
+# Round-9 re-baseline (VERDICT r8 item 4): 13 lanes whose budget exceeded
+# 2x their r8 committed-ledger time dropped to 1.5x that ledger best
+# (emb_norm_stats, inc_cc_new_edges, inc_topk_merge, layout_bloom_pruning,
+# rel_holiday_lift, rel_scd2_intervals, sample_stratified_topk,
+# sim_ivfpq_recall, sim_pq_adc_recall, sim_recall_eval,
+# sim_topk_bruteforce, text_para_dedup, val_mad_outliers);
+# ml_forecast_next_lag1 re-based the other way, 2.60 -> 3.50 = 1.5x its
+# post-tiebreak-rewrite 2.34 best (the old budget was 1.5x the
+# pre-rewrite plan's best and left almost no headroom for the current
+# plan). Round-9 additions (the previously unbenched batch lanes):
+# 1.5x warm best-of-3 at sf0.1, measured 2026-08-16.
 BUDGETS: dict[str, float] = {
     "quality_profile": 1.70,
     "quality_profile_approx": 1.80,
@@ -362,7 +490,7 @@ BUDGETS: dict[str, float] = {
     "sess_user_sessions": 1.05,
     "text_quality_score": 0.95,
     "dedup_minhash_lsh_pairs": 0.60,
-    "sim_topk_bruteforce": 0.60,
+    "sim_topk_bruteforce": 0.43,
     "sim_topk_ivf": 1.15,
     "emb_neardup_pairs": 0.75,
     "tpch_large_orders": 1.85,
@@ -373,13 +501,13 @@ BUDGETS: dict[str, float] = {
     "tpch_returned_items": 1.35,
     # round-4 additions: 1.5x idle-machine best-of-3 (2026-08-14)
     "text_pii_redaction": 1.08,
-    "emb_norm_stats": 0.35,
-    "sample_stratified_topk": 0.40,
+    "emb_norm_stats": 0.25,
+    "sample_stratified_topk": 0.22,
     "text_packing_estimate": 0.4,
     "text_ngram_novelty": 2.40,
     "sample_split_assign": 0.17,
-    "text_para_dedup": 1.05,
-    "val_mad_outliers": 1.15,
+    "text_para_dedup": 0.7,
+    "val_mad_outliers": 0.85,
     "ts_ewma": 1.10,
     "rel_ntile_deciles": 0.50,
     "tpch_market_share": 1.25,
@@ -413,7 +541,7 @@ BUDGETS: dict[str, float] = {
     "rel_window_count_distinct": 0.82,
     "rel_corr_covar": 0.57,
     "rel_merge_upsert": 0.77,
-    "sim_recall_eval": 1.66,
+    "sim_recall_eval": 1.21,
     "text_bm25_topk": 0.88,
     "val_benford_digits": 0.47,
     "rel_skyline_pareto": 0.63,
@@ -535,7 +663,7 @@ BUDGETS: dict[str, float] = {
     "text_negative_sampling_dist": 0.45,
     "rel_discount_elasticity": 0.90,
     "graph_reciprocity": 0.80,
-    "rel_holiday_lift": 0.70,
+    "rel_holiday_lift": 0.51,
     # stats7 batch: 1.5x idle-machine best-of-3 (2026-08-15)
     "ts_max_drawdown": 0.62,
     "ts_variance_ratio": 0.70,
@@ -582,23 +710,23 @@ BUDGETS: dict[str, float] = {
     "layout_zonemap_pruning": 5.95,
     # r7 reshape (HOF lambdas -> posexplode + codegen hash-agg, SCALING.md
     # "distance-computation shape"): bests 1.40 / 3.61 / 4.56
-    "sim_pq_adc_recall": 6.75,
-    "sim_ivfpq_recall": 7.2,
+    "sim_pq_adc_recall": 4.76,
+    "sim_ivfpq_recall": 5.19,
     # r8b re-base: the 1.90 budget came from an unusually warm 1.27 best;
     # marathon history runs 1.54-2.05 (Arrow python-worker pressure) and a
     # quiet isolated best-of-3 is 1.74 -> 1.5x isolated best, the
     # graph_link_prediction convention for marathon-flapping lanes
-    "ml_forecast_next_lag1": 2.60,
+    "ml_forecast_next_lag1": 3.5,
     "dedup_cluster_size_histogram": 0.46,
     # round-8 lanes: 1.5x warm best-of-3 at sf0.1 (3.31 / 0.86 / 0.32 /
     # 3.82 with the codebook-trajectory memo; see SCALING.md round-8)
-    "inc_cc_new_edges": 5.00,
+    "inc_cc_new_edges": 3.46,
     # directed-containment posting join, undirected-count form: 4.06 warm
     "dedup_containment_pairs": 6.10,
     # SCD2 gaps-and-islands: one user exchange, three stacked windows
-    "rel_scd2_intervals": 0.90,
+    "rel_scd2_intervals": 0.63,
     "inc_quantile_merge": 1.30,
-    "inc_topk_merge": 0.50,
+    "inc_topk_merge": 0.3,
     "emb_pq_train_curve": 5.75,
     # round-8b lanes: 1.5x warm best-of-3 at sf0.1 (1.18 / 2.09 / 0.70 /
     # 1.26 / 4.74)
@@ -606,7 +734,7 @@ BUDGETS: dict[str, float] = {
     "text_span_dedup": 3.15,
     "text_quality_gopher": 1.05,
     "sim_int8_recall": 1.90,
-    "layout_bloom_pruning": 7.15,
+    "layout_bloom_pruning": 4.57,
     "inc_kmv_distinct_merge": 0.85,
     # batch 3: 1.5x warm best-of-3 at sf0.1 (0.97 / 0.56 / 2.46)
     "inc_ridge_moments_merge": 1.45,
@@ -615,6 +743,102 @@ BUDGETS: dict[str, float] = {
     # batch 4: 1.5x warm best-of-3 at sf0.1 (2.83 / 0.42)
     "graph_ppr_unrolled": 4.25,
     "ts_coincidence_factor": 0.65,
+    # round-9 additions: 1.5x warm best-of-3 at sf0.1 (2026-08-16)
+    # (text_repetition_stats measured ~180 s in the first coverage run --
+    # an unbound-HOF re-tokenization bug the new ledger coverage exposed;
+    # fixed with let-bindings in operators/text.py, re-based to 1.5x the
+    # fixed 4.2 s best. 22 of these sub-second lanes flapped 1.0-1.5x in the first full
+    # 323-lane marathon -- solo-measured budgets don't survive marathon
+    # JVM pressure at the noise floor -- and were re-based to 1.5x their
+    # marathon-recorded best, the same convention as
+    # graph_link_prediction / sim_halfdim_overlap)
+    "ml_forecast_next_lag1_h3": 2.26,
+    "ml_forecast_next": 5.04,
+    "ts_load_duration_curve": 0.43,
+    "ts_cvar_ramp": 0.48,
+    "mm_frame_sample": 0.15,
+    "ml_train_eval_metrics": 2.83,
+    "val_dup_count": 0.42,
+    "val_value_stats": 0.22,
+    "val_summary": 0.31,
+    "val_top_group": 0.15,
+    "val_distinct_groups": 0.15,
+    "val_dup_rows": 0.44,
+    "rel_semi_join": 0.26,
+    "rel_anti_join": 0.19,
+    "rel_topk_orders": 0.15,
+    "rel_set_ops": 0.21,
+    "rel_cube": 0.36,
+    "rel_window_rank": 0.33,
+    "rel_date_functions": 0.33,
+    "rel_string_functions": 0.15,
+    "rel_json_extract": 0.38,
+    "rel_range_join": 4.1,
+    "rel_sql_exists_priority": 0.58,
+    "rel_sql_above_nation_avg": 0.26,
+    "rel_outer_join_counts": 0.43,
+    "rel_pivot_status_priority": 0.31,
+    "rel_grouping_sets": 0.29,
+    "rel_regex_extract": 0.15,
+    "rel_union_pages": 0.44,
+    "rel_promo_share": 0.97,
+    "rel_part_brand_stats": 0.22,
+    "rel_window_analytic": 0.29,
+    "rel_events_by_segment": 0.31,
+    "val_domain_violations": 0.15,
+    "val_extreme_gate": 0.2,
+    "rel_math_functions": 0.27,
+    "text_token_stats": 0.35,
+    "text_lang_id": 1.16,
+    "text_fingerprint": 0.15,
+    "text_quality_filter_stats": 0.31,
+    "text_length_profile": 0.28,
+    "text_top_tokens": 0.23,
+    "text_tfidf_top_terms": 0.67,
+    "dedup_tokenset_groups": 0.34,
+    "dedup_simhash_codes": 0.46,
+    "sim_topk_lsh": 0.39,
+    "tpch_min_balance_supplier": 0.2,
+    "tpch_significant_parts": 1.65,
+    "tpch_top_supplier": 0.62,
+    "tpch_part_supplier_counts": 1.21,
+    "tpch_nation_volume": 0.61,
+    "tpch_idle_rich_customers": 0.36,
+    "ts_window_counts": 1.02,
+    "ts_tail_window": 0.41,
+    "ts_scaler_params": 0.28,
+    "ts_scaled_values": 0.22,
+    "ts_hour_coverage": 0.49,
+    "quality_profile_scale_contract": 1.02,
+    "val_null_counts": 0.15,
+    "ml_linreg_trend": 0.48,
+    "rel_window_running": 0.33,
+    "rel_asof_click_before_purchase": 0.64,
+    "approx_distinct_and_quantiles": 5.46,
+    "rel_unpivot_measures": 1.71,
+    "rel_salted_skew_stats": 0.54,
+    "rel_monthly_revenue_growth": 0.46,
+    "sess_funnel_counts": 2.05,
+    "scd2_user_type_versions": 0.68,
+    "scd2_point_in_time": 0.59,
+    "dedup_exact_stats": 0.5,
+    "mm_decode_features": 0.58,
+    "text_bpe_token_estimate": 0.73,
+    "text_repetition_stats": 6.31,
+    "text_pii_stats": 0.68,
+    "sample_mix_sources": 0.64,
+    "dedup_contamination_check": 1.72,
+    "text_fuzzy_prefix_pairs": 9.01,
+    "tpch_product_profit": 1.18,
+    "ts_resample_15min": 0.63,
+    "ml_hpo_best_trials": 1.34,
+    "ml_invariants": 4.83,
+    "dedup_ngram_jaccard_pairs": 29.4,
+    "rel_lateral_explode": 0.22,
+    "rel_null_safe_join": 0.58,
+    "ts_week_spine_rcte": 0.61,
+    "corpus_prep_e2e": 7.88,
+    "dedup_semantic_clusters": 2.23,
 }
 
 

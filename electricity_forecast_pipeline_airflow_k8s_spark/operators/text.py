@@ -306,29 +306,56 @@ def _top_ngram_char_frac(text_col: str, n: int) -> Column:
     Argmax is deterministic: max by (count, then gram text), computed as
     array_max over (count, gram) structs. Pure array expressions per row
     (JVM-side, shuffle-free); the within-row O(distinct x total) compare
-    is bounded by document length, never corpus size."""
-    grams = word_ngrams(text_col, n)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                g.alias("g"),
-            ),
+    is bounded by document length, never corpus size.
+
+    Both the gram array and the argmax struct are let-bound: referenced
+    unbound inside the HOF lambdas they are re-evaluated per array
+    element (no CSE in interpreted lambdas), which re-tokenized the
+    document once per DISTINCT GRAM -- the round-9 ledger-coverage
+    closure caught this lane at ~180 s/sf0.1 (35x slower than the
+    let-bound form)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    def with_grams(grams):
+        top_expr = F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.struct(
+                    F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                    g.alias("g"),
+                ),
+            )
         )
-    )
-    frac = F.try_divide(top["c"] * F.length(top["g"]), F.length(F.col(text_col)))
-    return F.when(F.size(grams) > 0, portable_round(frac, 4)).otherwise(F.lit(0.0))
+
+        def with_top(top):
+            frac = F.try_divide(
+                top["c"] * F.length(top["g"]), F.length(F.col(text_col))
+            )
+            return F.when(
+                F.size(grams) > 0, portable_round(frac, 4)
+            ).otherwise(F.lit(0.0))
+
+        return let(top_expr, with_top)
+
+    return let(word_ngrams(text_col, n), with_grams)
 
 
 def _dup_frac(parts: Column) -> Column:
     """1 - distinct/total over an array of parts (lines, paragraphs,
-    tokens); 0.0 for empty/singleton part lists."""
-    dup = F.try_divide(
-        (F.size(parts) - F.size(F.array_distinct(parts))).cast("double"),
-        F.size(parts),
-    )
-    return F.when(F.size(parts) > 0, portable_round(dup, 4)).otherwise(F.lit(0.0))
+    tokens); 0.0 for empty/singleton part lists. let-bound: the parts
+    expression (a split+trim+filter chain) is referenced four times."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
+
+    def body(p):
+        dup = F.try_divide(
+            (F.size(p) - F.size(F.array_distinct(p))).cast("double"),
+            F.size(p),
+        )
+        return F.when(F.size(p) > 0, portable_round(dup, 4)).otherwise(
+            F.lit(0.0)
+        )
+
+    return let(parts, body)
 
 
 def repetition_stats(

@@ -28,79 +28,26 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-8 window (second session): the 13
-# round-8b queries lead (rel_scd2_merge -- incremental SCD2 maintenance
-# proven against the scratch rebuild, text_span_dedup -- cross-document
-# maximal repeated spans, text_quality_gopher -- the published Gopher
-# A1.1 rules per source, sim_int8_recall -- scalar-quantization recall
-# audit, layout_bloom_pruning -- bloom file-skip vs zonemap/truth,
-# inc_kmv_distinct_merge -- the exactly-replayable mergeable distinct
-# sketch, stream_quantile_merge -- the mergeable histogram contract
-# folded through Structured Streaming, inc_ridge_moments_merge --
-# incremental model refresh via mergeable moments + the boundary pair,
-# val_snapshot_diff -- CDC-style version reconciliation,
-# text_span_dedup_impact -- corpus-wide removable-token coverage,
-# graph_ppr_unrolled -- personalized PageRank on the integer grid,
-# ts_coincidence_factor -- the power-systems diversity metric,
-# stream_kmv_merge -- the distinct-count fold completing the streaming
-# mergeable trilogy), then
-# the 19 round-8a new/changed queries (incremental CC/quantile/top-k
-# family, streaming top-k fold, PQ training curve + trained-codebook
-# serving lanes, containment dedup, tie-safe ML-edge picks, raw-jaccard
-# thresholds -- VERDICT/ADVICE r7), then the never-proven backlog in
-# registry order (the residue closes in r9), then proven queries
-# oldest-evidence-first. Regenerate with tools/rotate_window.py.
+# registration order per round). Round-9 window: the 7 new/changed
+# queries lead (corpus_prep_e2e -- the end-to-end corpus-prep flagship
+# composition, ml_forecast_next_lag1_h3 -- the multi-horizon ridge twin,
+# text_quality_gopher + dedup_containment_pairs -- re-proven after their
+# helper refactors, the three stream_*_merge folds -- re-proven after the
+# empty-source guard in foldstate.py), then the ENTIRE never-driver-
+# proven backlog (40 oracled + the 2 rows-only ML lanes, persisting since
+# round 4 -- VERDICT r8 item 1): this round's 50-query window covers all
+# of them, closing cumulative driver evidence over the whole registry.
+# The rest is proven queries oldest-evidence-first. Regenerate with
+# tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    "rel_scd2_merge",
-    "text_span_dedup",
-    "text_quality_gopher",
-    "sim_int8_recall",
-    "layout_bloom_pruning",
-    "inc_kmv_distinct_merge",
-    "stream_quantile_merge",
-    "inc_ridge_moments_merge",
-    "val_snapshot_diff",
-    "text_span_dedup_impact",
-    "graph_ppr_unrolled",
-    "ts_coincidence_factor",
-    "stream_kmv_merge",
-    "inc_cc_new_edges",
-    "inc_quantile_merge",
-    "inc_topk_merge",
-    "stream_topk_merge",
-    "emb_pq_train_curve",
-    "dedup_containment_pairs",
-    "rel_scd2_intervals",
-    "emb_pq_assign",  # last green r7
-    "sim_pq_adc_recall",  # last green r7
-    "sim_ivfpq_recall",  # last green r7
-    "ml_forecast_next_lag1",  # last green r7
+    "corpus_prep_e2e",
+    "ml_forecast_next_lag1_h3",
+    "text_quality_gopher",  # last green r8
+    "dedup_containment_pairs",  # last green r8
+    "stream_topk_merge",  # last green r8
+    "stream_quantile_merge",  # last green r8
+    "stream_kmv_merge",  # last green r8
     "ml_forecast_next",
-    "ml_invariants",  # last green r3
-    "dedup_minhash_lsh_pairs",  # last green r3
-    "inc_minhash_new_batch",  # last green r7
-    "dedup_clusters",  # last green r3
-    "dedup_keep_best",  # last green r3
-    "dedup_ngram_jaccard_pairs",  # last green r2
-    "dedup_lsh_recall_eval",  # last green r7
-    "sess_cogroup_hour_corr",
-    "ts_time_weighted_avg",
-    "ts_minmax_downsample",
-    "text_pmi_source_terms",
-    "ts_cusum_changepoint",
-    "sess_retention_cohorts",
-    "rel_variant_props",
-    "rel_lateral_explode",
-    "rel_null_safe_join",
-    "ts_week_spine_rcte",
-    "val_checksum_reconciliation",
-    "ts_seasonal_naive_error",
-    "sample_weighted_topk",
-    "text_pack_chunks",
-    "val_mad_outliers",
-    "inc_agg_merge",
-    "val_drift_chi2",
-    "val_monotonic_event_ids",
     "graph_link_prediction",
     "graph_bfs_reachability",
     "graph_assortativity",
@@ -384,6 +331,50 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_pagerank",  # last green r7
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
+    "rel_scd2_merge",  # last green r8
+    "text_span_dedup",  # last green r8
+    "sim_int8_recall",  # last green r8
+    "layout_bloom_pruning",  # last green r8
+    "inc_kmv_distinct_merge",  # last green r8
+    "inc_ridge_moments_merge",  # last green r8
+    "val_snapshot_diff",  # last green r8
+    "text_span_dedup_impact",  # last green r8
+    "graph_ppr_unrolled",  # last green r8
+    "ts_coincidence_factor",  # last green r8
+    "inc_cc_new_edges",  # last green r8
+    "inc_quantile_merge",  # last green r8
+    "inc_topk_merge",  # last green r8
+    "emb_pq_train_curve",  # last green r8
+    "rel_scd2_intervals",  # last green r8
+    "emb_pq_assign",  # last green r8
+    "sim_pq_adc_recall",  # last green r8
+    "sim_ivfpq_recall",  # last green r8
+    "ml_forecast_next_lag1",  # last green r8
+    "ml_invariants",  # last green r8
+    "dedup_minhash_lsh_pairs",  # last green r8
+    "inc_minhash_new_batch",  # last green r8
+    "dedup_clusters",  # last green r8
+    "dedup_keep_best",  # last green r8
+    "dedup_ngram_jaccard_pairs",  # last green r8
+    "dedup_lsh_recall_eval",  # last green r8
+    "sess_cogroup_hour_corr",  # last green r8
+    "ts_time_weighted_avg",  # last green r8
+    "ts_minmax_downsample",  # last green r8
+    "text_pmi_source_terms",  # last green r8
+    "ts_cusum_changepoint",  # last green r8
+    "sess_retention_cohorts",  # last green r8
+    "rel_variant_props",  # last green r8
+    "rel_lateral_explode",  # last green r8
+    "rel_null_safe_join",  # last green r8
+    "ts_week_spine_rcte",  # last green r8
+    "val_checksum_reconciliation",  # last green r8
+    "ts_seasonal_naive_error",  # last green r8
+    "sample_weighted_topk",  # last green r8
+    "text_pack_chunks",  # last green r8
+    "val_mad_outliers",  # last green r8
+    "inc_agg_merge",  # last green r8
+    "val_drift_chi2",  # last green r8
+    "val_monotonic_event_ids",  # last green r8
 )
 
 

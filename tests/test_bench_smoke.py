@@ -65,3 +65,23 @@ def test_headline_queries_within_budget():
     assert out.returncode == 0, out.stderr[-2000:]
     parsed = json.loads(out.stdout.strip().splitlines()[-1])
     assert parsed["over_budget"] == {}, parsed["over_budget"]
+
+
+def test_bench_covers_registry():
+    """Ledger-coverage pin (VERDICT r8 item 3): every registry query is
+    either timed (HEADLINE / ITERATIVE) or on the documented streaming
+    exclusion list -- no lane can silently fall out of the perf gate --
+    and no lane is double-listed."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    reg = set(registry())
+    h, it, ex = (
+        set(bench.HEADLINE),
+        set(bench.ITERATIVE),
+        set(bench.STREAMING_EXCLUDED),
+    )
+    assert not (h & it) and not (h & ex) and not (it & ex)
+    benched = h | it | ex
+    assert benched == reg, (
+        f"unbenched: {sorted(reg - benched)}; stale: {sorted(benched - reg)}"
+    )

@@ -174,6 +174,9 @@ SHOWCASE = [
     "text_span_dedup_impact",
     "graph_ppr_unrolled",
     "ts_coincidence_factor",
+    # round 9
+    "corpus_prep_e2e",
+    "ml_forecast_next_lag1_h3",
 ]
 
 
