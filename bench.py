@@ -421,6 +421,9 @@ ITERATIVE = [
     # connected-components fixpoint checkpoints at build (same policy
     # as dedup_clusters)
     "dedup_semantic_clusters",
+    # round-9: state build + merge both checkpoint manifests and run two
+    # CC fixpoints at build time -- wall-clock is the honest number
+    "corpus_prep_inc_batch",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run
@@ -744,6 +747,7 @@ BUDGETS: dict[str, float] = {
     "graph_ppr_unrolled": 4.25,
     "ts_coincidence_factor": 0.65,
     # round-9 additions: 1.5x warm best-of-3 at sf0.1 (2026-08-16)
+    "corpus_prep_inc_batch": 14.55,  # 1.5x warm best-of-3 9.70 (state+merge, 2 CC fixpoints)
     # (text_repetition_stats measured ~180 s in the first coverage run --
     # an unbound-HOF re-tokenization bug the new ledger coverage exposed;
     # fixed with let-bindings in operators/text.py, re-based to 1.5x the

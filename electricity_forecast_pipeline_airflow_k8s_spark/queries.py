@@ -41,6 +41,7 @@ _REGISTRY: dict[str, Query] = {}
 # tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "corpus_prep_e2e",
+    "corpus_prep_inc_batch",
     "ml_forecast_next_lag1_h3",
     "text_quality_gopher",  # last green r8
     "dedup_containment_pairs",  # last green r8
@@ -89,7 +90,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_ewma",
     "ts_gap_fill_locf",
     "ml_train_eval_metrics",
-    "val_dup_count",  # last green r1
+    "val_dup_count",  # last green r1 (slot 51)
     "val_value_stats",  # last green r1
     "val_summary",  # last green r1
     "val_grouped_stats",  # last green r1

@@ -177,6 +177,7 @@ SHOWCASE = [
     # round 9
     "corpus_prep_e2e",
     "ml_forecast_next_lag1_h3",
+    "corpus_prep_inc_batch",
 ]
 
 
