@@ -360,6 +360,7 @@ STREAMING_EXCLUDED = [
     "stream_topk_merge",
     "stream_quantile_merge",
     "stream_kmv_merge",
+    "stream_corpus_dedup_merge",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD

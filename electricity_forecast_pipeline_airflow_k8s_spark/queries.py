@@ -30,24 +30,26 @@ _REGISTRY: dict[str, Query] = {}
 # The driver verifies a bounded prefix of the registry (50 queries in
 # registration order per round). Round-9 window: the 7 new/changed
 # queries lead (corpus_prep_e2e -- the end-to-end corpus-prep flagship
-# composition, ml_forecast_next_lag1_h3 -- the multi-horizon ridge twin,
-# text_quality_gopher + dedup_containment_pairs -- re-proven after their
-# helper refactors, the three stream_*_merge folds -- re-proven after the
-# empty-source guard in foldstate.py), then the ENTIRE never-driver-
-# proven backlog (40 oracled + the 2 rows-only ML lanes, persisting since
-# round 4 -- VERDICT r8 item 1): this round's 50-query window covers all
-# of them, closing cumulative driver evidence over the whole registry.
-# The rest is proven queries oldest-evidence-first. Regenerate with
-# tools/rotate_window.py.
+# composition, corpus_prep_inc_batch -- its incremental-maintenance
+# capstone, stream_corpus_dedup_merge -- the gate+dedup front door as a
+# streaming fold, ml_forecast_next_lag1_h3 -- the multi-horizon ridge
+# twin, text_quality_gopher + dedup_containment_pairs -- re-proven after
+# their helper refactors, stream_topk_merge -- re-proof of the edited
+# foldstate scaffold, which the new stream lane also drives), then the
+# ENTIRE never-driver-proven backlog (40 oracled + the 2 rows-only ML
+# lanes, persisting since round 4 -- VERDICT r8 item 1): 7 + 42 = 49, so
+# this round's 50-query window covers all of them and closes cumulative
+# driver evidence over the whole registry; slot 50 is a bonus re-proof
+# of stream_quantile_merge (same scaffold). The rest is proven queries
+# oldest-evidence-first. Regenerate with tools/rotate_window.py.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
     "corpus_prep_e2e",
     "corpus_prep_inc_batch",
+    "stream_corpus_dedup_merge",
     "ml_forecast_next_lag1_h3",
     "text_quality_gopher",  # last green r8
     "dedup_containment_pairs",  # last green r8
     "stream_topk_merge",  # last green r8
-    "stream_quantile_merge",  # last green r8
-    "stream_kmv_merge",  # last green r8
     "ml_forecast_next",
     "graph_link_prediction",
     "graph_bfs_reachability",
@@ -90,7 +92,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_ewma",
     "ts_gap_fill_locf",
     "ml_train_eval_metrics",
-    "val_dup_count",  # last green r1 (slot 51)
+    "stream_quantile_merge",  # last green r8; same foldstate scaffold as the two head re-proofs
+    "stream_kmv_merge",  # last green r8; same scaffold
+    "val_dup_count",  # last green r1
     "val_value_stats",  # last green r1
     "val_summary",  # last green r1
     "val_grouped_stats",  # last green r1
