@@ -473,6 +473,24 @@ ITERATIVE = [
 # pre-rewrite plan's best and left almost no headroom for the current
 # plan). Round-9 additions (the previously unbenched batch lanes):
 # 1.5x warm best-of-3 at sf0.1, measured 2026-08-16.
+#
+# Round-10 noise floor (VERDICT r9 item 4): lanes whose best is ~0.2-0.4 s
+# get budgets at the ambient noise floor -- a single GC pause or a
+# concurrent pytest run exceeds the whole lane, so 1.5x-of-best false-alarms
+# on them (r8b: text_heavy_hitters, val_winsorized_stats; r9 judge run:
+# dedup_tokenset_groups at 0.343 vs 0.340 -- all retry-clean, none a plan
+# change). The EFFECTIVE budget is max(BUDGETS[name], BUDGET_FLOOR_SEC):
+# sub-second lanes keep an absolute 0.6 s bar (a real regression, e.g. a
+# lost broadcast or a new shuffle, blows far past that), while every lane
+# where time is material keeps its tight 1.5x gate. BUDGETS values below
+# stay as recorded so the ledger still documents each lane's true best.
+BUDGET_FLOOR_SEC = 0.6
+
+
+def effective_budget(name: str) -> float:
+    return max(BUDGETS[name], BUDGET_FLOOR_SEC)
+
+
 BUDGETS: dict[str, float] = {
     "quality_profile": 1.70,
     "quality_profile_approx": 1.80,
@@ -925,7 +943,7 @@ def main() -> None:
     # even when the retry passes, which pure-min recording would hide.
     retried: dict[str, dict[str, float]] = {}
     for name in sorted(timings):
-        if name in BUDGETS and timings[name] > BUDGETS[name]:
+        if name in BUDGETS and timings[name] > effective_budget(name):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             retry_t = _run_lane(name)
@@ -933,9 +951,9 @@ def main() -> None:
             timings[name] = min(timings[name], retry_t)
 
     over_budget = {
-        name: {"sec": timings[name], "budget": BUDGETS[name]}
+        name: {"sec": timings[name], "budget": effective_budget(name)}
         for name in timings
-        if name in BUDGETS and timings[name] > BUDGETS[name]
+        if name in BUDGETS and timings[name] > effective_budget(name)
     }
     total = round(sum(timings.values()), 3)
     payload = {

@@ -1095,10 +1095,20 @@ o AS (
                            ORDER BY period, event_id) AS y
   FROM ev
 ),
-p AS (SELECT * FROM o WHERE y IS NOT NULL),
+-- moments on the exact-decimal grid (ADVICE r8, closed r10): the fixture
+-- values are 2-decimal, so DECIMAL(18,2) sums of decimal products are
+-- EXACT and association-order free -- no partial-sum ordering on either
+-- engine can flip the 4-decimal rounding boundary. One final cast to
+-- double per moment, then identical IEEE ops compute the closed form.
+p AS (
+  SELECT respondent, CAST(x AS DECIMAL(18,2)) AS x,
+         CAST(y AS DECIMAL(18,2)) AS y
+  FROM o WHERE y IS NOT NULL
+),
 m AS (
   SELECT respondent, count(*) AS n,
-         sum(x * x) AS sxx, sum(x) AS sx, sum(x * y) AS sxy, sum(y) AS sy
+         CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(y) AS DOUBLE) AS sy
   FROM p GROUP BY 1
 )
 SELECT respondent,
@@ -1164,16 +1174,24 @@ def q_inc_ridge_moments_merge(spark: SparkSession, sf_dir: str):
     )
 
     def moments(pairs):
+        # exact-decimal moment grid (ADVICE r8, closed r10): 2-decimal
+        # fixture values cast to DECIMAL(18,2) make every sum exact and
+        # association-order free -- the state can be merged in ANY order
+        # (cell-wise, batch-wise, tree-wise) without the 4-decimal rounding
+        # of the closed form ever seeing a partial-sum reorder. Mirrors the
+        # oracle's DECIMAL CTE exactly.
+        xd, yd = F.col("x").cast("decimal(18,2)"), F.col("y").cast("decimal(18,2)")
         return pairs.groupBy("respondent").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum("y").alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(xd).alias("sx"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(yd).alias("sy"),
         )
 
     # yesterday's persisted moment state + the batch's own moments + the
-    # boundary pair, merged CELL-WISE (never re-reading old events)
+    # boundary pair, merged CELL-WISE (never re-reading old events);
+    # decimal sums of decimal partials stay exact
     merged = (
         moments(internal_pairs(old))
         .unionByName(moments(internal_pairs(new)))
@@ -1181,10 +1199,10 @@ def q_inc_ridge_moments_merge(spark: SparkSession, sf_dir: str):
         .groupBy("respondent")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sxx").alias("sxx"),
-            F.sum("sx").alias("sx"),
-            F.sum("sxy").alias("sxy"),
-            F.sum("sy").alias("sy"),
+            F.sum("sxx").cast("double").alias("sxx"),
+            F.sum("sx").cast("double").alias("sx"),
+            F.sum("sxy").cast("double").alias("sxy"),
+            F.sum("sy").cast("double").alias("sy"),
         )
     )
     det = (F.col("sxx") + _IRM_ALPHA) * (F.col("n") + _IRM_ALPHA) - F.col(

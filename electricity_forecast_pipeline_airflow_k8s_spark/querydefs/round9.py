@@ -528,7 +528,10 @@ def q_corpus_prep_inc_batch(spark: SparkSession, sf_dir: str):
 
     docs = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
     max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    b_cut = (int(max_id) + 1) * 9 // 10
+    # Empty documents table => max() is NULL; cut at 0 so both halves are
+    # empty frames and the lane degrades to an empty count result instead
+    # of a TypeError (ADVICE r9).
+    b_cut = 0 if max_id is None else (int(max_id) + 1) * 9 // 10
     old = docs.filter(F.col("doc_id") < b_cut)
     batch = docs.filter(F.col("doc_id") >= b_cut)
 

@@ -533,12 +533,10 @@ def test_corpus_prep_e2e_serves_counts_from_manifests(spark, sf_dir):
     """corpus_prep_e2e (round 9): the final per-source aggregation must be
     served from the id-sized stage manifests (checkpointed RDD scans),
     never by replaying prior stages' text pipelines per consumer. Pin:
-    the final plan scans the documents parquet at most twice (the source
-    list + the raw count share the base scan subtree) -- every other
-    stage count reads an ExistingRDD manifest -- and the only non-equi
-    join is the broadcast of the 1-row mix total. The per-source counts
-    frame itself is materialized, so the FINAL plan reads no parquet at
-    all."""
+    every stage count reads an ExistingRDD manifest, the only non-equi
+    join is the broadcast of the 1-row mix total, and -- because the
+    per-source counts frame itself is materialized -- the FINAL plan
+    reads no parquet at all."""
     q = registry()["corpus_prep_e2e"].build(spark, sf_dir)
     plan = q._jdf.queryExecution().executedPlan().toString()
     tree = plan.split("\n\n")[0]

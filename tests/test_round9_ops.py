@@ -108,3 +108,14 @@ def test_e2e_and_inc_agree_when_batch_changes_nothing(spark, tmp_path):
         for r in reg["corpus_prep_inc_batch"].build(spark, sf).collect()
     }
     assert e2e == inc
+
+
+def test_inc_batch_empty_documents_degrades_gracefully(spark, tmp_path):
+    """ADVICE r9: max(doc_id) on an empty documents table is NULL; the
+    lane must default the batch cut to 0 and return an empty counts frame
+    instead of raising TypeError on int(None) -- the graceful-degradation
+    contract every other lane meets on degenerate inputs."""
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    empty.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = registry()["corpus_prep_inc_batch"].build(spark, str(tmp_path))
+    assert out.count() == 0

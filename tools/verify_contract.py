@@ -71,6 +71,149 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 NESTED = ("array", "map", "struct")
 
 
+# -- independent NumPy replay for the two non-SQL ML lanes (VERDICT r9
+# item 3). DuckDB cannot replay a 168-dim ridge fit, so these lanes were
+# rows-only in the sweep; the committed goldens pin their values in the
+# pytest channel, but the judge/driver channel had no independent value
+# evidence. This replay RECOMPUTES (not replays) the whole pipeline --
+# chronological 70/15/15 split, stride-1 (L, H) windows, closed-form ridge
+# per group, latest-window forecast / test-split metrics -- from the raw
+# parquet using pandas + numpy only (no package imports in the math), and
+# value-compares at 1e-3 (absorbs float-summation reorder across Spark
+# partitions; a wrong weight reshape, unit corruption, or scaling drift is
+# orders of magnitude larger).
+def _np_round(a, d: int):
+    """portable_round twin: floor(x * 10^d + 0.5) / 10^d."""
+    import numpy as np
+
+    p = 10.0**d
+    return np.floor(a * p + 0.5) / p
+
+
+def _ml_windows(con: "duckdb.DuckDBPyConnection", sf: str):
+    """Replay of querydefs/mlops._windows: per respondent, sort by
+    (ts, event_id), split first floor(0.7n) train / next floor(0.15n) val /
+    rest test, then stride-1 x[L]/y[H] windows per (respondent, split).
+    Yields (respondent, split, window_start, event_id, x, y)."""
+    import math
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.mlops import H, L
+
+    df = con.execute(
+        f"SELECT event_id, event_type AS respondent,"
+        f" CAST(ts AS TIMESTAMP) AS period, CAST(value AS DOUBLE) AS value"
+        f" FROM '{sf}/events.parquet'"
+    ).df()
+    out = []
+    for resp, g in df.groupby("respondent", sort=True):
+        g = g.sort_values(
+            ["period", "event_id"], na_position="first", kind="mergesort"
+        )
+        n = len(g)
+        tr, va = math.floor(n * 0.7), math.floor(n * 0.15)
+        g = g.assign(split=["train"] * tr + ["val"] * va + ["test"] * (n - tr - va))
+        for split, gg in g.groupby("split", sort=False):
+            v = gg["value"].to_numpy(dtype=float)
+            ws, eid = gg["period"].to_numpy(), gg["event_id"].to_numpy()
+            for i in range(len(gg) - L - H + 1):
+                out.append(
+                    (resp, split, ws[i], eid[i], v[i : i + L], v[i + L : i + L + H])
+                )
+    return out
+
+
+def _np_ridge(xs, ys, alpha: float = 1.0):
+    """Closed-form ridge W = (X'X + aI)^-1 X'Y with bias column --
+    independently written from the normal equations, not imported."""
+    import numpy as np
+
+    x = np.stack(xs)
+    y = np.stack(ys)
+    xb = np.hstack([x, np.ones((x.shape[0], 1))])
+    return np.linalg.solve(xb.T @ xb + alpha * np.eye(xb.shape[1]), xb.T @ y)
+
+
+def _np_forecast_next(sf: str) -> pd.DataFrame:
+    """(respondent, hour, predicted_load): fit on train windows, predict
+    from the latest train window (max (window_start, event_id))."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = []
+    wins = _ml_windows(con, sf)
+    resps = sorted({r for r, *_ in wins})
+    for resp in resps:
+        train = [w for w in wins if w[0] == resp and w[1] == "train"]
+        if not train:
+            continue
+        w = _np_ridge([t[4] for t in train], [t[5] for t in train])
+        latest = max(train, key=lambda t: (t[2], t[3]))
+        pred = np.append(latest[4], 1.0) @ w
+        for h, p in enumerate(pred, start=1):
+            rows.append((resp, h, float(_np_round(p, 4))))
+    return pd.DataFrame(rows, columns=["respondent", "hour", "predicted_load"])
+
+
+def _np_train_eval_metrics(sf: str) -> pd.DataFrame:
+    """(respondent, n, rmse, mape, mae) over test-window predictions."""
+    import numpy as np
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.ml.metrics import EPS
+
+    con = duckdb.connect()
+    rows = []
+    wins = _ml_windows(con, sf)
+    resps = sorted({r for r, *_ in wins})
+    for resp in resps:
+        train = [w for w in wins if w[0] == resp and w[1] == "train"]
+        test = [w for w in wins if w[0] == resp and w[1] == "test"]
+        if not train or not test:
+            continue
+        w = _np_ridge([t[4] for t in train], [t[5] for t in train])
+        a = np.concatenate([t[5] for t in test])
+        p = np.concatenate([np.append(t[4], 1.0) @ w for t in test])
+        rmse = float(np.sqrt(np.mean((a - p) ** 2)))
+        mape = float(np.mean(np.abs((a - p) / (np.abs(a) + EPS))) * 100.0)
+        mae = float(np.mean(np.abs(a - p)))
+        rows.append(
+            (
+                resp,
+                len(a),
+                float(_np_round(rmse, 4)),
+                float(_np_round(mape, 4)),
+                float(_np_round(mae, 4)),
+            )
+        )
+    return pd.DataFrame(rows, columns=["respondent", "n", "rmse", "mape", "mae"])
+
+
+NUMPY_REPLAYS = {
+    "ml_forecast_next": (_np_forecast_next, ("respondent", "hour")),
+    "ml_train_eval_metrics": (_np_train_eval_metrics, ("respondent", "n")),
+}
+NUMPY_TOL = 1e-3
+
+
+def _numpy_compare(spdf: pd.DataFrame, npdf: pd.DataFrame, keys) -> tuple[bool, str]:
+    """Exact on key columns, 1e-3 absolute on the float columns."""
+    if sorted(spdf.columns) != sorted(npdf.columns):
+        return False, f"columns {sorted(spdf.columns)} != {sorted(npdf.columns)}"
+    if len(spdf) != len(npdf):
+        return False, f"rowcount {len(spdf)} != {len(npdf)}"
+    keys = list(keys)
+    a = spdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    b = npdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    for k in keys:
+        if not a[k].astype(b[k].dtype).equals(b[k]):
+            return False, f"key column {k!r} differs"
+    for c in (c for c in a.columns if c not in keys):
+        bad = (a[c].astype(float) - b[c].astype(float)).abs() > NUMPY_TOL
+        if bad.any():
+            i = int(bad.idxmax())
+            return False, f"{c}[{i}]: spark={a[c][i]} numpy={b[c][i]}"
+    return True, ""
+
+
 def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -102,7 +245,14 @@ def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
             bad.append(name)
             continue
         if name not in osql:
-            print(name, "rows_only", sdf.count())
+            if name in NUMPY_REPLAYS:
+                fn, keys = NUMPY_REPLAYS[name]
+                ok, why = _numpy_compare(sdf.toPandas(), fn(sf), keys)
+                print(name, "NUMPY-MATCH" if ok else f"NUMPY-MISMATCH {why}")
+                if not ok:
+                    bad.append(name)
+            else:
+                print(name, "rows_only", sdf.count())
             continue
         spdf = canon(sdf.toPandas())
         ddf = canon(con.execute(osql[name]).df())
@@ -121,7 +271,11 @@ def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
         print("FAILED:", bad)
         return 1
     n_oracle = len([n for n in names if n in osql])
-    print(f"OK: {n_oracle} oracle-matched, {len(names) - n_oracle} rows-only")
+    n_numpy = len([n for n in names if n not in osql and n in NUMPY_REPLAYS])
+    print(
+        f"OK: {n_oracle} oracle-matched, {n_numpy} numpy-value-matched,"
+        f" {len(names) - n_oracle - n_numpy} rows-only"
+    )
     return 0
 
 
