@@ -28,72 +28,23 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-9 window: the 7 new/changed
-# queries lead (corpus_prep_e2e -- the end-to-end corpus-prep flagship
-# composition, corpus_prep_inc_batch -- its incremental-maintenance
-# capstone, stream_corpus_dedup_merge -- the gate+dedup front door as a
-# streaming fold, ml_forecast_next_lag1_h3 -- the multi-horizon ridge
-# twin, text_quality_gopher + dedup_containment_pairs -- re-proven after
-# their helper refactors, stream_topk_merge -- re-proof of the edited
-# foldstate scaffold, which the new stream lane also drives), then the
-# ENTIRE never-driver-proven backlog (40 oracled + the 2 rows-only ML
-# lanes, persisting since round 4 -- VERDICT r8 item 1): 7 + 42 = 49, so
-# this round's 50-query window covers all of them and closes cumulative
-# driver evidence over the whole registry; slot 50 is a bonus re-proof
-# of stream_quantile_merge (same scaffold). The rest is proven queries
-# oldest-evidence-first. Regenerate with tools/rotate_window.py.
+# registration order per round). Round-10 window (--oldest-first fill,
+# VERDICT r9 item 2: with the never-proven backlog closed in r9, driver
+# evidence must now AGE OUT, not merely exist): the 3 changed lanes lead
+# (inc_ridge_moments_merge -- moments moved onto the exact decimal grid,
+# corpus_prep_inc_batch -- empty-input guard, text_repetition_stats --
+# ADVICE r9 re-proof after the r9 let-binding rewrite), then the 2
+# rows-only ML lanes (now ALSO numpy-value-verified in the sweep channel,
+# tools/verify_contract.py), then every proven lane strictly by evidence
+# age: slots 6-50 are all round-1/2 evidence (45 stale lanes re-proven,
+# vs the >=35 the verdict asked for). Regenerate with
+# tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    "corpus_prep_e2e",
-    "corpus_prep_inc_batch",
-    "stream_corpus_dedup_merge",
-    "ml_forecast_next_lag1_h3",
-    "text_quality_gopher",  # last green r8
-    "dedup_containment_pairs",  # last green r8
-    "stream_topk_merge",  # last green r8
+    "inc_ridge_moments_merge",  # last green r8
+    "corpus_prep_inc_batch",  # last green r9
+    "text_repetition_stats",  # last green r3
     "ml_forecast_next",
-    "graph_link_prediction",
-    "graph_bfs_reachability",
-    "graph_assortativity",
-    "rel_ntile_deciles",
-    "rel_cohort_ltv",
-    "rel_basket_lift",
-    "rel_rfm_segments",
-    "rel_supplier_hhi",
-    "stream_quality_counts",
-    "stream_static_enrich",
-    "sess_dau_wau",
-    "sess_shapley_attribution",
-    "ts_pi_coverage",
-    "ts_load_profile_how",
-    "ts_ramp_rate_stats",
-    "ts_load_duration_curve",
-    "ts_cvar_ramp",
-    "text_pii_redaction",
-    "emb_norm_stats",
-    "sample_stratified_topk",
-    "text_packing_estimate",
-    "text_ngram_novelty",
-    "sample_split_assign",
-    "text_para_dedup",
-    "mm_frame_sample",
-    "dedup_semantic_clusters",
-    "dedup_simhash_neardup_pairs",
-    "emb_dim_stats",
-    "text_bigram_lm_score",
-    "emb_quantize_int8",
-    "emb_top_pc_power_iteration",
-    "emb_kcenter_seeds",
-    "emb_contrastive_triplets",
-    "sample_temperature_mix",
-    "text_ttr_by_source",
-    "tpch_discount_revenue",
-    "tpch_market_share",
-    "tpch_cust_order_dist",
-    "ts_ewma",
-    "ts_gap_fill_locf",
     "ml_train_eval_metrics",
-    "stream_quantile_merge",  # last green r8; same foldstate scaffold as the two head re-proofs
-    "stream_kmv_merge",  # last green r8; same scaffold
     "val_dup_count",  # last green r1
     "val_value_stats",  # last green r1
     "val_summary",  # last green r1
@@ -180,7 +131,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "mm_decode_features",  # last green r3
     "emb_neardup_pairs",  # last green r3
     "text_bpe_token_estimate",  # last green r3
-    "text_repetition_stats",  # last green r3
     "text_pii_stats",  # last green r3
     "sample_mix_sources",  # last green r3
     "dedup_contamination_check",  # last green r3
@@ -336,12 +286,12 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_pagerank",  # last green r7
     "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
+    "stream_kmv_merge",  # last green r8
     "rel_scd2_merge",  # last green r8
     "text_span_dedup",  # last green r8
     "sim_int8_recall",  # last green r8
     "layout_bloom_pruning",  # last green r8
     "inc_kmv_distinct_merge",  # last green r8
-    "inc_ridge_moments_merge",  # last green r8
     "val_snapshot_diff",  # last green r8
     "text_span_dedup_impact",  # last green r8
     "graph_ppr_unrolled",  # last green r8
@@ -380,6 +330,53 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_agg_merge",  # last green r8
     "val_drift_chi2",  # last green r8
     "val_monotonic_event_ids",  # last green r8
+    "corpus_prep_e2e",  # last green r9
+    "stream_corpus_dedup_merge",  # last green r9
+    "ml_forecast_next_lag1_h3",  # last green r9
+    "text_quality_gopher",  # last green r9
+    "dedup_containment_pairs",  # last green r9
+    "stream_topk_merge",  # last green r9
+    "graph_link_prediction",  # last green r9
+    "graph_bfs_reachability",  # last green r9
+    "graph_assortativity",  # last green r9
+    "rel_ntile_deciles",  # last green r9
+    "rel_cohort_ltv",  # last green r9
+    "rel_basket_lift",  # last green r9
+    "rel_rfm_segments",  # last green r9
+    "rel_supplier_hhi",  # last green r9
+    "stream_quality_counts",  # last green r9
+    "stream_static_enrich",  # last green r9
+    "sess_dau_wau",  # last green r9
+    "sess_shapley_attribution",  # last green r9
+    "ts_pi_coverage",  # last green r9
+    "ts_load_profile_how",  # last green r9
+    "ts_ramp_rate_stats",  # last green r9
+    "ts_load_duration_curve",  # last green r9
+    "ts_cvar_ramp",  # last green r9
+    "text_pii_redaction",  # last green r9
+    "emb_norm_stats",  # last green r9
+    "sample_stratified_topk",  # last green r9
+    "text_packing_estimate",  # last green r9
+    "text_ngram_novelty",  # last green r9
+    "sample_split_assign",  # last green r9
+    "text_para_dedup",  # last green r9
+    "mm_frame_sample",  # last green r9
+    "dedup_semantic_clusters",  # last green r9
+    "dedup_simhash_neardup_pairs",  # last green r9
+    "emb_dim_stats",  # last green r9
+    "text_bigram_lm_score",  # last green r9
+    "emb_quantize_int8",  # last green r9
+    "emb_top_pc_power_iteration",  # last green r9
+    "emb_kcenter_seeds",  # last green r9
+    "emb_contrastive_triplets",  # last green r9
+    "sample_temperature_mix",  # last green r9
+    "text_ttr_by_source",  # last green r9
+    "tpch_discount_revenue",  # last green r9
+    "tpch_market_share",  # last green r9
+    "tpch_cust_order_dist",  # last green r9
+    "ts_ewma",  # last green r9
+    "ts_gap_fill_locf",  # last green r9
+    "stream_quantile_merge",  # last green r9
 )
 
 

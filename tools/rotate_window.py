@@ -9,11 +9,19 @@ Policy (encoded in queries.py's window comment, automated here):
   3. then all proven queries, oldest evidence round first (re-proof
      keeps every entry's evidence age bounded).
 
+--oldest-first (VERDICT r9 item 2): now that the never-proven backlog is
+zero, evidence AGE is the rotation's whole job -- this mode fills
+everything after the changed head strictly by (latest evidence round,
+registry order), treating never-proven as round 0. With no never-proven
+lanes it is identical to the default; it exists so the fill policy is an
+explicit contract, not an accident of an empty tier, and so any future
+never-proven lane still sorts ahead of stale-but-proven ones.
+
 Prints the python tuple body ready to paste into queries.py. Read-only:
 it never edits queries.py itself (the window is code, reviewed like
 code).
 
-Usage: python tools/rotate_window.py [--changed name1,name2]
+Usage: python tools/rotate_window.py [--changed name1,name2] [--oldest-first]
 """
 
 from __future__ import annotations
@@ -42,10 +50,16 @@ def evidence_by_query(repo_root: str) -> dict[str, int]:
     return latest
 
 
-def plan(changed: list[str]) -> list[str]:
+def plan(changed: list[str], oldest_first: bool = False) -> list[str]:
     names = list(registry())
     latest = evidence_by_query(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     head = [n for n in changed if n in names]
+    if oldest_first:
+        rest = sorted(
+            (n for n in names if n not in head),
+            key=lambda n: (latest.get(n, 0), names.index(n)),
+        )
+        return head + rest
     never = [n for n in names if n not in latest and n not in head]
     proven = sorted(
         (n for n in names if n in latest and n not in head),
@@ -58,7 +72,7 @@ def main() -> None:
     changed: list[str] = []
     if "--changed" in sys.argv:
         changed = sys.argv[sys.argv.index("--changed") + 1].split(",")
-    window = plan(changed)
+    window = plan(changed, oldest_first="--oldest-first" in sys.argv)
     latest = evidence_by_query(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     n_never = sum(1 for n in window if n not in latest)
     print(f"# {len(window)} queries: {len(changed)} changed, "
