@@ -425,6 +425,9 @@ ITERATIVE = [
     # round-9: state build + merge both checkpoint manifests and run two
     # CC fixpoints at build time -- wall-clock is the honest number
     "corpus_prep_inc_batch",
+    # round-10: LSH-bucketed scale twin of dedup_semantic_clusters (CC
+    # fixpoint at build time, same wall-clock convention as dedup_clusters)
+    "dedup_semantic_clusters_scale",
 ]
 
 # Per-query budget at sf0.1 / local[32]: 1.5x the best recorded driver run

@@ -29,20 +29,29 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
 # registration order per round). Round-10 window (--oldest-first fill,
-# VERDICT r9 item 2: with the never-proven backlog closed in r9, driver
-# evidence must now AGE OUT, not merely exist): the 3 changed lanes lead
-# (inc_ridge_moments_merge -- moments moved onto the exact decimal grid,
-# corpus_prep_inc_batch -- empty-input guard, text_repetition_stats --
-# ADVICE r9 re-proof after the r9 let-binding rewrite), then the 2
-# rows-only ML lanes (now ALSO numpy-value-verified in the sweep channel,
-# tools/verify_contract.py), then every proven lane strictly by evidence
-# age: slots 6-50 are all round-1/2 evidence (45 stale lanes re-proven,
-# vs the >=35 the verdict asked for). Regenerate with
-# tools/rotate_window.py --oldest-first.
+# VERDICT r9 item 2): the 10 changed/new lanes lead -- the new
+# dedup_semantic_clusters_scale (adaptive-LSH planted-dup scale twin),
+# inc_ridge_moments_merge (exact decimal moment grid),
+# corpus_prep_inc_batch (empty-input guard), text_repetition_stats
+# (ADVICE r9 re-proof), and the six co-occurrence graph lanes that now
+# share the per-hour cap (kcore/triangles/link-pred/BFS/assortativity
+# capped this round after the 10x scale ledger flagged the uncapped
+# builders; sssp refactored onto the shared helper) -- then the 2
+# rows-only ML lanes (now also numpy-value-verified in the sweep), then
+# every proven lane strictly by evidence age: the remaining 38 slots are
+# all round-1/2 evidence (>= the 35 stale re-proofs the verdict asked
+# for). Regenerate with tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
+    "dedup_semantic_clusters_scale",
     "inc_ridge_moments_merge",  # last green r8
     "corpus_prep_inc_batch",  # last green r9
     "text_repetition_stats",  # last green r3
+    "graph_kcore",  # last green r6
+    "graph_triangle_count",  # last green r7
+    "graph_link_prediction",  # last green r9
+    "graph_bfs_reachability",  # last green r9
+    "graph_assortativity",  # last green r9
+    "graph_sssp_weighted",  # last green r7
     "ml_forecast_next",
     "ml_train_eval_metrics",
     "val_dup_count",  # last green r1
@@ -219,7 +228,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_spectral_daily_strength",  # last green r6
     "rel_woe_iv",  # last green r6
     "sess_pattern_funnel",  # last green r6
-    "graph_kcore",  # last green r6
     "text_setsim_prefix_join",  # last green r6
     "rel_max_concurrent_intervals",  # last green r6
     "text_cms_freq_est",  # last green r6
@@ -251,7 +259,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "dedup_cluster_size_histogram",  # last green r7
     "sess_window_funnel",  # last green r7
     "rel_decile_lift",  # last green r7
-    "graph_sssp_weighted",  # last green r7
     "text_bpe_merge_step",  # last green r7
     "emb_label_separability",  # last green r7
     "text_winnow_fingerprints",  # last green r7
@@ -284,7 +291,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_order_value_gini",  # last green r7
     "dedup_lsh_bucket_histogram",  # last green r7
     "graph_pagerank",  # last green r7
-    "graph_triangle_count",  # last green r7
     "stream_upsert_replay_state",  # last green r7
     "stream_kmv_merge",  # last green r8
     "rel_scd2_merge",  # last green r8
@@ -336,9 +342,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_quality_gopher",  # last green r9
     "dedup_containment_pairs",  # last green r9
     "stream_topk_merge",  # last green r9
-    "graph_link_prediction",  # last green r9
-    "graph_bfs_reachability",  # last green r9
-    "graph_assortativity",  # last green r9
     "rel_ntile_deciles",  # last green r9
     "rel_cohort_ltv",  # last green r9
     "rel_basket_lift",  # last green r9

@@ -39,6 +39,23 @@ _R_SCALE = 10**9  # rank fixed-point scale
 _ITERS = 3
 
 
+def _cap_hours(ev):
+    """Bound the quadratic per-hour co-occurrence pair build: keep the
+    _SSSP_HOUR_CAP (256) smallest user_ids per hour bucket (deterministic
+    tie-break; every oracle QUALIFYs identically). Inert at test SFs
+    (sf0.1 peaks at 45 users/hour); at 10x+ it caps each hour's pair
+    count at cap^2/2 instead of users^2/2 -- the round-10 scale ledger
+    measured the UNCAPPED builders at 17-30x on 10x data (users/hour grew
+    10x, pairs ~100x), which is why every error co-occurrence lane now
+    shares the bound SSSP/LPA carried since round 7."""
+    wcap = Window.partitionBy("h").orderBy("user_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _SSSP_HOUR_CAP)
+        .drop("_rn")
+    )
+
+
 def _pagerank_oracle() -> str:
     parts = [
         f"""
@@ -189,10 +206,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str):
 @register(
     "graph_triangle_count",
     oracle="""
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
+  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -233,6 +256,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    ev = _cap_hours(ev)
     a, c = ev.alias("a"), ev.alias("c")
     edges = (
         a.join(
@@ -327,10 +351,16 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
 @register(
     "graph_link_prediction",
     oracle="""
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
+  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -379,6 +409,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    ev = _cap_hours(ev)
     a, c = ev.alias("a"), ev.alias("c")
     edges = (
         a.join(
@@ -452,10 +483,16 @@ _BFS_HOPS = 3
 def _bfs_oracle() -> str:
     parts = [
         """
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
+  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -502,6 +539,7 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    ev = _cap_hours(ev)
     a, c = ev.alias("a"), ev.alias("c")
     edges = (
         a.join(
@@ -561,10 +599,16 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
 @register(
     "graph_assortativity",
     oracle="""
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
+  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -600,6 +644,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    ev = _cap_hours(ev)
     a, c = ev.alias("a"), ev.alias("c")
     edges = (
         a.join(
@@ -653,10 +698,16 @@ _KCORE_UNROLL = 10
 def _kcore_oracle() -> str:
     parts = [
         """
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
+  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -705,6 +756,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
+    ev = _cap_hours(ev)
     a, c = ev.alias("a"), ev.alias("c")
     e = (
         a.join(
@@ -822,14 +874,7 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
-    # bound the quadratic per-hour pair build: keep the cap smallest
-    # user_ids per hour (deterministic; oracle QUALIFYs identically)
-    wcap = Window.partitionBy("h").orderBy("user_id")
-    ev = (
-        ev.withColumn("_rn", F.row_number().over(wcap))
-        .filter(F.col("_rn") <= _SSSP_HOUR_CAP)
-        .drop("_rn")
-    )
+    ev = _cap_hours(ev)
     a = ev.select(F.col("h"), F.col("user_id").alias("ua"))
     c = ev.select(F.col("h"), F.col("user_id").alias("ub"))
     e0 = (

@@ -1604,6 +1604,203 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
     )
 
 
+# -- semantic dedup at scale: adaptive sign-LSH over true near-dups ----------
+# The round-10 scale ledger measured the label-blocked exact lane above at
+# 15x on 10x data. Investigation (committed in SCALING.md): label
+# cardinality is FIXED, so blocks grow linearly and the pair space
+# quadratically -- AND the threshold-0.4 pairs on this fixture are
+# distribution-tail pairs (same-label cosines cluster at 0 +/- 0.15), so
+# their COUNT is itself ~quadratic and no exact-recall method can emit
+# them linearly. The exact lane is therefore a declared verification form
+# (its oracle IS the brute force), like dedup_ngram_jaccard_pairs.
+#
+# This lane is the production shape for what semantic dedup actually
+# hunts -- TRUE near-duplicates (cosine ~1) -- built so every stage is
+# linear by construction and every step replays on both engines:
+#
+#   1. planted twins: each vector gets a deterministic near-dup copy
+#      (dim 1 shifted by +0.05, id + 1e9) derived INSIDE the query with
+#      one IEEE add, so the ground truth is corpus-sized and both engines
+#      derive it identically (the same eval-fixture technique as the
+#      bridge-retraction corpus in tests/test_round9_ops.py);
+#   2. sign-LSH bit string: 16 md5-derived hyperplanes (+/-1 weights from
+#      md5('j|i'), the lsh_bucket rule), each bit from an INTEGER-grid
+#      dot product (terms quantized at 1e-7 before the sum) so no float
+#      association order can flip a sign on either engine;
+#   3. ADAPTIVE bucket width: the bucket key is the first n_planes bits
+#      where n_planes = 6 + #{p in 7..16 : corpus > 32 * 2^(p-1)} --
+#      integer comparisons on a 1-row count, so bucket occupancy stays
+#      ~constant as the corpus grows and candidate pairs stay O(n).
+#      This is the "add planes as the corpus grows" posture MinHash-LSH
+#      gets from adding bands, here made part of the query itself;
+#   4. exact verify (cosine >= 0.95 on the 1e-6 grid) + min-label CC.
+#
+# Recall for planted twins (cosine ~0.999, bit-agreement ~0.99/plane) is
+# ~0.9 at any adaptive width; background pairs (cosine ~0) survive a
+# k-bit prefix with probability 2^-k, so candidates shrink as the corpus
+# forces the prefix wider. The oracle recomputes the planes, the bits,
+# the adaptive width, the verify, and the transitive closure from
+# scratch -- a hash match certifies the full adaptive composition.
+_SEMS_MAXP = 16
+_SEMS_TARGET_OCC = 32
+_SEMS_JITTER = 0.05
+_SEMS_THRESHOLD = 0.95
+_SEMS_TERM_GRID = 10_000_000  # 1e-7 per-term quantization for the sign sums
+
+
+def _sems_signs() -> list[list[float]]:
+    """+/-1 hyperplane weights, the lsh_bucket md5 rule precomputed (the
+    md5 inputs are constants, so this is constant folding -- the oracle
+    recomputes the same md5s in SQL)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0] <= "7"
+            else -1.0
+            for i in range(64)
+        ]
+        for j in range(_SEMS_MAXP)
+    ]
+
+
+def _sems_nplanes_sql(n_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {n_expr} > {_SEMS_TARGET_OCC * 2 ** (p - 1)} THEN 1 ELSE 0 END)"
+        for p in range(7, _SEMS_MAXP + 1)
+    )
+    return f"6 + {terms}"
+
+
+_SEM_SCALE_ORACLE = f"""
+WITH RECURSIVE pl AS (
+  SELECT j, i,
+         CASE WHEN substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)
+                   <= '7' THEN 1.0 ELSE -1.0 END AS w
+  FROM range(0, {_SEMS_MAXP}) t(j), range(0, 64) s(i)
+),
+base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000000, label,
+         list_prepend(v[1] + {_SEMS_JITTER}, v[2:]) AS v
+  FROM base
+),
+np AS (SELECT {_sems_nplanes_sql("count(*)")} AS nplanes FROM corpus),
+bits AS (
+  SELECT c.vec_id, p.j,
+         CASE WHEN sum(CAST(floor(p.w * c.v[p.i + 1] * {_SEMS_TERM_GRID} + 0.5)
+                            AS BIGINT)) > 0
+              THEN '1' ELSE '0' END AS b
+  FROM corpus c, pl p
+  GROUP BY c.vec_id, p.j
+),
+bk AS (
+  SELECT c.vec_id, c.label, c.v,
+         substr(string_agg(b.b, '' ORDER BY b.j), 1,
+                (SELECT nplanes FROM np)) AS bucket
+  FROM corpus c JOIN bits b USING (vec_id)
+  GROUP BY c.vec_id, c.label, c.v
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a_id AS id_a, b_id AS id_b,
+           floor((sum(av * cv) / (sqrt(sum(av * av)) * sqrt(sum(cv * cv))))
+                 * 1000000 + 0.5) / 1000000 AS cosine
+    FROM (
+      SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+             unnest(a.v) AS av, unnest(c.v) AS cv
+      FROM bk a JOIN bk c
+        ON a.label = c.label AND a.bucket = c.bucket
+       AND a.vec_id < c.vec_id
+    ) GROUP BY a_id, b_id
+  ) WHERE cosine >= {_SEMS_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("dedup_semantic_clusters_scale", oracle=_SEM_SCALE_ORACLE)
+def q_dedup_semantic_clusters_scale(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import (
+        as_double,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    planted = base.select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(_SEMS_JITTER)),
+            F.slice("v", 2, 63),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+
+    # adaptive prefix width from the 1-row corpus count (broadcast scalar)
+    n = F.col("n")
+    width = F.lit(6)
+    for p in range(7, _SEMS_MAXP + 1):
+        width = width + F.when(
+            n > _SEMS_TARGET_OCC * 2 ** (p - 1), 1
+        ).otherwise(0)
+    np_frame = corpus.agg(F.count(F.lit(1)).alias("n")).select(
+        width.alias("nplanes")
+    )
+
+    # 16 sign bits from integer-grid dot products (constant-folded planes)
+    signs = _sems_signs()
+    bit_cols = []
+    for j in range(_SEMS_MAXP):
+        w = F.array(*[F.lit(x) for x in signs[j]])
+        terms = F.zip_with(
+            "v",
+            w,
+            lambda x, s: F.floor(s * x * _SEMS_TERM_GRID + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        total = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+        bit_cols.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = (
+        corpus.withColumn("bitstr", F.concat(*bit_cols))
+        .crossJoin(F.broadcast(np_frame))
+        .select(
+            "vec_id",
+            "v",
+            F.concat_ws(
+                ":",
+                F.col("label").cast("string"),
+                F.expr("substring(bitstr, 1, nplanes)"),
+            ).alias("lb"),
+        )
+        .withColumnRenamed("v", "embedding")
+    )
+    pairs = SIM.embedding_neardup_pairs(
+        bucketed, threshold=_SEMS_THRESHOLD, block_col="lb"
+    )
+    return DD.connected_components(pairs, a_col="id_a", b_col="id_b").orderBy(
+        "node"
+    )
+
+
 # -- SimHash hamming near-dup pairs (round 4) -------------------------------
 # Spark: banded equi-join with pigeonhole-exact recall (n_bands=4 >
 # max_hamming=3); oracle: brute-force O(n^2) hamming join over the same

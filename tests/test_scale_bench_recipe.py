@@ -1,0 +1,99 @@
+"""Pins for the 10x scale-ledger corpus recipe (tools/scale_bench.py).
+
+The committed BENCH_LEDGER/scale10x.json is only meaningful if the
+inflation recipe measures the PLAN, not the generator: replicas must be
+key-disjoint (cardinality grows with data), documents must be textually
+disjoint across replicas (identical-text replication manufactures
+replica-clique near-dups and quadratic candidate growth), and the
+embedding mutation must be an isometry (within-replica geometry exactly
+preserved) that scrambles cross-replica similarity. Built at sf0.001 so
+the pins run in the normal suite.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scale_dir(spark, tmp_path_factory):
+    import tools.scale_bench as SB
+
+    dst = str(tmp_path_factory.mktemp("scale10x"))
+    SB.build_scale_dir(spark, SRC, dst)
+    return dst
+
+
+def _cnt(spark, d, t):
+    return spark.read.parquet(f"{d}/{t}.parquet").count()
+
+
+def test_fact_tables_inflate_10x_dims_copied(spark, scale_dir):
+    for t in ("events", "documents", "embeddings", "orders", "lineitem"):
+        assert _cnt(spark, scale_dir, t) == 10 * _cnt(spark, SRC, t), t
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        assert _cnt(spark, scale_dir, t) == _cnt(spark, SRC, t), t
+
+
+def test_keys_are_replica_disjoint(spark, scale_dir):
+    for t, k in (
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("orders", "o_orderkey"),
+    ):
+        df = spark.read.parquet(f"{scale_dir}/{t}.parquet")
+        assert df.select(k).distinct().count() == df.count(), (t, k)
+
+
+def test_documents_textually_disjoint_across_replicas(spark, scale_dir):
+    docs = spark.read.parquet(f"{scale_dir}/documents.parquet")
+    # every text occurs exactly once (no cross-replica exact dups) and
+    # n_chars stays consistent with the salted text
+    assert docs.select("text").distinct().count() == docs.count()
+    assert docs.filter(F.col("n_chars") != F.length("text")).count() == 0
+
+
+def test_lineitem_orders_join_consistent(spark, scale_dir):
+    li = spark.read.parquet(f"{scale_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{scale_dir}/orders.parquet")
+    dangling = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    # inflation must not break the FK any more than the source does
+    src_dangling = (
+        spark.read.parquet(f"{SRC}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SRC}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert dangling.count() == 10 * src_dangling
+
+
+def test_embedding_mutation_is_isometric_and_scrambling(spark, scale_dir):
+    emb = spark.read.parquet(f"{scale_dir}/embeddings.parquet")
+    base = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SRC}/embeddings.parquet").collect()
+    }
+    rows = emb.filter(
+        (F.col("vec_id") % 100_000_000).isin(list(base)[:5])
+    ).collect()
+    for r in rows:
+        orig = base[r["vec_id"] % 100_000_000]
+        rep = r["vec_id"] // 100_000_000
+        v = r["embedding"]
+        # isometry: same multiset of coordinates, same norm
+        assert sorted(v) == sorted(orig), (r["vec_id"],)
+        assert math.isclose(
+            sum(x * x for x in v), sum(x * x for x in orig), rel_tol=1e-9
+        )
+        # exact cyclic shift by 7*rep mod 64
+        k = (7 * rep) % 64
+        assert v == orig[k:] + orig[:k], (r["vec_id"], k)
