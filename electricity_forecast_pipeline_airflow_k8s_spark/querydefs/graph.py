@@ -336,6 +336,155 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
     return out
 
 
+# -- Triangle count at scale: DOULION edge sampling --------------------------
+# The round-10 10x scale ledger proved exact triangle counting on this
+# graph intractable past sf0.1: the capped co-occurrence graph is a union
+# of (up to) 256-cliques, so the true triangle count is Omega(hours x
+# cap^3) (~2e9 at 10x; sf0.1 already holds 7.4M) and ANY exact algorithm
+# does at least that much work -- the 10x run exhausted 80 GB of shuffle
+# spill (the ledger records the ENOSPC verbatim). The production answer is
+# the classic DOULION estimator (Tsourakakis et al., KDD'09): keep each
+# edge independently with probability p, count triangles on the sparse
+# sample, scale by 1/p^3. Here p = 2/16 via the md5 first hex digit of
+# the canonical edge key -- DETERMINISTIC and engine-portable, so the
+# oracle replays the identical sample and the estimate is hash-exact
+# (the estimator's variance is a property of the published algorithm;
+# what the oracle certifies is that this engine computes it faithfully).
+# Work drops by p^2 on wedges and p^3 on triangles: the 10x corpus that
+# ENOSPC'd the exact lane runs in seconds.
+_TRI_P_NUM, _TRI_P_DEN = 2, 16  # keep md5 first hex in {'0', '1'}
+
+
+@register(
+    "graph_triangle_estimate",
+    oracle=f"""
+WITH b0 AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+es AS (
+  SELECT ua, ub FROM e
+  WHERE substr(md5(CAST(ua AS VARCHAR) || '|' || CAST(ub AS VARCHAR)), 1, 1)
+        <= '1'
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM es e1
+  JOIN es e2 ON e2.ua = e1.ub
+  JOIN es e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+)
+SELECT (SELECT count(*) FROM e) AS n_edges_total,
+       (SELECT count(*) FROM es) AS n_edges_sampled,
+       (SELECT t FROM tri) AS t_sampled,
+       CAST((SELECT t FROM tri)
+            * {(_TRI_P_DEN // _TRI_P_NUM) ** 3} AS BIGINT) AS t_estimate
+""",
+)
+def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
+    import os
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    ev = _cap_hours(ev)
+    a, c = ev.alias("a"), ev.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.user_id") < F.col("c.user_id")),
+        )
+        .select(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
+        .distinct()
+    )
+    if scoped:
+        edges = edges.persist()
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("ua").cast("string"), F.col("ub").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        <= "1"
+    )
+    sampled = edges.filter(keep)
+    if scoped:
+        sampled = sampled.persist()
+    # same degree-ordered orientation as the exact lane, on the sample
+    deg = (
+        sampled.select(F.col("ua").alias("n"))
+        .union(sampled.select(F.col("ub").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.withColumnsRenamed({"n": "ua", "d": "d_a"})
+    db = deg.withColumnsRenamed({"n": "ub", "d": "d_b"})
+    ranked = sampled.join(da, "ua").join(db, "ub")
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.dst_d") < F.col("y.dst_d"))
+            | (
+                (F.col("x.dst_d") == F.col("y.dst_d"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    ).select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
+    tri = wedges.join(
+        oriented.select("src", "dst"), ["src", "dst"], "inner"
+    ).agg(F.count(F.lit(1)).alias("t_sampled"))
+    scale = (_TRI_P_DEN // _TRI_P_NUM) ** 3
+    out = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges_total"))
+        .crossJoin(sampled.agg(F.count(F.lit(1)).alias("n_edges_sampled")))
+        .crossJoin(tri)
+        .select(
+            "n_edges_total",
+            "n_edges_sampled",
+            "t_sampled",
+            (F.col("t_sampled") * F.lit(scale)).cast("bigint").alias(
+                "t_estimate"
+            ),
+        )
+    )
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+        sampled.unpersist()
+    return out
+
+
 # -- link prediction: common-neighbor / Jaccard scores for a seed batch ------
 # The classic "people you may know" primitive on the same error
 # co-occurrence graph as graph_triangle_count, scored the way production

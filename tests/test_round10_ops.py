@@ -88,3 +88,36 @@ def test_hour_cap_is_inert_at_test_scale(spark, sf_dir, lane):
     )
     # and the lane itself still builds + returns rows
     assert registry()[lane].build(spark, sf_dir).count() >= 0
+
+
+def test_hour_cap_saturates_edge_growth(spark):
+    """The 10x ledger shows the capped graph lanes at ~17x on the sf0.1 ->
+    10x step: that step is exactly where users/hour crosses the 256 cap
+    (45 -> ~450), so pair counts grow (256/45)^2-bounded and then
+    SATURATE. Pin the saturation: once a bucket exceeds the cap, doubling
+    its users leaves the capped pair count bit-identical -- growth beyond
+    this step is bounded by #hours, not users^2."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _cap_hours,
+    )
+
+    def edges_count(n_users: int) -> int:
+        rows = [("2024-01-01 00:00:00", u) for u in range(n_users)]
+        ev = spark.createDataFrame(rows, "h string, user_id long").select(
+            F.col("h").cast("timestamp").alias("h"), "user_id"
+        )
+        ev = _cap_hours(ev)
+        a, c = ev.alias("a"), ev.alias("c")
+        return (
+            a.join(
+                c,
+                (F.col("a.h") == F.col("c.h"))
+                & (F.col("a.user_id") < F.col("c.user_id")),
+            )
+            .count()
+        )
+
+    full = 256 * 255 // 2
+    assert edges_count(300) == full
+    assert edges_count(600) == full  # doubled users, identical pair count
+    assert edges_count(100) == 100 * 99 // 2  # below cap: untouched

@@ -79,12 +79,39 @@ TOP_HEADLINE = [
     # flagship scale paths
     "quality_profile_approx",
     "dedup_minhash_lsh_pairs",
+    "graph_triangle_estimate",  # DOULION answer to the exact lane's ENOSPC
 ]
 EXCLUDED = {
     "dedup_ngram_jaccard_pairs": (
         "O(n^2) brute-force truth lane by declared design "
         "(querydefs/textops.py docstring); the measured scale path is "
         "dedup_minhash_lsh_pairs"
+    ),
+}
+
+# Investigated causes for lanes whose ratio exceeds the flag -- committed
+# with the ledger so a flag is never an open question (SCALING.md has the
+# full analysis).
+EXPLAINED = {
+    "graph_kcore": (
+        "cap-engagement step: users/hour crosses the 256-per-hour cap "
+        "between sf0.1 (peak 45) and 10x (~450), so pairs/hour grow "
+        "(256/45)^2-bounded on exactly this step and then SATURATE "
+        "(pinned by test_hour_cap_saturates_edge_growth); beyond it "
+        "growth is #hours-bounded. The UNCAPPED builder instead spilled "
+        ">80 GB and hit ENOSPC in run 1."
+    ),
+    "dedup_semantic_clusters": (
+        "declared label-blocked exact verification form: threshold-0.4 "
+        "pairs on this fixture are distribution-tail pairs whose COUNT "
+        "is itself ~quadratic, so exact recall cannot be linear; the "
+        "measured scale path is dedup_semantic_clusters_scale (1.26x)"
+    ),
+    "graph_triangle_estimate": (
+        "inherits graph_kcore's cap-engagement step at 1/512 the "
+        "constant (p^3 sampling): 51 s absolute where the EXACT lane "
+        "exhausted the disk (its error entry is in this ledger); beyond "
+        "cap saturation both flatten"
     ),
 }
 
@@ -209,19 +236,34 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for name in lanes:
-        t01 = min(run(name, SRC_DIR), run(name, SRC_DIR))  # best-of-2
-        t10 = run(name, SCALE_DIR)  # one timed run, session already warm
-        results[name] = {
-            "sf01_sec": t01,
-            "x10_sec": t10,
-            "ratio": round(t10 / t01, 2) if t01 > 0 else None,
-        }
+        # per-lane isolation: one pathological lane (run 1: the uncapped
+        # triangle builder spilled >80 GB of shuffle at 10x and hit ENOSPC)
+        # must not lose the whole artifact
+        try:
+            t01 = min(run(name, SRC_DIR), run(name, SRC_DIR))  # best-of-2
+            t10 = run(name, SCALE_DIR)  # one timed run, session already warm
+            results[name] = {
+                "sf01_sec": t01,
+                "x10_sec": t10,
+                "ratio": round(t10 / t01, 2) if t01 > 0 else None,
+            }
+        except Exception as e:  # noqa: BLE001 -- lane boundary
+            spark.catalog.clearCache()
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(name, results[name], flush=True)
 
+    out = os.path.join(REPO, "BENCH_LEDGER", "scale10x.json")
+    # partial runs (name filters) MERGE into the committed ledger instead
+    # of clobbering the other 38 lanes
+    merged = dict(results)
+    if only and os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f).get("lanes", {})
+        merged = {**prev, **results}
     flagged = {
         n: r["ratio"]
-        for n, r in results.items()
-        if r["ratio"] and r["ratio"] > SUPERLINEAR_FLAG
+        for n, r in merged.items()
+        if r.get("ratio") and r["ratio"] > SUPERLINEAR_FLAG
     }
     payload = {
         "replicas": REPLICAS,
@@ -229,10 +271,10 @@ def main() -> int:
         "build_sec": build_sec,
         "superlinear_flag": SUPERLINEAR_FLAG,
         "flagged": flagged,
+        "explained": {n: EXPLAINED[n] for n in flagged if n in EXPLAINED},
         "excluded": EXCLUDED,
-        "lanes": results,
+        "lanes": merged,
     }
-    out = os.path.join(REPO, "BENCH_LEDGER", "scale10x.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
