@@ -72,6 +72,8 @@ SHOWCASE = [
     "rel_salted_skew_join",
     "graph_pagerank",
     "graph_triangle_count",
+    "graph_triangle_estimate",
+    "dedup_semantic_clusters_scale",
     "dedup_lsh_bucket_histogram",
     "dedup_lsh_recall_eval",
     "layout_zorder_locality",
