@@ -121,6 +121,7 @@ HEADLINE = [
     "graph_pagerank",
     "graph_triangle_count",
     "graph_triangle_estimate",
+    "inc_triangle_estimate_merge",
     "sess_cogroup_hour_corr",
     "ts_time_weighted_avg",
     "ts_minmax_downsample",
@@ -609,6 +610,9 @@ BUDGETS: dict[str, float] = {
     # round-10: DOULION sampled-triangle estimator, 1.5x its quiet
     # best-of-3 (1.256)
     "graph_triangle_estimate": 1.90,
+    # round-10: incremental sampled-triangle maintenance, 1.5x its quiet
+    # best-of-3 (1.924)
+    "inc_triangle_estimate_merge": 2.89,
     "layout_zorder_locality": 7.20,
     "rel_equidepth_histogram": 1.50,
     "sess_cogroup_hour_corr": 1.30,

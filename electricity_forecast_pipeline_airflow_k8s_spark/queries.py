@@ -29,7 +29,9 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
 # registration order per round). Round-10 window (--oldest-first fill,
-# VERDICT r9 item 2): the 11 changed/new lanes lead -- the new
+# VERDICT r9 item 2): the 12 changed/new lanes lead -- the new
+# inc_triangle_estimate_merge (incremental maintenance of the sampled
+# triangle count, role-decomposed delta hash-equal to scratch),
 # graph_triangle_estimate (DOULION sampled triangles -- the exact lane
 # ENOSPC'd at 10x) and dedup_semantic_clusters_scale (adaptive-LSH
 # planted-dup scale twin),
@@ -40,10 +42,11 @@ _REGISTRY: dict[str, Query] = {}
 # capped this round after the 10x scale ledger flagged the uncapped
 # builders; sssp refactored onto the shared helper) -- then the 2
 # rows-only ML lanes (now also numpy-value-verified in the sweep), then
-# every proven lane strictly by evidence age: the remaining 37 slots are
+# every proven lane strictly by evidence age: the remaining 36 slots are
 # all round-1/2 evidence (>= the 35 stale re-proofs the verdict asked
 # for). Regenerate with tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
+    "inc_triangle_estimate_merge",
     "graph_triangle_estimate",
     "dedup_semantic_clusters_scale",
     "inc_ridge_moments_merge",  # last green r8

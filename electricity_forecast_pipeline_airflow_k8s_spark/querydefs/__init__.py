@@ -12,6 +12,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa:
     round8,
     round8b,
     round9,
+    round10,
     sessions,
     stats5,
     stats6,

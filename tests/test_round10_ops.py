@@ -121,3 +121,19 @@ def test_hour_cap_saturates_edge_growth(spark):
     assert edges_count(300) == full
     assert edges_count(600) == full  # doubled users, identical pair count
     assert edges_count(100) == 100 * 99 // 2  # below cap: untouched
+
+
+def test_inc_triangle_total_equals_scratch_estimator(spark, sf_dir):
+    """Cross-lane identity: the incremental lane's maintained total over
+    (state + batch) must equal graph_triangle_estimate's scratch count
+    over ALL events EXACTLY -- same capped graph (hour-bounded edges make
+    edges(all) = edges(old) UNION edges(new)), same deterministic md5
+    sample, so any divergence means the role decomposition double- or
+    under-counted."""
+    reg = registry()
+    inc = reg["inc_triangle_estimate_merge"].build(spark, sf_dir).collect()[0]
+    est = reg["graph_triangle_estimate"].build(spark, sf_dir).collect()[0]
+    assert inc["t_state"] + inc["t_delta"] == inc["t_total"]
+    assert inc["t_total"] == est["t_sampled"], (inc, est)
+    assert inc["t_estimate"] == est["t_estimate"]
+    assert inc["n_state_edges"] + inc["n_batch_edges"] == est["n_edges_sampled"]
