@@ -54,12 +54,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICAS = 10
-SUPERLINEAR_FLAG = 15.0
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+# super-linear = more than 1.5x the data growth (so 15.0 at 10 replicas,
+# 30.0 at 20) -- an absolute threshold would mis-flag sub-linear lanes on
+# deeper scale steps
+SUPERLINEAR_FLAG = 1.5 * REPLICAS
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = os.environ.get(
-    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale10x")
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, f".scale{REPLICAS}x")
 )
 
 # r9-committed-ledger top-10 headline lanes by time (BENCH_LEDGER) minus
@@ -110,8 +113,14 @@ EXPLAINED = {
     "graph_triangle_estimate": (
         "inherits graph_kcore's cap-engagement step at 1/512 the "
         "constant (p^3 sampling): 51 s absolute where the EXACT lane "
-        "exhausted the disk (its error entry is in this ledger); beyond "
-        "cap saturation both flatten"
+        "exhausted the disk (its error entry is in this ledger); the 20x "
+        "ledger measures the saturation directly (42.0 s at 20x -- FLAT "
+        "vs 10x)"
+    ),
+    "inc_triangle_estimate_merge": (
+        "same cap-engagement step as its scratch twin; the 20x ledger "
+        "shows the saturation (38.8 s at 20x vs 30.8 s at 10x = 1.26x "
+        "for 2x data)"
     ),
 }
 
@@ -216,7 +225,8 @@ def main() -> int:
     missing = [n for n in lanes if n not in qs]
     assert not missing, f"unknown lanes: {missing}"
     if only:
-        lanes = [n for n in lanes if n in only]
+        # explicit names may name ANY registry lane, not just the default set
+        lanes = [n for n in only if n in qs]
 
     def run(name: str, sf_dir: str) -> float:
         if name in bench.ITERATIVE:  # build-inclusive wall-clock
@@ -252,7 +262,7 @@ def main() -> int:
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(name, results[name], flush=True)
 
-    out = os.path.join(REPO, "BENCH_LEDGER", "scale10x.json")
+    out = os.path.join(REPO, "BENCH_LEDGER", f"scale{REPLICAS}x.json")
     # partial runs (name filters) MERGE into the committed ledger instead
     # of clobbering the other 38 lanes
     merged = dict(results)
