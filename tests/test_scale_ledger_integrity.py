@@ -1,0 +1,67 @@
+"""Integrity pins for the committed scale ledgers (BENCH_LEDGER/
+scale10x.json, scale20x.json): the artifacts stay honest round-over-round
+-- full lane coverage at 10x, an investigated explanation for every flag,
+and a growth-relative flag threshold. Pure JSON checks, no Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(ROOT, "BENCH_LEDGER", name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not present in this checkout")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_scale10x_covers_iterative_and_flagships():
+    import bench
+
+    d = _load("scale10x.json")
+    lanes = set(d["lanes"])
+    missing = set(bench.ITERATIVE) - lanes
+    assert not missing, f"ITERATIVE lanes absent from the 10x ledger: {missing}"
+    # the declared-quadratic exclusion is documented, not silent
+    assert "dedup_ngram_jaccard_pairs" in d["excluded"]
+    assert "dedup_ngram_jaccard_pairs" not in lanes
+
+
+def test_every_flag_is_explained():
+    for name in ("scale10x.json", "scale20x.json"):
+        d = _load(name)
+        unexplained = set(d["flagged"]) - set(d.get("explained", {}))
+        assert not unexplained, f"{name}: flags without investigation: {unexplained}"
+
+
+def test_flag_threshold_is_growth_relative():
+    for name in ("scale10x.json", "scale20x.json"):
+        d = _load(name)
+        assert d["superlinear_flag"] == 1.5 * d["replicas"], name
+
+
+def test_flags_match_recorded_ratios():
+    for name in ("scale10x.json", "scale20x.json"):
+        d = _load(name)
+        expect = {
+            n: r["ratio"]
+            for n, r in d["lanes"].items()
+            if r.get("ratio") and r["ratio"] > d["superlinear_flag"]
+        }
+        assert d["flagged"] == expect, name
+
+
+def test_error_entries_are_the_documented_exact_lane():
+    """Only the exact triangle lane may carry an error entry (its 10x
+    ENOSPC IS the measurement -- SCALING.md round-10); any other errored
+    lane means the run was bad and must be re-taken."""
+    d = _load("scale10x.json")
+    errored = {n for n, r in d["lanes"].items() if "error" in r}
+    assert errored <= {"graph_triangle_count"}, errored
