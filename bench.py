@@ -363,6 +363,7 @@ STREAMING_EXCLUDED = [
     "stream_quantile_merge",
     "stream_kmv_merge",
     "stream_corpus_dedup_merge",
+    "stream_triangle_ivm_merge",
 ]
 
 # The iterative connected-components queries materialize during plan BUILD

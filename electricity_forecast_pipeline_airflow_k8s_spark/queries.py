@@ -29,9 +29,12 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
 # registration order per round). Round-10 window (--oldest-first fill,
-# VERDICT r9 item 2): the 12 changed/new lanes lead -- the new
-# inc_triangle_estimate_merge (incremental maintenance of the sampled
-# triangle count, role-decomposed delta hash-equal to scratch),
+# VERDICT r9 item 2): the 13 changed/new lanes lead -- the new
+# stream_triangle_ivm_merge (the same maintenance through real
+# Structured Streaming -- each triangle counted when its LAST edge
+# arrives, any batch order), inc_triangle_estimate_merge (incremental
+# maintenance of the sampled triangle count, role-decomposed delta
+# hash-equal to scratch),
 # graph_triangle_estimate (DOULION sampled triangles -- the exact lane
 # ENOSPC'd at 10x) and dedup_semantic_clusters_scale (adaptive-LSH
 # planted-dup scale twin),
@@ -42,10 +45,11 @@ _REGISTRY: dict[str, Query] = {}
 # capped this round after the 10x scale ledger flagged the uncapped
 # builders; sssp refactored onto the shared helper) -- then the 2
 # rows-only ML lanes (now also numpy-value-verified in the sweep), then
-# every proven lane strictly by evidence age: the remaining 36 slots are
+# every proven lane strictly by evidence age: the remaining 35 slots are
 # all round-1/2 evidence (>= the 35 stale re-proofs the verdict asked
 # for). Regenerate with tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
+    "stream_triangle_ivm_merge",
     "inc_triangle_estimate_merge",
     "graph_triangle_estimate",
     "dedup_semantic_clusters_scale",

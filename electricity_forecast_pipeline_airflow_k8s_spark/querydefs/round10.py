@@ -219,3 +219,143 @@ def q_inc_triangle_estimate_merge(spark: SparkSession, sf_dir: str):
         state.unpersist()
         batch.unpersist()
     return out
+
+
+# -- streaming incremental view maintenance of the triangle count -------------
+# The inc_* lane above proves the merge ALGEBRA; this lane runs it
+# through real Structured Streaming as incremental view maintenance: the
+# sampled edge list streams in micro-batches (maxFilesPerTrigger=1, the
+# engine picks the order), and each batch folds through the shared
+# replay-idempotent state scaffold. The state frame carries the edge set
+# plus the running count as a union-typed table (edge rows have cnt NULL,
+# one count row has ua/ub NULL); each fold anti-joins the batch against
+# the state edges, applies the same first-new-role decomposition, and
+# adds the delta to the carried count.
+#
+# Order-invariance argument (why ANY batch order folds to the batch
+# answer): a triangle is counted by the fold that delivers its LAST
+# edge -- the >= 1-new decomposition only sees triangles whose three
+# edges are all present and at least one is new -- so every triangle is
+# counted exactly once no matter how the engine partitions or orders the
+# stream, and replays re-fold from the pre-batch state (scaffold
+# contract), so at-least-once delivery cannot double-count. The oracle
+# is the scratch count over ALL sampled edges: a hash match proves
+# stream-IVM == batch for whatever order this run used.
+@register(
+    "stream_triangle_ivm_merge",
+    oracle=f"""
+WITH b0 AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+),
+e AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+),
+es AS (
+  SELECT ua, ub FROM e
+  WHERE substr(md5(CAST(ua AS VARCHAR) || '|' || CAST(ub AS VARCHAR)), 1, 1)
+        <= '1'
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM es e1
+  JOIN es e2 ON e2.ua = e1.ub
+  JOIN es e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+)
+SELECT (SELECT count(*) FROM es) AS n_edges,
+       (SELECT t FROM tri) AS t_sampled,
+       CAST((SELECT t FROM tri) * {_ITE_SCALE} AS BIGINT) AS t_estimate
+""",
+)
+def q_stream_triangle_ivm_merge(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
+        fold_stream_state,
+    )
+
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    edges = _ite_sampled(_ite_edges(_cap_hours(ev)))
+
+    def _count_row(cnt_col):
+        return F.struct(
+            F.lit(None).cast("long").alias("ua"),
+            F.lit(None).cast("long").alias("ub"),
+            cnt_col.cast("long").alias("cnt"),
+        )
+
+    def fold(prev, batch):
+        new = batch.select("ua", "ub").distinct()
+        if prev is None:
+            prev_edges = new.limit(0)
+            prev_cnt = new.limit(0).agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("c")
+            ).select(F.lit(0).cast("long").alias("c"))
+        else:
+            prev_edges = prev.filter(F.col("cnt").isNull()).select("ua", "ub")
+            prev_cnt = prev.filter(F.col("cnt").isNotNull()).select(
+                F.col("cnt").alias("c")
+            )
+        new = new.join(prev_edges, ["ua", "ub"], "left_anti")
+        union = prev_edges.unionByName(new)
+
+        def roles(r1, r2, r3):
+            e1, e2, e3 = r1.alias("e1"), r2.alias("e2"), r3.alias("e3")
+            return (
+                e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))
+                .join(
+                    e3,
+                    (F.col("e3.ua") == F.col("e1.ua"))
+                    & (F.col("e3.ub") == F.col("e2.ub")),
+                )
+                .agg(F.count(F.lit(1)).alias("t"))
+            )
+
+        delta = (
+            roles(new, union, union).withColumnRenamed("t", "d1")
+            .crossJoin(roles(prev_edges, new, union).withColumnRenamed("t", "d2"))
+            .crossJoin(
+                roles(prev_edges, prev_edges, new).withColumnRenamed("t", "d3")
+            )
+            .select((F.col("d1") + F.col("d2") + F.col("d3")).alias("d"))
+        )
+        cnt = prev_cnt.crossJoin(delta).select(
+            (F.col("c") + F.col("d")).alias("c")
+        )
+        edge_rows = union.select(
+            "ua", "ub", F.lit(None).cast("long").alias("cnt")
+        )
+        cnt_rows = cnt.select(_count_row(F.col("c")).alias("s")).select(
+            "s.ua", "s.ub", "s.cnt"
+        )
+        return edge_rows.unionByName(cnt_rows)
+
+    def finalize(state):
+        n_edges = state.filter(F.col("cnt").isNull()).agg(
+            F.count(F.lit(1)).alias("n_edges")
+        )
+        t = state.filter(F.col("cnt").isNotNull()).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("t_sampled")
+        )
+        return n_edges.crossJoin(t).select(
+            "n_edges",
+            "t_sampled",
+            (F.col("t_sampled") * F.lit(_ITE_SCALE)).cast("bigint").alias(
+                "t_estimate"
+            ),
+        )
+
+    return fold_stream_state(spark, edges, fold, finalize, n_batches=4)
