@@ -263,10 +263,12 @@ def main() -> int:
         print(name, results[name], flush=True)
 
     out = os.path.join(REPO, "BENCH_LEDGER", f"scale{REPLICAS}x.json")
-    # partial runs (name filters) MERGE into the committed ledger instead
-    # of clobbering the other 38 lanes
+    # ALWAYS merge into the committed ledger: rounds have widened it with
+    # ad-hoc lane batches beyond the default set, and a default re-run
+    # must refresh those lanes' absence-tolerantly, not erase them (pass
+    # --rebuild to also rebuild the corpus; delete the JSON to start over)
     merged = dict(results)
-    if only and os.path.exists(out):
+    if os.path.exists(out):
         with open(out) as f:
             prev = json.load(f).get("lanes", {})
         merged = {**prev, **results}
