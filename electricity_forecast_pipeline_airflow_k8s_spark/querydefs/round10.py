@@ -301,9 +301,9 @@ def q_stream_triangle_ivm_merge(spark: SparkSession, sf_dir: str):
         new = batch.select("ua", "ub").distinct()
         if prev is None:
             prev_edges = new.limit(0)
-            prev_cnt = new.limit(0).agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("c")
-            ).select(F.lit(0).cast("long").alias("c"))
+            prev_cnt = batch.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("c")
+            )
         else:
             prev_edges = prev.filter(F.col("cnt").isNull()).select("ua", "ub")
             prev_cnt = prev.filter(F.col("cnt").isNotNull()).select(
