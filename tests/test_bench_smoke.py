@@ -85,3 +85,40 @@ def test_bench_covers_registry():
     assert benched == reg, (
         f"unbenched: {sorted(reg - benched)}; stale: {sorted(benched - reg)}"
     )
+
+
+def test_compact_stdout_line_fits_driver_tail():
+    """Round-11: the driver's BENCH_r*.json parses only the last 2,000
+    chars of stdout -- r09/r10 both recorded parsed:null because the full
+    327-lane payload is ~9 KB. The emitted line must always fit and carry
+    the contract keys (metric/value/unit/queries/sf), for a normal payload
+    AND a pathological one where every lane is over budget."""
+    import json
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 320.1,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_iter": 3,
+        "queries": {f"lane_{i:03d}_with_a_realistic_name": i * 0.01 for i in range(330)},
+        "over_budget": {},
+        "retried_lanes": [],
+    }
+    line = bench.compact_stdout_line(payload)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in d, key
+    assert d["lanes"] == 330
+    # kept lanes are the most expensive ones
+    assert "lane_329_with_a_realistic_name" in d["queries"]
+
+    payload["over_budget"] = {
+        n: {"sec": t, "budget": t / 2} for n, t in payload["queries"].items()
+    }
+    payload["retried_lanes"] = sorted(payload["queries"])
+    line = bench.compact_stdout_line(payload)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["over_budget_total"] == 330
