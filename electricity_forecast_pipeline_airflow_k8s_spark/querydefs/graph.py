@@ -37,6 +37,11 @@ _D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact ratio
 _P_SCALE = 10**6  # transition-probability fixed-point scale
 _R_SCALE = 10**9  # rank fixed-point scale
 _ITERS = 3
+# Per-hour co-occurrence edge-builder cap, shared by every error-graph lane
+# AND interpolated into every oracle below (single source of truth -- ADVICE
+# r10: a hardcoded 256 in the SQL would silently diverge from the Spark side
+# if the constant ever changed).
+_SSSP_HOUR_CAP = 256
 
 
 def _cap_hours(ev):
@@ -205,17 +210,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str):
 # triangle count is orientation-invariant.
 @register(
     "graph_triangle_count",
-    oracle="""
+    oracle=f"""
 WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 b AS (
-  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
-  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  -- bound the quadratic per-hour pair build: keep the _SSSP_HOUR_CAP
+  -- smallest user_ids per hour (inert below that many users/hour)
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -243,6 +248,16 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
 """,
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
+    """EXACT triangle count + global clustering coefficient.
+
+    scale-ledger EXCLUDED by declared design: the capped error graph is a
+    union of up-to-256-cliques, so exact enumeration is Omega(hours x
+    cap^3) regardless of plan quality -- at 10x data it spilled >80 GB and
+    hit ENOSPC (the one recorded scale failure, r10). This is the truth
+    form backing the estimate's error measurement; never point it at a
+    production corpus. tools/scale_bench.py EXCLUDED carries the matching
+    entry and the measured scale path is graph_triangle_estimate
+    (DOULION p=2/16: 3.4% error, flat 20x step)."""
     import os
 
     scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
@@ -365,7 +380,7 @@ WITH b0 AS (
 ),
 b AS (
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -499,17 +514,17 @@ def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
 # is mirrored between engines.
 @register(
     "graph_link_prediction",
-    oracle="""
+    oracle=f"""
 WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 b AS (
-  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
-  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  -- bound the quadratic per-hour pair build: keep the _SSSP_HOUR_CAP
+  -- smallest user_ids per hour (inert below that many users/hour)
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -631,17 +646,17 @@ _BFS_HOPS = 3
 
 def _bfs_oracle() -> str:
     parts = [
-        """
+        f"""
 WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 b AS (
-  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
-  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  -- bound the quadratic per-hour pair build: keep the _SSSP_HOUR_CAP
+  -- smallest user_ids per hour (inert below that many users/hour)
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -747,17 +762,17 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
 # comparable across engines.
 @register(
     "graph_assortativity",
-    oracle="""
+    oracle=f"""
 WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 b AS (
-  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
-  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  -- bound the quadratic per-hour pair build: keep the _SSSP_HOUR_CAP
+  -- smallest user_ids per hour (inert below that many users/hour)
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -846,17 +861,17 @@ _KCORE_UNROLL = 10
 
 def _kcore_oracle() -> str:
     parts = [
-        """
+        f"""
 WITH b0 AS (
   SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
   FROM events
   WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 b AS (
-  -- 256 = _SSSP_HOUR_CAP: bound the quadratic per-hour pair build
-  -- (cap smallest user_ids per hour; inert below 256 users/hour)
+  -- bound the quadratic per-hour pair build: keep the _SSSP_HOUR_CAP
+  -- smallest user_ids per hour (inert below that many users/hour)
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
@@ -964,7 +979,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str):
 # scale, but at 100x (~2,700 users in a hot hour) it bounds the pair
 # count at cap^2/2 per hour instead of exploding -- see SCALING.md.
 _SSSP_ROUNDS = 4
-_SSSP_HOUR_CAP = 256
+# _SSSP_HOUR_CAP is defined at the top of the module (the oracle f-strings
+# above interpolate it at import time).
 
 
 def _sssp_oracle() -> str:

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+    _SSSP_HOUR_CAP,
     _cap_hours,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 import _QCUT
@@ -104,7 +105,7 @@ WITH b0 AS (
 ),
 b AS (
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 old_b AS (SELECT * FROM b WHERE h < TIMESTAMP '{_QCUT}'),
 new_b AS (SELECT * FROM b WHERE h >= TIMESTAMP '{_QCUT}'),
@@ -251,7 +252,7 @@ WITH b0 AS (
 ),
 b AS (
   SELECT h, user_id FROM b0
-  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= 256
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id) <= {_SSSP_HOUR_CAP}
 ),
 e AS (
   SELECT DISTINCT a.user_id AS ua, c.user_id AS ub

@@ -400,7 +400,12 @@ ORDER BY doc_a, doc_b
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     """Brute-force verification surface for the LSH path (correctness-scale
-    only; the LSH query is the 100 TB path)."""
+    only; the LSH query is the 100 TB path).
+
+    scale-ledger EXCLUDED by declared design: O(n^2) truth lane -- never
+    point it at a production corpus; tools/scale_bench.py EXCLUDED carries
+    the matching entry and the measured scale path is
+    dedup_minhash_lsh_pairs."""
     docs = table(spark, "documents", sf_dir)
     sh = docs.select("doc_id", DD.shingles("text").alias("s"))
     # repartition the left side: a 1x1-partition crossJoin runs the whole
@@ -1597,6 +1602,15 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node ORDER BY node
 
 @register("dedup_semantic_clusters", oracle=_SEM_CLUSTERS_ORACLE)
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
+    """Exact-recall semantic near-dup clusters (threshold-0.4 cosine).
+
+    scale-ledger EXCLUDED by declared design: on this fixture the
+    threshold-0.4 pairs are distribution-tail pairs whose COUNT is itself
+    ~quadratic (measured 23.9x at 10x, SCALING.md), so no exact-recall
+    method can be linear -- this is the verification/truth form; never
+    point it at a production corpus. tools/scale_bench.py EXCLUDED carries
+    the matching entry and the measured scale path is
+    dedup_semantic_clusters_scale (adaptive sign-LSH, 1.26x at 10x)."""
     emb = table(spark, "embeddings", sf_dir)
     pairs = SIM.embedding_neardup_pairs(emb, threshold=0.4)
     return DD.connected_components(pairs, a_col="id_a", b_col="id_b").orderBy(

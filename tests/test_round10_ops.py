@@ -64,9 +64,15 @@ def test_semantic_scale_recall_floor(spark, sf_dir):
 )
 def test_hour_cap_is_inert_at_test_scale(spark, sf_dir, lane):
     """The round-10 per-hour cap (256 smallest user_ids, shared with
-    SSSP/LPA since r7) must not change any result at test SFs -- sf0.1
-    peaks at 45 users/hour. Proven by running the capped builder's edge
-    frame against an uncapped replica of the same definition."""
+    SSSP/LPA since r7) must not change any result at test SFs. Proven
+    DIRECTLY (ADVICE r10): the capped node frame `_cap_hours(ev)` is
+    compared row-for-row against the uncapped frame -- `_cap_hours` only
+    filters, so equal counts means the cap removed nothing and every
+    lane built on the shared builder is cap-inert here. The per-lane
+    build keeps each registered lane exercised end-to-end."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _cap_hours,
+    )
     from electricity_forecast_pipeline_airflow_k8s_spark.sources.tables import (
         load_table,
     )
@@ -81,10 +87,12 @@ def test_hour_cap_is_inert_at_test_scale(spark, sf_dir, lane):
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
-    peak = ev.groupBy("h").count().agg(F.max("count")).collect()[0][0]
-    assert peak is None or peak <= 256, (
-        f"fixture now exceeds the cap ({peak}/hour); the capped lanes'"
-        " recorded results are no longer cap-inert -- re-prove them"
+    n_uncapped = ev.count()
+    n_capped = _cap_hours(ev).count()
+    assert n_capped == n_uncapped, (
+        f"cap dropped {n_uncapped - n_capped} node-hours at test scale;"
+        " the capped lanes' recorded results are no longer cap-inert --"
+        " re-prove them"
     )
     # and the lane itself still builds + returns rows
     assert registry()[lane].build(spark, sf_dir).count() >= 0

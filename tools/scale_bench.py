@@ -42,7 +42,9 @@ super-linear work. dedup_ngram_jaccard_pairs is excluded BY DESIGN: it is
 the O(n^2) brute-force truth for the LSH lane (its docstring says so);
 its scale path dedup_minhash_lsh_pairs is measured instead.
 
-Usage: python tools/scale_bench.py [--rebuild] [name ...]
+Usage: python tools/scale_bench.py [--rebuild] [--force-error] [name ...]
+  --force-error  let a fresh error entry replace a previously-clean timing
+                 (default: the clean timing is kept, error noted alongside)
 """
 
 from __future__ import annotations
@@ -72,7 +74,6 @@ TOP_HEADLINE = [
     "text_fuzzy_prefix_pairs",
     "text_repetition_stats",
     "text_setsim_prefix_join",
-    "graph_triangle_count",
     "dedup_containment_pairs",
     "ml_invariants",
     "approx_distinct_and_quantiles",
@@ -90,6 +91,26 @@ EXCLUDED = {
         "(querydefs/textops.py docstring); the measured scale path is "
         "dedup_minhash_lsh_pairs"
     ),
+    # Round-11 (VERDICT r10 item 1): the two remaining truth lanes get the
+    # same formal declared-exclusion contract instead of an error entry /
+    # an explained-flag entry -- their docstrings carry the matching
+    # declaration, pinned by test_excluded_lanes_declare_it.
+    "graph_triangle_count": (
+        "EXACT truth lane by declared design (querydefs/graph.py "
+        "docstring): the capped error graph is a union of up-to-256-"
+        "cliques, so exact enumeration is Omega(hours x cap^3) -- run 1 "
+        "at 10x spilled >80 GB and hit ENOSPC. The measured scale path "
+        "is graph_triangle_estimate (DOULION p=2/16: 3.4% error, flat "
+        "at 20x)"
+    ),
+    "dedup_semantic_clusters": (
+        "exact-recall truth lane by declared design (querydefs/round9.py "
+        "docstring): threshold-0.4 cosine pairs on this fixture are "
+        "distribution-tail pairs whose COUNT is itself ~quadratic, so "
+        "no exact method is linear (measured 23.9x at 10x). The "
+        "measured scale path is dedup_semantic_clusters_scale (1.26x "
+        "at 10x, 1.83x step at 20x, planted recall ~0.9 pinned)"
+    ),
 }
 
 # Investigated causes for lanes whose ratio exceeds the flag -- committed
@@ -104,16 +125,10 @@ EXPLAINED = {
         "growth is #hours-bounded. The UNCAPPED builder instead spilled "
         ">80 GB and hit ENOSPC in run 1."
     ),
-    "dedup_semantic_clusters": (
-        "declared label-blocked exact verification form: threshold-0.4 "
-        "pairs on this fixture are distribution-tail pairs whose COUNT "
-        "is itself ~quadratic, so exact recall cannot be linear; the "
-        "measured scale path is dedup_semantic_clusters_scale (1.26x)"
-    ),
     "graph_triangle_estimate": (
         "inherits graph_kcore's cap-engagement step at 1/512 the "
         "constant (p^3 sampling): 51 s absolute where the EXACT lane "
-        "exhausted the disk (its error entry is in this ledger); the 20x "
+        "exhausted the disk (now formally excluded, see EXCLUDED); the 20x "
         "ledger measures the saturation directly (42.0 s at 20x -- FLAT "
         "vs 10x)"
     ),
@@ -203,6 +218,7 @@ def main() -> int:
     os.environ["SPARK_GRAFT_SCOPED_CACHE"] = "0"  # bench timing convention
     argv = [a for a in sys.argv[1:]]
     rebuild = "--rebuild" in argv
+    force_error = "--force-error" in argv
     only = [a for a in argv if not a.startswith("--")]
 
     import bench
@@ -221,7 +237,11 @@ def main() -> int:
     build_sec = round(time.perf_counter() - t0, 1)
 
     qs = all_queries()
-    lanes = list(dict.fromkeys(bench.ITERATIVE + TOP_HEADLINE))
+    lanes = [
+        n
+        for n in dict.fromkeys(bench.ITERATIVE + TOP_HEADLINE)
+        if n not in EXCLUDED
+    ]
     missing = [n for n in lanes if n not in qs]
     assert not missing, f"unknown lanes: {missing}"
     if only:
@@ -263,15 +283,37 @@ def main() -> int:
         print(name, results[name], flush=True)
 
     out = os.path.join(REPO, "BENCH_LEDGER", f"scale{REPLICAS}x.json")
+    # Per-entry provenance (ADVICE r10): ledgers merge timings from
+    # different sessions/corpus builds; stamp each fresh entry with the
+    # run date + corpus identity so mixed-provenance entries are visible.
+    run_stamp = {
+        "measured": time.strftime("%Y-%m-%d"),
+        "corpus": f"{REPLICAS}x:{os.path.basename(SCALE_DIR.rstrip('/'))}",
+    }
+    for r in results.values():
+        r.update(run_stamp)
     # ALWAYS merge into the committed ledger: rounds have widened it with
     # ad-hoc lane batches beyond the default set, and a default re-run
     # must refresh those lanes' absence-tolerantly, not erase them (pass
-    # --rebuild to also rebuild the corpus; delete the JSON to start over)
+    # --rebuild to also rebuild the corpus; delete the JSON to start over).
+    # A transiently-failed re-run must NOT clobber a previously-clean
+    # timing (ADVICE r10): an error entry only replaces a clean one under
+    # --force-error; otherwise the old timing is kept and the error is
+    # recorded alongside it.
     merged = dict(results)
     if os.path.exists(out):
         with open(out) as f:
             prev = json.load(f).get("lanes", {})
-        merged = {**prev, **results}
+        for name, old in prev.items():
+            new = merged.get(name)
+            if new is None:
+                merged[name] = old
+            elif "error" in new and "error" not in old and not force_error:
+                merged[name] = {**old, "last_error": new["error"], **run_stamp}
+    # formally-excluded lanes never carry entries (their exclusion note is
+    # the artifact) -- drop any stale ones a previous ledger accumulated
+    for name in EXCLUDED:
+        merged.pop(name, None)
     flagged = {
         n: r["ratio"]
         for n, r in merged.items()
