@@ -33,6 +33,59 @@ except ImportError:  # torch is optional; keep module importable for gates
 CLIP_NORM = 1.0  # core/model.py:244
 
 
+def train_one_batch(zero_grad, compute_loss, backward, clip_grads, step) -> float:
+    """One optimizer step in the reference's order (`core/model.py:252-258`):
+    zero grads -> forward/loss -> backward -> grad-norm clip -> step.
+
+    Pure control flow with injected callables so the ORDER (in particular
+    clip BETWEEN backward and step -- clipping before backward is a no-op,
+    after step is too late) is unit-testable without torch
+    (tests/test_torch_loop.py). ``compute_loss`` returns (loss_obj,
+    loss_value); the float value is returned for history accumulation."""
+    zero_grad()
+    loss, loss_value = compute_loss()
+    backward(loss)
+    clip_grads()
+    step()
+    return loss_value
+
+
+def run_training_loop(
+    train_epoch,
+    epochs: int,
+    eval_val=None,
+    snapshot=None,
+    restore=None,
+    patience: int = 10,
+) -> dict:
+    """Reference epoch loop (`core/model.py:228-316`) as pure control flow:
+    early stopping on validation loss with ``patience`` CONSECUTIVE
+    non-improvements (strict <, so a tie counts as a stall), best-state
+    snapshot on every improvement, and restore of the BEST (not last)
+    checkpoint on exit -- including exit by epoch exhaustion, not only by
+    early stop. Without a validation set every epoch runs and no restore
+    happens. Backend-agnostic so the semantics are pinned by
+    tests/test_torch_loop.py even where torch can't run."""
+    best_val, stall = float("inf"), 0
+    best_state = None
+    history: dict = {"train_loss": [], "val_loss": []}
+    for _ in range(epochs):
+        history["train_loss"].append(train_epoch())
+        if eval_val is not None:
+            val_loss = eval_val()
+            history["val_loss"].append(val_loss)
+            if val_loss < best_val:
+                best_val, stall = val_loss, 0
+                best_state = snapshot()
+            else:
+                stall += 1
+                if stall >= patience:
+                    break
+    if best_state is not None:
+        restore(best_state)
+    return history
+
+
 def _require_torch() -> None:
     if not TORCH_AVAILABLE:
         raise ImportError(
@@ -167,39 +220,45 @@ def fit(
             y_val, dtype=torch.float32, device=device
         )
 
-    best_state, best_val, stall = None, float("inf"), 0
-    history: dict = {"train_loss": [], "val_loss": []}
-    for _ in range(epochs):
+    def train_epoch() -> float:
         model.train()
         perm = torch.randperm(len(xt), device=device)
         epoch_loss = 0.0
         for start in range(0, len(xt), batch_size):
             idx = perm[start : start + batch_size]
-            opt.zero_grad()
-            loss = loss_fn(model(xt[idx]), yt[idx])
-            loss.backward()
-            nn.utils.clip_grad_norm_(model.parameters(), CLIP_NORM)
-            opt.step()
-            epoch_loss += float(loss) * len(idx)
-        history["train_loss"].append(epoch_loss / len(xt))
 
-        if has_val:
-            model.eval()
-            with torch.no_grad():
-                val_loss = float(loss_fn(model(xv), yv))
-            history["val_loss"].append(val_loss)
-            if val_loss < best_val:
-                best_val, stall = val_loss, 0
-                best_state = {
-                    k: v.detach().clone() for k, v in model.state_dict().items()
-                }
-            else:
-                stall += 1
-                if stall >= patience:
-                    break
-    if best_state is not None:
-        model.load_state_dict(best_state)
-    return history
+            def compute_loss():
+                loss = loss_fn(model(xt[idx]), yt[idx])
+                return loss, float(loss)
+
+            batch_loss = train_one_batch(
+                zero_grad=opt.zero_grad,
+                compute_loss=compute_loss,
+                backward=lambda loss: loss.backward(),
+                clip_grads=lambda: nn.utils.clip_grad_norm_(
+                    model.parameters(), CLIP_NORM
+                ),
+                step=opt.step,
+            )
+            epoch_loss += batch_loss * len(idx)
+        return epoch_loss / len(xt)
+
+    def eval_val() -> float:
+        model.eval()
+        with torch.no_grad():
+            return float(loss_fn(model(xv), yv))
+
+    def snapshot():
+        return {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    return run_training_loop(
+        train_epoch,
+        epochs,
+        eval_val=eval_val if has_val else None,
+        snapshot=snapshot if has_val else None,
+        restore=model.load_state_dict if has_val else None,
+        patience=patience,
+    )
 
 
 def predict(model, x: np.ndarray) -> np.ndarray:
