@@ -2,22 +2,22 @@
 package registers every query into the registry."""
 
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs import (  # noqa: F401
+    corpus,
     graph,
+    incremental,
     layout,
     mlops,
+    pq,
     relational,
     relational2,
     relational3,
-    round7,
-    round8,
-    round8b,
-    round9,
-    round10,
     sessions,
     stats5,
     stats6,
     stats7,
+    streammerge,
     textops,
+    textops2,
     tpch_sql,
     timeseries,
     timeseries2,

@@ -1,4 +1,4 @@
-"""Round 9: the end-to-end corpus-prep flagship lane.
+"""The end-to-end corpus-prep flagship lanes.
 
 ``corpus_prep_e2e`` composes the already-individually-proven stages of a
 pretraining-corpus pipeline into ONE lineage (VERDICT r8 item 5) -- the
@@ -37,15 +37,15 @@ from pyspark.sql import functions as F
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
-from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8b import (
-    gopher_doc_flags,
-    gopher_flags_sql,
-)
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import (
     MINHASH_BANDS,
     MINHASH_K,
     _SHINGLES,
     _TOKS,
+)
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops2 import (
+    gopher_doc_flags,
+    gopher_flags_sql,
 )
 
 _E2E_TAU = 0.3
@@ -734,86 +734,3 @@ def q_corpus_prep_inc_batch(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
-
-
-# -- streaming corpus ingestion: gate + exact dedup as a mergeable fold --------
-# The corpus-prep front door run through REAL Structured Streaming:
-# documents arrive as micro-batches (one file per trigger); each batch is
-# Gopher-gated (doc-local, the same six rules as corpus_prep_e2e) and
-# folded into a fingerprint-keyed state table keeping the min-id doc per
-# normalized-text fingerprint -- the exact-dedup state a streaming
-# ingestion pipeline maintains. The fold is order-invariant (min of a
-# struct) and replay-idempotent via the shared foldstate scaffold, so
-# at-least-once delivery cannot double-admit a duplicate. The oracle is
-# the BATCH gate+dedup over everything -- a hash match proves
-# stream-fold == batch for whatever file order the engine picked (the
-# stream_*_merge trilogy contract, now on the corpus front door).
-@register(
-    "stream_corpus_dedup_merge",
-    oracle=f"""
-WITH {gopher_flags_sql("documents")},
-s1 AS (
-  SELECT d.doc_id, d.source, d.text
-  FROM documents d JOIN gopher_flags g ON g.doc_id = d.doc_id
-  WHERE {" + ".join("g." + c for c in _E2E_GATE_FLAGS)} = 0
-),
-keyed AS (
-  SELECT *, coalesce(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
-                     '__null_text__') AS fp
-  FROM s1
-),
-kept AS (
-  SELECT k.doc_id, k.source
-  FROM keyed k
-  JOIN (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY 1) m
-    ON m.fp = k.fp AND m.doc_id = k.doc_id
-)
-SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS min_kept_id
-FROM kept GROUP BY source ORDER BY source
-""",
-)
-def q_stream_corpus_dedup_merge(spark: SparkSession, sf_dir: str):
-    from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import (
-        fingerprint_expr,
-    )
-    from electricity_forecast_pipeline_airflow_k8s_spark.streaming.foldstate import (
-        fold_stream_state,
-    )
-
-    docs = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
-
-    def fold(prev, batch):
-        gated = batch.join(
-            _gate_ids(batch).select("doc_id"), "doc_id", "left_semi"
-        )
-        hist = (
-            gated.select(
-                F.coalesce(
-                    fingerprint_expr("text"), F.lit("__null_text__")
-                ).alias("fp"),
-                F.struct(
-                    F.col("doc_id").alias("doc_id"),
-                    F.col("source").alias("source"),
-                ).alias("kept"),
-            )
-            .groupBy("fp")
-            .agg(F.min("kept").alias("kept"))
-        )
-        if prev is None:
-            return hist
-        return (
-            prev.unionByName(hist).groupBy("fp").agg(F.min("kept").alias("kept"))
-        )
-
-    def finalize(state):
-        return (
-            state.select("kept.source", "kept.doc_id")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.min("doc_id").cast("bigint").alias("min_kept_id"),
-            )
-            .orderBy("source")
-        )
-
-    return fold_stream_state(spark, docs, fold, finalize, n_batches=4)

@@ -1095,3 +1095,298 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         .orderBy("dist")
     )
     return out
+
+
+# -- weighted label propagation (community detection, 2 synchronous rounds) --
+# The community-detection counterpart of the SSSP/k-core/CC iteratives:
+# on the hour-capped error co-occurrence graph (same capped builder as
+# graph_sssp_weighted, affinity weight = shared hours), every node starts
+# as its own label and each synchronous round adopts the label with the
+# LARGEST total neighbor affinity (tie-break: smaller label). Two rounds
+# bounded -- like the k-bounded SSSP, rounds are the only sequential
+# dimension, and each is one edge-sized join + one (node, label)-sized
+# argmax. The oracle chains the same algebra as CTEs; identical integer
+# weights make the argmax deterministic on both engines.
+_LPA_ROUNDS = 2
+_LPA_HOUR_CAP = 256
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH b0 AS (
+  SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h, user_id
+  FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT h, user_id FROM b0
+  QUALIFY row_number() OVER (PARTITION BY h ORDER BY user_id)
+          <= {_LPA_HOUR_CAP}
+),
+e0 AS (
+  SELECT a.user_id AS ua, c.user_id AS ub, count(*) AS sh
+  FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT ua AS u, ub AS v, sh FROM e0
+  UNION ALL
+  SELECT ub AS u, ua AS v, sh FROM e0
+),
+l0 AS (SELECT DISTINCT u AS v, u AS label FROM e)
+"""
+    steps = []
+    for k in range(_LPA_ROUNDS):
+        steps.append(f""",
+l{k + 1} AS (
+  SELECT v, label FROM (
+    SELECT e.u AS v, l.label,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY sum(e.sh) DESC, l.label) AS rk
+    FROM e JOIN l{k} l ON l.v = e.v
+    GROUP BY e.u, l.label
+  ) WHERE rk = 1
+)""")
+    tail = f"""
+SELECT label AS community,
+       count(*) AS n_members,
+       CAST(min(v) AS BIGINT) AS min_node
+FROM l{_LPA_ROUNDS} GROUP BY 1 ORDER BY 1
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    wcap = Window.partitionBy("h").orderBy("user_id")
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _LPA_HOUR_CAP)
+        .drop("_rn")
+    )
+    a = ev.select("h", F.col("user_id").alias("ua"))
+    c = ev.select("h", F.col("user_id").alias("ub"))
+    e0 = (
+        a.join(c, "h")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    edges = (
+        e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), "sh")
+        .unionAll(e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), "sh"))
+        .persist()
+    )
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import _cut_lineage
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    labels = edges.select(F.col("u").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    for _ in range(_LPA_ROUNDS):
+        w = Window.partitionBy("nv").orderBy(F.desc("s"), "label")
+        labels = _cut_lineage(
+            edges.join(labels, edges["v"] == labels["v"])
+            .groupBy(edges["u"].alias("nv"), "label")
+            .agg(F.sum("sh").alias("s"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("nv").alias("v"), "label"),
+            eager=scoped,
+        )
+    if scoped:
+        edges.unpersist()
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("v").cast("bigint").alias("min_node"),
+        )
+        .orderBy("community")
+    )
+
+
+# -- personalized PageRank (seed-restart ranking) -------------------------------
+# graph_pagerank ranks globally; recommendation/similarity serving needs
+# the PERSONALIZED variant: all teleport mass (and dangling mass)
+# restarts at one seed node, so ranks measure proximity TO THE SEED.
+# Same determinism design as graph_pagerank: every quantity on a
+# fixed-point integer grid (weights 1e6, ranks 1e9, per-term integer
+# division before summation -- integer sums are associative, so Spark is
+# bit-identical to the oracle's unrolled CTE iterations regardless of
+# partitioning). Seed = the lexicographically smallest node, derived as
+# a 1-row frame (crossJoin), never a collect. Same scale story: one
+# events-sized pass builds the edge list; iterations touch node/edge-
+# sized tables only, lineage capped per iteration.
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _D_DEN,
+        _D_NUM,
+        _P_SCALE,
+        _R_SCALE,
+    )
+
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+edges AS (
+  SELECT a.event_type AS u, b.event_type AS v, count(*) AS c
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2
+),
+outdeg AS (SELECT u, sum(c) AS tot FROM edges GROUP BY 1),
+w AS (
+  SELECT e.u, e.v, (e.c * {_P_SCALE}) // o.tot AS p_fp
+  FROM edges e JOIN outdeg o ON o.u = e.u
+),
+nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+),
+seed AS (SELECT min(node) AS s FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = (SELECT s FROM seed)
+               THEN CAST({_R_SCALE} AS BIGINT) ELSE 0 END AS r_fp
+  FROM nodes
+)"""
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(
+            f""",
+inflow{i} AS MATERIALIZED (
+  SELECT w.v AS node, sum((w.p_fp * r.r_fp) // {_P_SCALE}) AS s
+  FROM w JOIN r{i - 1} r ON r.node = w.u GROUP BY 1
+),
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r_fp), 0) AS m
+  FROM r{i - 1} r LEFT JOIN outdeg o ON o.u = r.node WHERE o.u IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (CASE WHEN n.node = (SELECT s FROM seed)
+               THEN ({(_D_DEN - _D_NUM) * _R_SCALE}) // {_D_DEN}
+               ELSE 0 END)
+         + ({_D_NUM} * (coalesce(f.s, 0)
+             + CASE WHEN n.node = (SELECT s FROM seed) THEN d.m ELSE 0 END))
+           // {_D_DEN} AS r_fp
+  FROM nodes n CROSS JOIN dang{i} d
+  LEFT JOIN inflow{i} f ON f.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       (SELECT s FROM seed) AS seed,
+       CAST(r_fp AS BIGINT) AS ppr_fp,
+       floor(r_fp * 1.0 / 1000 + 0.5) / 1000000 AS ppr
+FROM r{_PPR_ITERS}
+ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+@register("graph_ppr_unrolled", oracle=_ppr_oracle())
+def q_graph_ppr_unrolled(spark: SparkSession, sf_dir: str):
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.graph import (
+        _D_DEN,
+        _D_NUM,
+        _P_SCALE,
+        _R_SCALE,
+    )
+
+    scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("v", F.lead("event_type").over(wseq))
+        .filter(F.col("v").isNotNull())
+        .groupBy(F.col("event_type").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if scoped:
+        edges = edges.persist()
+    outdeg = edges.groupBy("u").agg(F.sum("c").alias("tot"))
+    w = edges.join(outdeg, "u").select(
+        "u", "v", F.expr(f"(c * {_P_SCALE}) div tot").alias("p_fp")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node").alias("s"))
+    dangling = nodes.join(outdeg, nodes.node == outdeg.u, "left_anti")
+    ranks = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(_R_SCALE).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r_fp"),
+    )
+    for _ in range(_PPR_ITERS):
+        if scoped:
+            ranks = ranks.localCheckpoint(eager=True)
+        inflow = (
+            w.join(ranks, w.u == ranks.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr(f"(p_fp * r_fp) div {_P_SCALE}")).alias("infl"))
+        )
+        dang = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("r_fp"), F.lit(0)).alias("m")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(seed))
+            .crossJoin(F.broadcast(dang))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("s"),
+                        F.lit(((_D_DEN - _D_NUM) * _R_SCALE) // _D_DEN).cast(
+                            "long"
+                        ),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.expr(
+                        f"({_D_NUM} * (coalesce(infl, CAST(0 AS BIGINT))"
+                        f" + CASE WHEN node = s THEN m"
+                        f" ELSE CAST(0 AS BIGINT) END)) div {_D_DEN}"
+                    )
+                ).alias("r_fp"),
+            )
+        )
+    out = ranks.crossJoin(F.broadcast(seed.withColumnRenamed("s", "seed"))).select(
+        "node",
+        "seed",
+        F.col("r_fp").alias("ppr_fp"),
+        (F.floor(F.col("r_fp") * 1.0 / 1000 + 0.5) / 1000000).alias("ppr"),
+    ).orderBy("node")
+    if scoped:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out

@@ -202,3 +202,286 @@ def q_rel_equidepth_histogram(spark: SparkSession, sf_dir: str):
         )
         .orderBy("decile")
     )
+
+
+# -- zone-map file-skipping simulation ----------------------------------------
+# The lakehouse question layout_zorder_locality doesn't answer directly:
+# given a physical layout, how many FILES does a point lookup on a
+# non-layout column touch? Rows are packed into 64 equal files by
+# ntile_by_edges under two layouts (time-clustered vs custkey-clustered),
+# each file carries a (min, max) custkey zone map, and 20 evenly-spaced
+# probe keys count the files whose zone straddles them. The
+# custkey-sorted layout should prune to ~1 file/probe; the time-sorted
+# one scans nearly everything -- the quantified argument for sorting on
+# the lookup key. Scale: the layouts ride the distributed edge-binner
+# (no single-task window); zones are 64-row aggregates and the
+# probe x zone join is 20 x 64.
+_ZM_FILES, _ZM_PROBES = 64, 20
+
+
+def _zonemap_oracle() -> str:
+    layouts = {
+        "custkey_sorted": "c.o_custkey, c.o_orderkey",
+        "time_sorted": "c.o_orderdate, c.o_orderkey",
+    }
+    zone_rows = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS layout, f, min(o_custkey) AS zmin,"
+        f" max(o_custkey) AS zmax FROM ("
+        f"SELECT c.o_custkey, ntile({_ZM_FILES}) OVER (ORDER BY {order})"
+        f" AS f FROM orders c) GROUP BY 1, 2"
+        for name, order in layouts.items()
+    )
+    return f"""
+WITH zones AS (
+{zone_rows}
+),
+span AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders),
+probes AS (
+  SELECT cmin + CAST(floor(j * (cmax - cmin) / {_ZM_PROBES - 1}) AS BIGINT)
+           AS p
+  FROM span, unnest(range(0, {_ZM_PROBES})) r(j)
+),
+hits AS (
+  SELECT z.layout, p.p, count(*) AS n_files_hit
+  FROM probes p JOIN zones z ON p.p BETWEEN z.zmin AND z.zmax
+  GROUP BY 1, 2
+)
+SELECT layout,
+       CAST({_ZM_FILES} AS BIGINT) AS n_files,
+       floor(avg(n_files_hit) * 10000 + 0.5) / 10000 AS avg_files_scanned,
+       floor(avg(n_files_hit) / {_ZM_FILES} * 10000 + 0.5) / 10000
+         AS scan_pct
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("layout_zonemap_pruning", oracle=_zonemap_oracle())
+def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    orders = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    layouts = {
+        "custkey_sorted": ["o_custkey", "o_orderkey"],
+        "time_sorted": ["o_orderdate", "o_orderkey"],
+    }
+    zones = None
+    for name, order_cols in layouts.items():
+        tiled = ntile_by_edges(orders, order_cols, k=_ZM_FILES, tile_col="f")
+        z = tiled.groupBy("f").agg(
+            F.min("o_custkey").alias("zmin"), F.max("o_custkey").alias("zmax")
+        ).select(F.lit(name).alias("layout"), "f", "zmin", "zmax")
+        zones = z if zones is None else zones.unionAll(z)
+    span = orders.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax")
+    )
+    probes = span.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_ZM_PROBES - 1)),
+                lambda j: F.col("cmin")
+                + F.floor(
+                    j * (F.col("cmax") - F.col("cmin")) / (_ZM_PROBES - 1)
+                ).cast("long"),
+            )
+        ).alias("p")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(zones),
+            (F.col("p") >= F.col("zmin")) & (F.col("p") <= F.col("zmax")),
+        )
+        .groupBy("layout", "p")
+        .agg(F.count(F.lit(1)).alias("n_files_hit"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return (
+        hits.groupBy("layout")
+        .agg(
+            F.lit(_ZM_FILES).cast("bigint").alias("n_files"),
+            r4(F.avg("n_files_hit")).alias("avg_files_scanned"),
+            r4(F.avg("n_files_hit") / _ZM_FILES).alias("scan_pct"),
+        )
+        .orderBy("layout")
+    )
+
+
+# -- bloom-filter file-skipping simulation --------------------------------------
+# layout_zonemap_pruning shows zone maps prune the SORTED layout to ~1
+# file/probe -- and scan ~everything on the time-sorted layout, because
+# every file's custkey [min, max] straddles the whole domain. Bloom
+# filters are the production answer for exactly that case: point lookups
+# on a column uncorrelated with sort order. Rows pack into the same 64
+# time-sorted files; each file carries a bloom filter over its custkeys
+# (m = 16384 bits, 3 universal-hash functions ((key*A_j + B_j) mod P)
+# mod m -- explicit integer arithmetic so both engines compute identical
+# bits); 20 evenly-spaced probe keys report files-by-truth, files-by-
+# zonemap, files-by-bloom, and the bloom's false positives (bloom never
+# misses: bloom >= truth by construction, pinned in tests). Scale: the
+# per-file bit sets are (files x 3*keys-per-file)-bounded aggregates,
+# the probe-side frames are 20x3 rows, and every join against them is a
+# broadcast -- the fact table is scanned once per layout build, as in
+# the zonemap lane.
+_BF_FILES, _BF_PROBES, _BF_BITS = 64, 20, 16384
+_BF_P = 2147483647
+_BF_HASHES = (
+    (2654435761, 1013904223),
+    (2246822519, 374761393),
+    (3266489917, 668265263),
+)
+
+
+def _bloom_oracle() -> str:
+    bit_list = ", ".join(
+        f"((o_custkey * {a} + {b}) % {_BF_P}) % {_BF_BITS}"
+        for a, b in _BF_HASHES
+    )
+    probe_bits = "\n  UNION ALL\n".join(
+        f"  SELECT p, {j} AS h, ((p * {a} + {b}) % {_BF_P}) % {_BF_BITS} AS bit"
+        f" FROM probes"
+        for j, (a, b) in enumerate(_BF_HASHES)
+    )
+    return f"""
+WITH tiled AS (
+  SELECT o_custkey,
+         ntile({_BF_FILES}) OVER (ORDER BY o_orderdate, o_orderkey) AS f
+  FROM orders
+),
+zones AS (
+  SELECT f, min(o_custkey) AS zmin, max(o_custkey) AS zmax
+  FROM tiled GROUP BY f
+),
+fbits AS (
+  SELECT DISTINCT f, bit FROM (
+    SELECT f, unnest([{bit_list}]) AS bit FROM tiled
+  )
+),
+span AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders),
+probes AS (
+  SELECT cmin + CAST(floor(j * (cmax - cmin) / {_BF_PROBES - 1}) AS BIGINT)
+           AS p
+  FROM span, unnest(range(0, {_BF_PROBES})) r(j)
+),
+pbits AS (
+{probe_bits}
+),
+bloom AS (
+  SELECT pb.p, fb.f
+  FROM pbits pb JOIN fbits fb ON fb.bit = pb.bit
+  GROUP BY pb.p, fb.f
+  HAVING count(DISTINCT pb.h) = {len(_BF_HASHES)}
+),
+truth AS (
+  SELECT p.p, count(DISTINCT t.f) AS n_truth
+  FROM probes p JOIN tiled t ON t.o_custkey = p.p GROUP BY 1
+),
+zhits AS (
+  SELECT p.p, count(*) AS n_zone
+  FROM probes p JOIN zones z ON p.p BETWEEN z.zmin AND z.zmax GROUP BY 1
+),
+bhits AS (SELECT p, count(*) AS n_bloom FROM bloom GROUP BY 1)
+SELECT pr.p AS probe_key,
+       CAST(coalesce(t.n_truth, 0) AS BIGINT) AS n_files_truth,
+       CAST(coalesce(z.n_zone, 0) AS BIGINT) AS n_files_zonemap,
+       CAST(coalesce(b.n_bloom, 0) AS BIGINT) AS n_files_bloom,
+       CAST(coalesce(b.n_bloom, 0) - coalesce(t.n_truth, 0) AS BIGINT)
+         AS n_false_pos
+FROM probes pr
+LEFT JOIN truth t ON t.p = pr.p
+LEFT JOIN zhits z ON z.p = pr.p
+LEFT JOIN bhits b ON b.p = pr.p
+ORDER BY 1
+"""
+
+
+@register("layout_bloom_pruning", oracle=_bloom_oracle())
+def q_layout_bloom_pruning(spark: SparkSession, sf_dir: str):
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        ntile_by_edges,
+    )
+
+    orders = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    tiled = ntile_by_edges(
+        orders, ["o_orderdate", "o_orderkey"], k=_BF_FILES, tile_col="f"
+    ).select("f", "o_custkey")
+
+    def bits(key):
+        return [
+            ((key * F.lit(a) + F.lit(b)) % _BF_P) % _BF_BITS
+            for a, b in _BF_HASHES
+        ]
+
+    zones = tiled.groupBy("f").agg(
+        F.min("o_custkey").alias("zmin"), F.max("o_custkey").alias("zmax")
+    )
+    fbits = tiled.select(
+        "f", F.explode(F.array(*bits(F.col("o_custkey")))).alias("bit")
+    ).distinct()
+    span = orders.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax")
+    )
+    probes = span.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BF_PROBES - 1)),
+                lambda j: F.col("cmin")
+                + F.floor(
+                    j * (F.col("cmax") - F.col("cmin")) / (_BF_PROBES - 1)
+                ).cast("long"),
+            )
+        ).alias("p")
+    )
+    pbits = probes.select(
+        "p",
+        F.posexplode(F.array(*bits(F.col("p")))).alias("h", "bit"),
+    )
+    bloom = (
+        F.broadcast(pbits)
+        .join(fbits, "bit")
+        .groupBy("p", "f")
+        .agg(F.count_distinct("h").alias("nh"))
+        .filter(F.col("nh") == len(_BF_HASHES))
+    )
+    truth = (
+        F.broadcast(probes)
+        .join(tiled, probes.p == tiled.o_custkey)
+        .groupBy("p")
+        .agg(F.count_distinct("f").alias("n_truth"))
+    )
+    zhits = (
+        F.broadcast(probes)
+        .join(
+            zones,
+            (F.col("p") >= F.col("zmin")) & (F.col("p") <= F.col("zmax")),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_zone"))
+    )
+    bhits = bloom.groupBy("p").agg(F.count(F.lit(1)).alias("n_bloom"))
+    out = (
+        probes.join(truth, "p", "left")
+        .join(zhits, "p", "left")
+        .join(bhits, "p", "left")
+        .select(
+            F.col("p").alias("probe_key"),
+            F.coalesce("n_truth", F.lit(0)).cast("bigint").alias(
+                "n_files_truth"
+            ),
+            F.coalesce("n_zone", F.lit(0)).cast("bigint").alias(
+                "n_files_zonemap"
+            ),
+            F.coalesce("n_bloom", F.lit(0)).cast("bigint").alias(
+                "n_files_bloom"
+            ),
+            (F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_truth", F.lit(0)))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("probe_key")
+    )
+    return out

@@ -12,6 +12,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
     portable_round,
 )
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.incremental import _QCUT
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.validation import EVENTS_SRC
 from electricity_forecast_pipeline_airflow_k8s_spark.streaming.ingest import windowed_stats
 
@@ -1798,3 +1799,223 @@ def q_sess_interarrival_burstiness(spark: SparkSession, sf_dir: str):
         r4(sd / 1_000_000.0).alias("std_gap_s"),
         r4((sd - F.col("mu")) / (sd + F.col("mu"))).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# -- SCD type-2 interval build (lakehouse dimension history) -------------------
+# The standard lakehouse dimension op the merge/tombstone family was
+# missing: collapse a change stream into type-2 validity intervals --
+# one row per consecutive run of an attribute value, with
+# [valid_from, valid_to) spans, a per-key version number, and an
+# is_current flag. Gaps-and-islands: a user-partitioned lag marks value
+# changes, a running sum numbers the islands, one hash-agg collapses
+# each island to its span, and a lead() over the tiny per-version frame
+# closes the intervals. Scale: ONE shuffle on the entity key; the
+# windows never span users; version frames are change-count-sized.
+# user_id < 100 keeps the driver-compare payload bounded (the
+# doc_id < 500 convention).
+# shared with rel_scd2_merge (round8b): the scratch full-history rebuild
+# is the incremental merge's oracle, so both register the same SQL --
+# and both engines' island semantics live in ONE pair of helpers
+# (_scd2_change_flag / _scd2_islands) so the merge's hash-proven
+# equivalence can't silently drift from the scratch build's definition.
+
+
+def _scd2_change_flag(w: Window) -> "F.Column":
+    """1 on the first row of each per-key run of equal event_type values
+    (lag NULL or lag != current) under window spec ``w``."""
+    return F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+
+
+def _scd2_islands(e):
+    """Collapse an event frame (user_id, event_type, ts, event_id) into
+    SCD2 islands: (user_id, version, attr_value, valid_from, n_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn(
+            "version",
+            F.sum(_scd2_change_flag(w))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("attr_value"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SCD2_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+  FROM {EVENTS_SRC}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM marked
+),
+islands AS (
+  SELECT user_id, CAST(version AS INTEGER) AS version,
+         min(event_type) AS attr_value,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, attr_value, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM islands ORDER BY user_id, version
+"""
+
+
+@register("rel_scd2_intervals", oracle=_SCD2_ORACLE)
+def q_rel_scd2_intervals(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("user_id") < 100)
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    islands = _scd2_islands(ev)
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return islands.select(
+        "user_id",
+        "version",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+# -- incremental SCD type-2 maintenance (the lakehouse MERGE) ------------------
+# rel_scd2_intervals builds type-2 history from scratch; at 100 TB the
+# dimension is MAINTAINED: yesterday's interval table (change-count-sized
+# state, never the event log) + today's event batch -> updated intervals.
+# Merge algebra:
+#   1. affected keys = keys present in the batch; everyone else's state
+#      rows pass through untouched (never read the old event log);
+#   2. per affected key, the state's CURRENT row becomes one pseudo-event
+#      (its attr at its valid_from, carrying its n_events and version) in
+#      front of the batch's events -- so a batch that RENEWS the current
+#      value extends the current island (version and valid_from keep,
+#      counts add), and a change opens version cur+1: exactly what the
+#      scratch gaps-and-islands computes across the boundary;
+#   3. closed state rows and merged tails re-key through one lead() over
+#      the per-key version frame (interval-count-sized) for valid_to /
+#      is_current.
+# The oracle is the SAME full-history scratch rebuild rel_scd2_intervals
+# registers -- a hash match proves merge == rebuild (the inc_* contract).
+# Cost: windows only over (1 + batch-events) rows per affected key; state
+# passes through with no window until the tiny per-version lead.
+
+
+@register("rel_scd2_merge", oracle=_SCD2_ORACLE)
+def q_rel_scd2_merge(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("user_id") < 100)
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    cut = F.lit(_QCUT).cast("timestamp")
+    old, batch = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+
+    # yesterday's persisted state (intervals, not events) -- built by the
+    # SAME island helper the scratch query uses, so merge and rebuild
+    # can't drift semantically
+    state = _scd2_islands(old)
+
+    affected = batch.select("user_id").distinct()
+    st_aff = state.join(affected, "user_id")
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("version"))
+    cur = (
+        st_aff.withColumn("_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    closed = (
+        st_aff.join(
+            cur.select("user_id", F.col("version").alias("_cv")), "user_id"
+        )
+        .filter(F.col("version") < F.col("_cv"))
+        .drop("_cv")
+    )
+    untouched = state.join(affected, "user_id", "left_anti")
+
+    # the current row as a pseudo-event in front of the batch
+    pseudo = cur.select(
+        "user_id",
+        F.col("attr_value").alias("event_type"),
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("n_events").alias("_base"),
+        F.col("version").alias("_bv"),
+    )
+    b2 = batch.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(0).cast("long").alias("_base"),
+        F.lit(None).cast("int").alias("_bv"),
+    )
+    comb = pseudo.unionByName(b2)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = comb.withColumn(
+        "_local",
+        F.sum(_scd2_change_flag(w))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    ).withColumn("_kv", F.max("_bv").over(Window.partitionBy("user_id")))
+    # island 1 (the one holding the pseudo-event) keeps the current
+    # version; later islands number on from it; brand-new keys start at 1
+    tail = tagged.groupBy(
+        "user_id",
+        (F.coalesce(F.col("_kv"), F.lit(1)) + F.col("_local") - 1)
+        .cast("int")
+        .alias("version"),
+    ).agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.sum(
+            F.when(F.col("_bv").isNotNull(), F.col("_base")).otherwise(F.lit(1))
+        ).alias("n_events"),
+    )
+
+    final = closed.unionByName(untouched).unionByName(tail)
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return final.select(
+        "user_id",
+        "version",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")

@@ -2050,3 +2050,78 @@ def q_ts_daily_profile_motifs(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "day")
     )
+
+
+# -- coincidence / diversity factor (power-systems aggregation metric) --------
+# The electricity-domain number the reference's forecasting pipeline
+# implicitly depends on: the system peak is LESS than the sum of the
+# per-unit peaks because units don't peak together. coincidence factor =
+# system peak / sum(unit peaks) in (0, 1]; diversity factor = its
+# reciprocal. Units = event types, hourly DECIMAL load sums (exact,
+# order-independent), peaks = max over hours. Two shuffles ((unit, hour)
+# agg, then unit- and hour-level maxes over hour-count-sized frames);
+# ratios computed once on doubles, rounded at the edge.
+_CF_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+         sum(CAST(value AS DECIMAL(18,2))) AS load
+  FROM {EVENTS_SRC} WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+unit_peaks AS (
+  SELECT event_type, max(load) AS unit_peak FROM hourly GROUP BY 1
+),
+system_hourly AS (SELECT h, sum(load) AS sys_load FROM hourly GROUP BY 1),
+agg AS (
+  SELECT (SELECT count(*) FROM unit_peaks) AS n_units,
+         (SELECT CAST(sum(unit_peak) AS DOUBLE) FROM unit_peaks)
+           AS sum_unit_peaks,
+         (SELECT CAST(max(sys_load) AS DOUBLE) FROM system_hourly)
+           AS system_peak
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       floor(sum_unit_peaks * 100 + 0.5) / 100 AS sum_unit_peaks,
+       floor(system_peak * 100 + 0.5) / 100 AS system_peak,
+       floor(system_peak / sum_unit_peaks * 10000 + 0.5) / 10000
+         AS coincidence_factor,
+       floor(sum_unit_peaks / system_peak * 10000 + 0.5) / 10000
+         AS diversity_factor
+FROM agg
+"""
+
+
+@register("ts_coincidence_factor", oracle=_CF_ORACLE)
+def q_ts_coincidence_factor(spark: SparkSession, sf_dir: str):
+    ev = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.sum("v").alias("load"))
+    unit_peaks = hourly.groupBy("event_type").agg(F.max("load").alias("unit_peak"))
+    up = unit_peaks.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("unit_peak").cast("double").alias("sum_unit_peaks"),
+    )
+    sys_peak = (
+        hourly.groupBy("h")
+        .agg(F.sum("load").alias("sys_load"))
+        .agg(F.max("sys_load").cast("double").alias("system_peak"))
+    )
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return up.crossJoin(F.broadcast(sys_peak)).select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        r2(F.col("sum_unit_peaks")).alias("sum_unit_peaks"),
+        r2(F.col("system_peak")).alias("system_peak"),
+        r4(F.col("system_peak") / F.col("sum_unit_peaks")).alias(
+            "coincidence_factor"
+        ),
+        r4(F.col("sum_unit_peaks") / F.col("system_peak")).alias(
+            "diversity_factor"
+        ),
+    )

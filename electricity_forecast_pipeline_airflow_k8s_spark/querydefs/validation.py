@@ -985,3 +985,86 @@ def q_val_volume_anomaly_days(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# -- snapshot diff (CDC-style version reconciliation) --------------------------
+# The lakehouse audit the tombstone/merge family was missing: given two
+# versions of a table, classify every key as added / removed / changed /
+# unchanged -- the change-data-feed a replication pipeline validates
+# against. Versions derive deterministically from the one fixture on
+# BOTH engines (A drops event_id % 13 = 3 "later inserts"; B drops
+# event_id % 17 = 5 "deletes" and perturbs value where event_id % 7 = 2
+# "updates"), so the classification is fully oracle-replayable. Shape:
+# ONE full-outer equi-join on the key (AQE-skew-splittable) feeding a
+# group-count-sized aggregate; change detection is null-safe so
+# null-valued rows compare as unchanged.
+_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM {EVENTS_SRC}
+),
+a AS (SELECT * FROM base WHERE event_id % 13 != 3),
+b AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 2 THEN value * 1.1 ELSE value END AS value
+  FROM base WHERE event_id % 17 != 5
+),
+d AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         CASE WHEN a.event_id IS NULL THEN 'added'
+              WHEN b.event_id IS NULL THEN 'removed'
+              WHEN a.value IS NOT DISTINCT FROM b.value THEN 'unchanged'
+              ELSE 'changed' END AS kind
+  FROM a FULL OUTER JOIN b ON b.event_id = a.event_id
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN kind = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN kind = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("val_snapshot_diff", oracle=_DIFF_ORACLE)
+def q_val_snapshot_diff(spark: SparkSession, sf_dir: str):
+    base = table(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    a = base.filter(F.col("event_id") % 13 != 3).select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_value"),
+    )
+    b = base.filter(F.col("event_id") % 17 != 5).select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.when(F.col("event_id") % 7 == 2, F.col("value") * 1.1)
+        .otherwise(F.col("value"))
+        .alias("b_value"),
+    )
+    d = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.coalesce("a_type", "b_type").alias("event_type"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_value").eqNullSafe(F.col("b_value")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("kind"),
+    )
+    cnt = lambda k: F.sum(F.when(F.col("kind") == k, 1).otherwise(0)).cast(  # noqa: E731
+        "bigint"
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            cnt("added").alias("n_added"),
+            cnt("removed").alias("n_removed"),
+            cnt("changed").alias("n_changed"),
+            cnt("unchanged").alias("n_unchanged"),
+        )
+        .orderBy("event_type")
+    )

@@ -16,7 +16,7 @@ import duckdb
 
 from electricity_forecast_pipeline_airflow_k8s_spark.parity import _normalize
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
-from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round7 import (
+from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.pq import (
     _PQ_M,
     _pq_adc_tables,
     _pq_q9i_int,
@@ -238,7 +238,7 @@ def test_inc_quantile_merge_cut_invariant(tmp_path, spark):
     yields the same cumulative and the same grid quantiles -- only the
     n_old/n_new bookkeeping moves. Pins the incremental contract without
     trusting the oracle."""
-    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.incremental as r8
 
     rows = []
     for k in range(200):
@@ -267,7 +267,7 @@ def test_inc_topk_merge_hand_model_and_split_invariance(tmp_path, spark):
     while source 'x' (untouched by the batch) passes through; and
     re-batching with a different modulus residue must yield the identical
     merged top-k (top-k merge is split-invariant)."""
-    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.incremental as r8
 
     docs = [
         # source w: old docs 1..4 with n_chars 100, 80, 70, 60
@@ -341,7 +341,7 @@ def test_containment_stop_shingle_cap(tmp_path, spark):
     boilerplate and leaves the shingle space: doc 2's containment in
     doc 1 is then computed over its remaining shingles only. Spark-side
     semantics pin (the registered oracle keeps the production cap)."""
-    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 as r8
+    import electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops2 as r8
     from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
 
     toks = [f"d{i}" for i in range(12)]

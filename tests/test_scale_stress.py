@@ -529,7 +529,7 @@ def test_containment_pairs_df_cap_kills_boilerplate_quadratic(spark):
     from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import (
         shingles,
     )
-    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.round8 import (
+    from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops2 import (
         _CONT_DF_CAP,
         containment_pairs,
     )

@@ -104,7 +104,7 @@ EXCLUDED = {
         "at 20x)"
     ),
     "dedup_semantic_clusters": (
-        "exact-recall truth lane by declared design (querydefs/round9.py "
+        "exact-recall truth lane by declared design (querydefs/textops.py "
         "docstring): threshold-0.4 cosine pairs on this fixture are "
         "distribution-tail pairs whose COUNT is itself ~quadratic, so "
         "no exact method is linear (measured 23.9x at 10x). The "
