@@ -29,4 +29,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Two queries() entries intentionally have no SQL oracle --
+    ``ml_forecast_next`` and ``ml_train_eval_metrics`` (168-dim ridge
+    train/infer; DuckDB cannot replay the fit). The driver records them
+    rows-only (`no_oracle`), but they are NOT value-unverified: the sweep
+    channel recomputes both from scratch in NumPy and value-compares at
+    1e-3 (tools/verify_contract.py NUMPY_REPLAYS), with the latest green
+    status committed per-lane in BENCH_LEDGER/verify_sweep.json and
+    reduced-dimension oracle twins (`ml_forecast_next_lag1{,_h3}`,
+    `ml_ridge_lag1_parity`) hash-matched in the ordinary channel."""
     return _q.oracle_sql()

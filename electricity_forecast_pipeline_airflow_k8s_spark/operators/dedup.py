@@ -187,13 +187,26 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the cheap second
-    stage of MinHash LSH)."""
+    stage of MinHash LSH).
+
+    Join strategy is pinned scale-safe: the shingle-set side is
+    corpus-sized (every doc x its shingle array), so it must NEVER be a
+    broadcast build side -- Spark's size estimate for the projected
+    shingle subtree undershoots badly enough that the 50x scale run
+    picked BroadcastHashJoin(BuildRight=sh) and died building an
+    8-figure-row array broadcast on the driver (BENCH_LEDGER/
+    scale50x.json, round 11). The shuffle_hash hint on the PAIRS side
+    makes both verify joins shuffle joins building the narrow
+    (doc_a, doc_b) side per partition: partition-bounded memory at any
+    corpus size, no sort of the array payload."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = df.repartition(par, id_col).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("sh")
     )
     j = (
-        pairs.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        pairs.hint("shuffle_hash")
+        .join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        .hint("shuffle_hash")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard_raw",
@@ -258,10 +271,16 @@ def minhash_lsh_dedup_pairs(
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands, cache_registry=handles)
+    # shuffle_hash hint on the pairs side: the shingle table is
+    # corpus-sized and must never be a broadcast build side (the 50x run
+    # OOM'd the driver broadcasting it -- see jaccard_verify's docstring);
+    # the hinted shuffle join builds the narrow pair side per partition.
     j = (
-        cands.join(
+        cands.hint("shuffle_hash")
+        .join(
             sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"
         )
+        .hint("shuffle_hash")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard_raw",

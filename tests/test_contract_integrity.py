@@ -51,3 +51,28 @@ def test_rows_only_count_is_bounded():
     """VERDICT r5 item 8: at most 2 registry entries without an oracle."""
     rows_only = [n for n, q in registry().items() if q.oracle is None]
     assert len(rows_only) <= 2, rows_only
+
+
+def test_committed_sweep_ledger_is_green_for_whole_registry():
+    """VERDICT r10 item 4: the committed round record must show value-level
+    evidence for EVERY lane -- including the two ML lanes whose oracle is
+    the NumPy replay (the driver channel can only print `no_oracle` for
+    them). BENCH_LEDGER/verify_sweep.json is written/merged by
+    tools/verify_contract.py; every registry lane must be present with a
+    green status (MATCH or NUMPY-MATCH)."""
+    import json
+    import os
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.queries import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_LEDGER", "verify_sweep.json")
+    with open(path) as f:
+        lanes = json.load(f)["lanes"]
+    reg = set(registry())
+    missing = reg - set(lanes)
+    assert not missing, f"lanes with no committed sweep status: {sorted(missing)}"
+    red = {n: r["status"] for n, r in lanes.items() if r["status"] not in ("MATCH", "NUMPY-MATCH")}
+    assert not red, f"non-green sweep statuses: {red}"
+    stale = sorted(set(lanes) - reg)
+    assert not stale, f"sweep statuses for unregistered lanes: {stale}"

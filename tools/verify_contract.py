@@ -214,6 +214,34 @@ def _numpy_compare(spdf: pd.DataFrame, npdf: pd.DataFrame, keys) -> tuple[bool, 
     return True, ""
 
 
+def _write_sweep_ledger(status: dict, sf: str) -> None:
+    """Merge per-lane sweep statuses into the committed round record
+    (VERDICT r10 item 4): BENCH_LEDGER/verify_sweep.json carries the
+    latest value-evidence status for EVERY lane -- including the two ML
+    lanes whose oracle is the NumPy replay (NUMPY-MATCH), which the
+    driver's CORRECTNESS channel can only label `no_oracle`. Partial
+    sweeps refresh only the lanes they ran; tests/test_contract_integrity
+    pins that the committed artifact is green for the whole registry."""
+    import json
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "BENCH_LEDGER", "verify_sweep.json")
+    stamp = time.strftime("%Y-%m-%d")
+    fresh = {n: {"status": s, "checked": stamp, "sf": sf} for n, s in status.items()}
+    merged = dict(fresh)
+    try:
+        if os.path.exists(out):
+            with open(out) as f:
+                prev = json.load(f).get("lanes", {})
+            merged = {**prev, **fresh}
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump({"lanes": merged}, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout statuses are still complete
+
+
 def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -235,6 +263,7 @@ def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
 
     names = [n for n in qs if not prefixes or any(n.startswith(p) for p in prefixes)]
     bad = []
+    status: dict[str, str] = {}
     for name in names:
         sdf = qs[name](spark, sf)
         nested = [
@@ -242,6 +271,7 @@ def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
         ]
         if nested:
             print(name, "NESTED-COLUMNS", nested)
+            status[name] = "NESTED-COLUMNS"
             bad.append(name)
             continue
         if name not in osql:
@@ -249,24 +279,29 @@ def main(sf: str = "/root/testdata/sf0.01", *prefixes: str) -> int:
                 fn, keys = NUMPY_REPLAYS[name]
                 ok, why = _numpy_compare(sdf.toPandas(), fn(sf), keys)
                 print(name, "NUMPY-MATCH" if ok else f"NUMPY-MISMATCH {why}")
+                status[name] = "NUMPY-MATCH" if ok else "NUMPY-MISMATCH"
                 if not ok:
                     bad.append(name)
             else:
                 print(name, "rows_only", sdf.count())
+                status[name] = "rows_only"
             continue
         spdf = canon(sdf.toPandas())
         ddf = canon(con.execute(osql[name]).df())
         if len(spdf) != len(ddf):
             print(name, f"ROWCOUNT {len(spdf)} != {len(ddf)}")
+            status[name] = "ROWCOUNT-MISMATCH"
             bad.append(name)
             continue
         ok, why = frames_equal(spdf, ddf)
         print(name, "MATCH" if ok else f"MISMATCH {why}", len(spdf))
+        status[name] = "MATCH" if ok else "MISMATCH"
         if not ok:
             bad.append(name)
             with pd.option_context("display.max_columns", None, "display.width", 200):
                 print("  spark:", spdf.head(2).to_string())
                 print("  duck :", ddf.head(2).to_string())
+    _write_sweep_ledger(status, sf)
     if bad:
         print("FAILED:", bad)
         return 1
