@@ -1,0 +1,54 @@
+"""Shape pin for the committed streaming timing ledger (VERDICT r10
+item 3): the 14 bench-excluded stream_* lanes must each carry real
+engine-measured evidence in BENCH_LEDGER/streaming.json -- wall-clock,
+input rows, end-to-end rows/sec, and per-micro-batch triggerExecution
+latencies captured by a StreamingQueryListener (tools/streaming_bench.py).
+Pure JSON checks, no Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _lanes():
+    with open(os.path.join(ROOT, "BENCH_LEDGER", "streaming.json")) as f:
+        return json.load(f)["lanes"]
+
+
+def test_every_bench_excluded_stream_lane_is_measured():
+    import bench
+
+    lanes = _lanes()
+    missing = set(bench.STREAMING_EXCLUDED) - set(lanes)
+    assert not missing, f"stream lanes with no committed timing: {missing}"
+
+
+def test_entries_carry_engine_progress_evidence():
+    for name, r in _lanes().items():
+        assert r["wall_sec"] > 0, name
+        assert r["input_rows"] > 0, name
+        assert r["rows_per_sec"] > 0, name
+        assert r["micro_batches"] >= 1, name
+        # per-micro-batch latencies come from the engine's progress events
+        assert len(r["trigger_ms"]) == r["micro_batches"], name
+        assert r["batch_max_ms"] >= r["batch_p50_ms"] > 0, name
+        assert r["measured"], name
+
+
+def test_fold_lanes_ran_multiple_micro_batches():
+    """The mergeable-fold lanes stream their source as n_batches=4 files
+    with maxFilesPerTrigger=1 -- their evidence must show the fold
+    actually iterated (4 micro-batches), not one availableNow gulp."""
+    lanes = _lanes()
+    for name in (
+        "stream_topk_merge",
+        "stream_quantile_merge",
+        "stream_kmv_merge",
+        "stream_corpus_dedup_merge",
+        "stream_triangle_ivm_merge",
+    ):
+        assert lanes[name]["micro_batches"] == 4, (name, lanes[name])
