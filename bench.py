@@ -498,6 +498,17 @@ ITERATIVE = [
 # ambient drift; best + 0.35 absorbs it with room, where 1.5x alone
 # would not).
 NOISE_MARGIN_SEC = 0.35
+# Round-11 re-base (VERDICT r10 item 8): the 23 lanes whose budget
+# exceeded 1.8x their committed-ledger time were re-based to 1.5x that
+# time; the 3 unbudgeted ITERATIVE lanes got budgets; and
+# dedup_minhash_lsh_pairs was re-based to its new shuffle-hash-plan best
+# (0.60 -> budget 0.90; the old broadcast plan was 2x faster at sf0.1 but
+# OOM'd the 50x corpus -- scale correctness bought with bench time, the
+# ledger documents the trade). Post-re-base Sum(budget)/Sum(time) = 1.36:
+# the 1.5x-of-best convention bounds this ratio near 1.5 by construction
+# (a lane timed exactly at best sits at 1.5), so the ratchet target is
+# "no lane's budget exceeds 2x its committed time" -- now zero such
+# lanes -- rather than an aggregate that the convention cannot reach.
 
 
 def effective_budget(name: str) -> float:
@@ -525,7 +536,7 @@ BUDGETS: dict[str, float] = {
     "ts_ks_drift": 1.15,
     "sess_user_sessions": 1.05,
     "text_quality_score": 0.95,
-    "dedup_minhash_lsh_pairs": 0.60,
+    "dedup_minhash_lsh_pairs": 0.9,
     "sim_topk_bruteforce": 0.43,
     "sim_topk_ivf": 1.15,
     "emb_neardup_pairs": 0.75,
@@ -533,15 +544,15 @@ BUDGETS: dict[str, float] = {
     "ts_calendar_features": 0.55,
     "ts_backtest_folds": 0.85,
     "text_entropy_stats": 1.50,
-    "emb_centroid_assign": 1.10,
+    "emb_centroid_assign": 0.88,
     "tpch_returned_items": 1.35,
     # round-4 additions: 1.5x idle-machine best-of-3 (2026-08-14)
     "text_pii_redaction": 1.08,
     "emb_norm_stats": 0.25,
     "sample_stratified_topk": 0.22,
     "text_packing_estimate": 0.4,
-    "text_ngram_novelty": 2.40,
-    "sample_split_assign": 0.17,
+    "text_ngram_novelty": 2.0,
+    "sample_split_assign": 0.14,
     "text_para_dedup": 0.7,
     "val_mad_outliers": 0.85,
     "ts_ewma": 1.10,
@@ -557,7 +568,7 @@ BUDGETS: dict[str, float] = {
     "text_bigram_lm_score": 4.30,
     "ts_cusum_changepoint": 1.14,
     "sess_retention_cohorts": 0.75,
-    "inc_agg_merge": 0.72,
+    "inc_agg_merge": 0.55,
     "emb_quantize_int8": 0.58,
     "rel_variant_props": 0.71,
     "val_checksum_reconciliation": 0.68,
@@ -574,12 +585,12 @@ BUDGETS: dict[str, float] = {
     "ts_rolling_z_anomaly": 2.90,
     "ts_value_histogram": 0.66,
     "ts_stl_seasonal": 0.76,
-    "rel_window_count_distinct": 0.82,
+    "rel_window_count_distinct": 0.67,
     "rel_corr_covar": 0.57,
     "rel_merge_upsert": 0.77,
     "sim_recall_eval": 1.21,
     "text_bm25_topk": 0.88,
-    "val_benford_digits": 0.47,
+    "val_benford_digits": 0.39,
     "rel_skyline_pareto": 0.63,
     "sess_markov_transitions": 0.77,
     "text_zipf_slope": 0.43,
@@ -591,7 +602,7 @@ BUDGETS: dict[str, float] = {
     "rel_tombstone_read": 0.64,
     "ts_hierarchical_reconcile": 0.53,
     "rel_salted_skew_join": 0.58,
-    "sim_halfdim_overlap": 0.8,  # r8 noise-floor headroom: sub-second lane flapped at 0.69/0.72 vs the 1.5x-best 0.65
+    "sim_halfdim_overlap": 0.63,  # r8 noise-floor headroom: sub-second lane flapped at 0.69/0.72 vs the 1.5x-best 0.65
     "val_referential_integrity": 0.59,
     "val_pk_uniqueness": 0.7,
     "emb_mahalanobis_outliers": 1.11,
@@ -604,7 +615,7 @@ BUDGETS: dict[str, float] = {
     "ts_peak_stats": 0.78,
     "ts_load_factor": 0.44,
     "rel_order_value_gini": 1.16,
-    "dedup_lsh_bucket_histogram": 1.90,
+    "dedup_lsh_bucket_histogram": 1.55,
     "dedup_lsh_recall_eval": 1.51,
     # graph lanes time the fully-lazy plan (scoped cache off in bench):
     # pagerank's 3 unrolled iterations and the triangle wedge join
@@ -632,10 +643,10 @@ BUDGETS: dict[str, float] = {
     "graph_bfs_reachability": 4.42,
     "emb_contrastive_triplets": 1.46,
     "ts_pi_coverage": 0.77,
-    "val_monotonic_event_ids": 0.80,
+    "val_monotonic_event_ids": 0.62,
     "rel_cohort_ltv": 1.08,
     "rel_basket_lift": 2.23,
-    "sample_temperature_mix": 0.33,
+    "sample_temperature_mix": 0.27,
     # r10 re-base: the hour-cap row_number window (shared with the other
     # co-occurrence lanes) lifted the quiet best 0.73 -> 0.844; 1.5x that
     "graph_assortativity": 1.27,
@@ -661,7 +672,7 @@ BUDGETS: dict[str, float] = {
     "ts_theilsen_trend": 0.49,
     "ts_gap_fill_interp": 0.75,
     "text_chunk_overlap": 0.51,
-    "ts_w1_drift": 1.00,
+    "ts_w1_drift": 0.69,
     "rel_purchase_gap_stats": 0.95,
     "sess_touch_attribution": 0.80,
     "val_volume_anomaly_days": 0.55,
@@ -671,7 +682,7 @@ BUDGETS: dict[str, float] = {
     "rel_abc_classification": 0.78,
     "sess_entropy_rate": 0.90,
     "rel_km_repurchase": 0.91,
-    "ts_hurst_rs": 1.18,
+    "ts_hurst_rs": 0.97,
     "ts_pinball_loss": 0.97,
     # r7: deciles moved to ntile_by_edges (boundary jobs at build ->
     # ITERATIVE wall-clock; first quiet best-of-2 was 1.88). r8 re-base:
@@ -679,14 +690,14 @@ BUDGETS: dict[str, float] = {
     # was a cold first measurement, superseded
     "rel_decile_lift": 1.5,
     "ts_ljung_box": 1.19,
-    "rel_bitmap_overlap": 0.62,
+    "rel_bitmap_overlap": 0.5,
     "ts_granger_lag1": 0.52,
     "ts_spectral_flatness": 0.65,
     "val_cramers_v": 0.54,
     "rel_price_volume_mix": 0.99,
     # first-measured under a concurrent full-bench run: extra headroom
     "sess_next_pred_accuracy": 1.62,
-    "sample_token_budget_plan": 1.13,
+    "sample_token_budget_plan": 0.86,
     "emb_kmeans_step": 1.31,
     "sess_lifecycle_states": 0.65,
     "graph_modularity": 2.00,
@@ -706,7 +717,7 @@ BUDGETS: dict[str, float] = {
     "text_boilerplate_share": 0.6,
     "text_negative_sampling_dist": 0.45,
     "rel_discount_elasticity": 0.90,
-    "graph_reciprocity": 0.80,
+    "graph_reciprocity": 0.65,
     "rel_holiday_lift": 0.51,
     # stats7 batch: 1.5x idle-machine best-of-3 (2026-08-15)
     "ts_max_drawdown": 0.62,
@@ -748,7 +759,7 @@ BUDGETS: dict[str, float] = {
     "graph_label_propagation": 0.25,
     # r7 reshape to posexplode+codegen (was 4.43 HOF form); r8 trained
     # codebook re-measured warm best 1.70 -> 1.5x
-    "emb_pq_assign": 2.55,
+    "emb_pq_assign": 1.96,
     "mm_scene_change": 0.43,
     "text_ndcg_eval": 1.35,
     "layout_zonemap_pruning": 5.95,
@@ -774,19 +785,19 @@ BUDGETS: dict[str, float] = {
     "emb_pq_train_curve": 5.75,
     # round-8b lanes: 1.5x warm best-of-3 at sf0.1 (1.18 / 2.09 / 0.70 /
     # 1.26 / 4.74)
-    "rel_scd2_merge": 1.80,
-    "text_span_dedup": 3.15,
-    "text_quality_gopher": 1.05,
-    "sim_int8_recall": 1.90,
+    "rel_scd2_merge": 1.23,
+    "text_span_dedup": 2.18,
+    "text_quality_gopher": 0.86,
+    "sim_int8_recall": 1.38,
     "layout_bloom_pruning": 4.57,
     "inc_kmv_distinct_merge": 0.85,
     # batch 3: 1.5x warm best-of-3 at sf0.1 (0.97 / 0.56 / 2.46)
     "inc_ridge_moments_merge": 1.45,
-    "val_snapshot_diff": 0.85,
+    "val_snapshot_diff": 0.7,
     "text_span_dedup_impact": 3.70,
     # batch 4: 1.5x warm best-of-3 at sf0.1 (2.83 / 0.42)
     "graph_ppr_unrolled": 4.25,
-    "ts_coincidence_factor": 0.65,
+    "ts_coincidence_factor": 0.54,
     # round-9 additions: 1.5x warm best-of-3 at sf0.1 (2026-08-16)
     "corpus_prep_inc_batch": 14.55,  # 1.5x warm best-of-3 9.70 (state+merge, 2 CC fixpoints)
     # (a second ambient-drift pass re-based 15 more marginal sub-second
@@ -848,7 +859,7 @@ BUDGETS: dict[str, float] = {
     "text_tfidf_top_terms": 1.16,
     "dedup_tokenset_groups": 0.34,
     "dedup_simhash_codes": 0.46,
-    "sim_topk_lsh": 0.68,
+    "sim_topk_lsh": 0.54,
     "tpch_min_balance_supplier": 0.31,
     "tpch_significant_parts": 1.65,
     "tpch_top_supplier": 0.62,
@@ -892,6 +903,11 @@ BUDGETS: dict[str, float] = {
     "ts_week_spine_rcte": 0.61,
     "corpus_prep_e2e": 7.88,
     "dedup_semantic_clusters": 2.23,
+    # Round-11: the last three unbudgeted ITERATIVE lanes (predated
+    # per-lane budgets) get the standard 1.5x committed-ledger best.
+    "dedup_clusters": 2.37,
+    "dedup_keep_best": 2.32,
+    "dedup_semantic_clusters_scale": 4.78,
 }
 
 
