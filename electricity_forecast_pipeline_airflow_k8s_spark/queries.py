@@ -28,77 +28,28 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-10 window (--oldest-first fill,
-# VERDICT r9 item 2): the 13 changed/new lanes lead -- the new
-# stream_triangle_ivm_merge (the same maintenance through real
-# Structured Streaming -- each triangle counted when its LAST edge
-# arrives, any batch order), inc_triangle_estimate_merge (incremental
-# maintenance of the sampled triangle count, role-decomposed delta
-# hash-equal to scratch),
-# graph_triangle_estimate (DOULION sampled triangles -- the exact lane
-# ENOSPC'd at 10x) and dedup_semantic_clusters_scale (adaptive-LSH
-# planted-dup scale twin),
-# inc_ridge_moments_merge (exact decimal moment grid),
-# corpus_prep_inc_batch (empty-input guard), text_repetition_stats
-# (ADVICE r9 re-proof), and the six co-occurrence graph lanes that now
-# share the per-hour cap (kcore/triangles/link-pred/BFS/assortativity
-# capped this round after the 10x scale ledger flagged the uncapped
-# builders; sssp refactored onto the shared helper) -- then the 2
-# rows-only ML lanes (now also numpy-value-verified in the sweep), then
-# every proven lane strictly by evidence age: the remaining 35 slots are
-# all round-1/2 evidence (>= the 35 stale re-proofs the verdict asked
-# for). Regenerate with tools/rotate_window.py --oldest-first.
+# registration order per round). Round-11 window (--oldest-first fill,
+# tools/rotate_window.py): the 9 lanes whose plan changed this round
+# lead -- the six minhash-path lanes (the 50x scale ledger caught the
+# static planner broadcasting the corpus-sized shingle table in the
+# verify joins; now pinned shuffle_hash, operators/dedup.py) and the
+# three corpus-pipeline lanes that compose them -- then the 2 rows-only
+# ML lanes (NumPy-value-verified in the sweep channel,
+# BENCH_LEDGER/verify_sweep.json), then every proven lane strictly by
+# evidence age (the remaining r2-era evidence refreshes first).
+# Regenerate with tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    "stream_triangle_ivm_merge",
-    "inc_triangle_estimate_merge",
-    "graph_triangle_estimate",
-    "dedup_semantic_clusters_scale",
-    "inc_ridge_moments_merge",  # last green r8
-    "corpus_prep_inc_batch",  # last green r9
-    "text_repetition_stats",  # last green r3
-    "graph_kcore",  # last green r6
-    "graph_triangle_count",  # last green r7
-    "graph_link_prediction",  # last green r9
-    "graph_bfs_reachability",  # last green r9
-    "graph_assortativity",  # last green r9
-    "graph_sssp_weighted",  # last green r7
+    "dedup_minhash_lsh_pairs",  # last green r8
+    "dedup_clusters",  # last green r8
+    "dedup_keep_best",  # last green r8
+    "inc_minhash_new_batch",  # last green r8
+    "dedup_lsh_recall_eval",  # last green r8
+    "dedup_lsh_bucket_histogram",  # last green r7
+    "corpus_prep_e2e",  # last green r9
+    "corpus_prep_inc_batch",  # last green r10
+    "stream_corpus_dedup_merge",  # last green r9
     "ml_forecast_next",
     "ml_train_eval_metrics",
-    "val_dup_count",  # last green r1
-    "val_value_stats",  # last green r1
-    "val_summary",  # last green r1
-    "val_grouped_stats",  # last green r1
-    "val_top_group",  # last green r1
-    "val_distinct_groups",  # last green r1
-    "val_dup_rows",  # last green r1
-    "rel_shipping_priority",  # last green r1
-    "rel_nation_revenue",  # last green r1
-    "rel_semi_join",  # last green r1
-    "rel_anti_join",  # last green r1
-    "rel_topk_orders",  # last green r1
-    "rel_set_ops",  # last green r1
-    "rel_rollup",  # last green r1
-    "rel_cube",  # last green r1
-    "rel_window_rank",  # last green r1
-    "rel_date_functions",  # last green r1
-    "rel_string_functions",  # last green r1
-    "rel_json_extract",  # last green r1
-    "rel_range_join",  # last green r1
-    "rel_sql_exists_priority",  # last green r1
-    "rel_sql_above_nation_avg",  # last green r1
-    "rel_outer_join_counts",  # last green r1
-    "rel_pivot_status_priority",  # last green r1
-    "rel_grouping_sets",  # last green r1
-    "rel_regex_extract",  # last green r1
-    "rel_union_pages",  # last green r1
-    "rel_promo_share",  # last green r1
-    "rel_part_brand_stats",  # last green r1
-    "rel_window_analytic",  # last green r1
-    "rel_events_by_segment",  # last green r1
-    "ts_moving_avg_1h",  # last green r1
-    "val_domain_violations",  # last green r2
-    "val_extreme_gate",  # last green r2
-    "rel_math_functions",  # last green r2
     "stream_windowed_stats",  # last green r2
     "text_token_stats",  # last green r2
     "text_quality_score",  # last green r2
@@ -299,7 +250,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_peak_stats",  # last green r7
     "ts_load_factor",  # last green r7
     "rel_order_value_gini",  # last green r7
-    "dedup_lsh_bucket_histogram",  # last green r7
     "graph_pagerank",  # last green r7
     "stream_upsert_replay_state",  # last green r7
     "stream_kmv_merge",  # last green r8
@@ -322,12 +272,7 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sim_ivfpq_recall",  # last green r8
     "ml_forecast_next_lag1",  # last green r8
     "ml_invariants",  # last green r8
-    "dedup_minhash_lsh_pairs",  # last green r8
-    "inc_minhash_new_batch",  # last green r8
-    "dedup_clusters",  # last green r8
-    "dedup_keep_best",  # last green r8
     "dedup_ngram_jaccard_pairs",  # last green r8
-    "dedup_lsh_recall_eval",  # last green r8
     "sess_cogroup_hour_corr",  # last green r8
     "ts_time_weighted_avg",  # last green r8
     "ts_minmax_downsample",  # last green r8
@@ -346,8 +291,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "inc_agg_merge",  # last green r8
     "val_drift_chi2",  # last green r8
     "val_monotonic_event_ids",  # last green r8
-    "corpus_prep_e2e",  # last green r9
-    "stream_corpus_dedup_merge",  # last green r9
     "ml_forecast_next_lag1_h3",  # last green r9
     "text_quality_gopher",  # last green r9
     "dedup_containment_pairs",  # last green r9
@@ -390,6 +333,53 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_ewma",  # last green r9
     "ts_gap_fill_locf",  # last green r9
     "stream_quantile_merge",  # last green r9
+    "stream_triangle_ivm_merge",  # last green r10
+    "inc_triangle_estimate_merge",  # last green r10
+    "graph_triangle_estimate",  # last green r10
+    "dedup_semantic_clusters_scale",  # last green r10
+    "inc_ridge_moments_merge",  # last green r10
+    "text_repetition_stats",  # last green r10
+    "graph_kcore",  # last green r10
+    "graph_triangle_count",  # last green r10
+    "graph_link_prediction",  # last green r10
+    "graph_bfs_reachability",  # last green r10
+    "graph_assortativity",  # last green r10
+    "graph_sssp_weighted",  # last green r10
+    "val_dup_count",  # last green r10
+    "val_value_stats",  # last green r10
+    "val_summary",  # last green r10
+    "val_grouped_stats",  # last green r10
+    "val_top_group",  # last green r10
+    "val_distinct_groups",  # last green r10
+    "val_dup_rows",  # last green r10
+    "rel_shipping_priority",  # last green r10
+    "rel_nation_revenue",  # last green r10
+    "rel_semi_join",  # last green r10
+    "rel_anti_join",  # last green r10
+    "rel_topk_orders",  # last green r10
+    "rel_set_ops",  # last green r10
+    "rel_rollup",  # last green r10
+    "rel_cube",  # last green r10
+    "rel_window_rank",  # last green r10
+    "rel_date_functions",  # last green r10
+    "rel_string_functions",  # last green r10
+    "rel_json_extract",  # last green r10
+    "rel_range_join",  # last green r10
+    "rel_sql_exists_priority",  # last green r10
+    "rel_sql_above_nation_avg",  # last green r10
+    "rel_outer_join_counts",  # last green r10
+    "rel_pivot_status_priority",  # last green r10
+    "rel_grouping_sets",  # last green r10
+    "rel_regex_extract",  # last green r10
+    "rel_union_pages",  # last green r10
+    "rel_promo_share",  # last green r10
+    "rel_part_brand_stats",  # last green r10
+    "rel_window_analytic",  # last green r10
+    "rel_events_by_segment",  # last green r10
+    "ts_moving_avg_1h",  # last green r10
+    "val_domain_violations",  # last green r10
+    "val_extreme_gate",  # last green r10
+    "rel_math_functions",  # last green r10
 )
 
 
