@@ -501,10 +501,10 @@ NOISE_MARGIN_SEC = 0.35
 # Round-11 re-base (VERDICT r10 item 8): the 23 lanes whose budget
 # exceeded 1.8x their committed-ledger time were re-based to 1.5x that
 # time; the 3 unbudgeted ITERATIVE lanes got budgets; and
-# dedup_minhash_lsh_pairs was re-based to its new shuffle-hash-plan best
-# (0.60 -> budget 0.90; the old broadcast plan was 2x faster at sf0.1 but
-# OOM'd the 50x corpus -- scale correctness bought with bench time, the
-# ledger documents the trade). Post-re-base Sum(budget)/Sum(time) = 1.36:
+# dedup_minhash_lsh_pairs was re-based to its new shuffle-hash plan
+# (solo-measured 0.60 -> budget 0.90; the r11 closing marathon then timed
+# the new plan at 0.34 -- warm parity with the old broadcast plan that
+# OOM'd the 50x corpus, so the scale fix cost nothing at bench scale). Post-re-base Sum(budget)/Sum(time) = 1.36:
 # the 1.5x-of-best convention bounds this ratio near 1.5 by construction
 # (a lane timed exactly at best sits at 1.5), so the ratchet target is
 # "no lane's budget exceeds 2x its committed time" -- now zero such
