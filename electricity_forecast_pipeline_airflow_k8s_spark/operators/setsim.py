@@ -43,24 +43,18 @@ from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import port
 from electricity_forecast_pipeline_airflow_k8s_spark.operators.text import tokens
 
 
-def _ordered_token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, s, ordered) where ``ordered`` is the distinct token set
-    sorted by the global (doc-frequency asc, token asc) total order.
+def _ordered_sets(elems: DataFrame) -> DataFrame:
+    """(id, s, ordered) from an exploded (id, tok) element stream (distinct
+    per id), where ``ordered`` is the element set sorted by the global
+    (document-frequency asc, element asc) total order.
 
     One explode + two hash aggs; the per-doc sort runs inside
     ``sort_array`` over arrays bounded by document length, never a
     global sort.
     """
-    tok = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-        )
-    )
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = elems.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tok.join(dfreq, "tok")
+        elems.join(dfreq, "tok")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("s"),
@@ -70,6 +64,19 @@ def _ordered_token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFram
             ).alias("ordered"),
         )
     )
+
+
+def _ordered_token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-set instantiation of :func:`_ordered_sets` over whitespace
+    tokens of ``text_col``."""
+    tok = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+    )
+    return _ordered_sets(tok)
 
 
 def setsim_prefix_join(
@@ -83,9 +90,38 @@ def setsim_prefix_join(
     whitespace token sets: (doc_a, doc_b, jaccard) for every unordered
     pair with Jaccard >= num/den, doc_a < doc_b.
     """
+    return _prefix_join(_ordered_token_sets(docs, id_col, text_col), num, den)
+
+
+def setsim_prefix_join_sets(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    num: int,
+    den: int,
+) -> DataFrame:
+    """EXACT Jaccard self-join at threshold num/den over PRE-BUILT element
+    sets (``set_col`` an array column whose elements are distinct per row,
+    e.g. the n-gram shingle arrays of the dedup family): (doc_a, doc_b,
+    jaccard) for every unordered pair with Jaccard >= num/den, doc_a <
+    doc_b. Rows with empty/null sets produce no pairs -- for a positive
+    threshold that is exact, since J >= t > 0 requires a shared element.
+
+    Same prefix-filtering plan as :func:`setsim_prefix_join`; only the
+    element source differs. This replaces the O(n^2) crossJoin form of the
+    shingle-Jaccard truth lane (guide §2.3/§3: shuffle keys -- the rare
+    prefix shingles -- instead of the full pair space)."""
+    elems = df.filter(F.col(set_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(set_col).alias("tok")
+    )
+    return _prefix_join(_ordered_sets(elems), num, den)
+
+
+def _prefix_join(sets: DataFrame, num: int, den: int) -> DataFrame:
+    """AllPairs/PPJoin core over (id, s, ordered) set rows."""
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
-    sets = _ordered_token_sets(docs, id_col, text_col).filter(F.col("s") > 0)
+    sets = sets.filter(F.col("s") > 0)
     # three consumers (prefix index + both verify sides) would each
     # re-tokenize and re-aggregate the corpus; persist the ordered sets so
     # the corpus-sized pass runs ONCE (the standard multi-pass-algorithm
@@ -146,7 +182,7 @@ def setsim_prefix_join(
     # funnel it through one task. A user-specified repartition is exempt
     # from AQE coalescing, so verify parallelism stays at the configured
     # shuffle width regardless of candidate byte size.
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = int(sets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(n_part, "doc_a", "doc_b")
 
     ta = sets.select(

@@ -317,14 +317,44 @@ def _top_ngram_char_frac(text_col: str, n: int) -> Column:
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import let
 
     def with_grams(grams):
-        top_expr = F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.struct(
-                    F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                    g.alias("g"),
-                ),
-            )
+        # Argmax by (count, gram) via ONE run-length scan of the SORTED
+        # gram array (round-11 optimization, guide §1.2 "per-task work"):
+        # the previous form counted each DISTINCT gram with a full-array
+        # F.filter -- O(distinct x total) interpreted-lambda compares per
+        # row (~30k for a 100-token doc, x3 n-gram widths). Sorting makes
+        # equal grams adjacent, so one O(total) pass with a constant-size
+        # accumulator recovers every gram's exact count; updating on
+        # ``run >= best_c`` while scanning in ascending gram order keeps
+        # the max-count gram with the LARGEST text on ties -- exactly the
+        # struct-max (count, gram) ordering of the old array_max form.
+        top_expr = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("c"),
+                F.lit("").alias("g"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                    >= acc["c"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                )
+                .otherwise(acc["c"])
+                .alias("c"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                    >= acc["c"],
+                    x,
+                )
+                .otherwise(acc["g"])
+                .alias("g"),
+            ),
         )
 
         def with_top(top):

@@ -143,7 +143,12 @@ FROM documents ORDER BY doc_id
 )
 def q_token_stats(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return TX.token_stats(docs).orderBy("doc_id")
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.token_stats(docs.orderBy("doc_id"))
 
 
 @register(
@@ -171,7 +176,12 @@ FROM d ORDER BY doc_id
 )
 def q_quality_score(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return TX.quality_score(docs).orderBy("doc_id")
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.quality_score(docs.orderBy("doc_id"))
 
 
 @register(
@@ -200,7 +210,12 @@ FROM hits ORDER BY doc_id
 )
 def q_lang_id(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return TX.lang_id(docs).orderBy("doc_id")
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.lang_id(docs.orderBy("doc_id"))
 
 
 @register(
@@ -399,42 +414,26 @@ ORDER BY doc_a, doc_b
 """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
-    """Brute-force verification surface for the LSH path (correctness-scale
-    only; the LSH query is the 100 TB path).
+    """Exact shingle-Jaccard pair join -- the verification surface for the
+    LSH path (dedup_minhash_lsh_pairs remains the probabilistic 100 TB
+    path; this lane is the exact ground truth it is measured against).
 
-    scale-ledger EXCLUDED by declared design: O(n^2) truth lane -- never
-    point it at a production corpus; tools/scale_bench.py EXCLUDED carries
-    the matching entry and the measured scale path is
-    dedup_minhash_lsh_pairs."""
+    Round 11 (optimization): the O(n^2) crossJoin (22.8 s at sf0.1, the
+    single biggest bench lane) became the AllPairs/PPJoin prefix-filtering
+    join over the SAME shingle sets (operators/setsim.py) -- exact by the
+    prefix-filtering principle, so the result set is bit-identical (the
+    DuckDB oracle still brute-forces all pairs). The jaccard value is the
+    same integer ratio i/(sa+sb-i) the crossJoin computed via
+    array_intersect/array_union (shingle arrays are distinct by
+    construction), rounded by the identical floor(x*1e4+0.5)/1e4."""
     docs = table(spark, "documents", sf_dir)
     sh = docs.select("doc_id", DD.shingles("text").alias("s"))
-    # repartition the left side: a 1x1-partition crossJoin runs the whole
-    # O(n^2) pair space on ONE task (observed at sf0.1)
-    par = spark.sparkContext.defaultParallelism
-    a = sh.repartition(par).withColumnsRenamed({"doc_id": "doc_a", "s": "sa"})
-    b = sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sb"})
-    j_raw = F.try_divide(
-        F.size(F.array_intersect("sa", "sb")),
-        F.size(F.array_union("sa", "sb")),
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.setsim import (
+        setsim_prefix_join_sets,
     )
-    # size-ratio prefilter: jaccard >= t implies min(|a|,|b|)/max(|a|,|b|)
-    # >= t, so pairs failing the cheap size check can never pass -- prunes
-    # most of the O(n^2) space before any array intersection
-    ratio_ok = (F.size("sa") * 2 >= F.size("sb")) & (F.size("sb") * 2 >= F.size("sa"))
-    return (
-        a.crossJoin(b)
-        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-        .select("doc_a", "doc_b", j_raw.alias("j_raw"))
-        # threshold on the RAW ratio (the oracle filters raw); round only
-        # for output -- the same [0.49995, 0.5) boundary rule as the
-        # minhash queries (ADVICE r7)
-        .filter(F.col("j_raw") >= 0.5)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(F.col("j_raw") * 10000 + 0.5) / 10000).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
+
+    return setsim_prefix_join_sets(sh, "doc_id", "s", num=1, den=2).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -736,7 +735,12 @@ FROM documents ORDER BY doc_id
 )
 def q_bpe_token_estimate(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return TX.bpe_token_estimate(docs).orderBy("doc_id")
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.bpe_token_estimate(docs.orderBy("doc_id"))
 
 
 # -- rolling-hash (winnowing) fingerprints, flat digest output --------------
@@ -835,7 +839,13 @@ ORDER BY doc_id
 @register("text_repetition_stats", oracle=_REP_ORACLE)
 def q_repetition_stats(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    return TX.repetition_stats(docs).orderBy("doc_id")
+    # Sort the NARROW input, project after (round-11, guide §2.4): a final
+    # orderBy over the expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the whole projection a
+    # second time (no shuffle below it to reuse) -- measured +1.4 s of the
+    # lane's 3.1 s at sf0.1. doc_id is unique, so sorting first and
+    # projecting after yields the identical global order.
+    return TX.repetition_stats(docs.orderBy("doc_id"))
 
 
 # -- PII detection counts ---------------------------------------------------
@@ -874,8 +884,13 @@ def q_pii_stats(spark: SparkSession, sf_dir: str):
         F.when(d % 7 == 0, F.concat(F.lit(" see https://example.org/d/"), d.cast("string"))).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.concat(F.lit(" call +1555"), (d + 1000000).cast("string"))).otherwise(F.lit("")),
     )
-    docs = table(spark, "documents", sf_dir).withColumn("text", aug)
-    return TX.pii_stats(docs).orderBy("doc_id")
+    docs = table(spark, "documents", sf_dir).orderBy("doc_id").withColumn("text", aug)
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.pii_stats(docs)
 
 
 # -- deterministic hash sampling / source mixing ----------------------------
@@ -1142,8 +1157,13 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str):
         F.when(d % 7 == 0, F.concat(F.lit(" see https://example.org/d/"), d.cast("string"))).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.concat(F.lit(" call +1555"), (d + 1000000).cast("string"))).otherwise(F.lit("")),
     )
-    docs = table(spark, "documents", sf_dir).withColumn("text", aug)
-    return TX.redact_pii(docs).orderBy("doc_id")
+    docs = table(spark, "documents", sf_dir).orderBy("doc_id").withColumn("text", aug)
+    # round-11: sort the narrow scan FIRST, project after -- the final
+    # orderBy over an expensive per-row projection makes the range
+    # partitioner's boundary-sampling job evaluate the projection twice
+    # (no shuffle below to reuse); doc_id is unique so the global order
+    # is identical (see text_repetition_stats, OPTIMIZATION_r11.md).
+    return TX.redact_pii(docs)
 
 
 # -- per-label embedding norm profile (round 4) -----------------------------
@@ -3538,7 +3558,11 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str):
     kmax = F.floor(
         (F.greatest(F.col("n") - C, F.lit(0)) + (S - 1)) / S
     ).cast("int")
-    ks = base.select(
+    # round-11: the global sort runs on the NARROW token frame before the
+    # explode+md5 projection (sampling-job double-evaluation fix, see
+    # OPTIMIZATION_r11.md); explode emits k ascending within each row, so
+    # (doc_id asc, chunk_id asc) global order is preserved exactly.
+    ks = base.orderBy("doc_id").select(
         "doc_id", "t", "n", F.explode(F.sequence(F.lit(0), kmax)).alias("k")
     )
     start = F.col("k") * S + 1
@@ -3549,7 +3573,7 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str):
         start.cast("int").alias("start_pos"),
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 # -- binary-embedding Hamming top-k ------------------------------------------
