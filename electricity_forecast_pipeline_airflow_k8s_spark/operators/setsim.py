@@ -68,13 +68,23 @@ def _ordered_sets(elems: DataFrame) -> DataFrame:
 
 def _ordered_token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token-set instantiation of :func:`_ordered_sets` over whitespace
-    tokens of ``text_col``."""
-    tok = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    tokens of ``text_col``.
+
+    The narrow (id, text) frame is fanned out BEFORE the tokenize+explode
+    projection (round-11, guide §2.5): a single-row-group input arrives
+    as one scan partition, which serialized the whole tokenization onto
+    one core; at real scale the fanout is a no-op."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    base = fanout(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_t")
         )
+    )
+    tok = base.select(
+        "id", F.explode(F.array_distinct(tokens("_t"))).alias("tok")
     )
     return _ordered_sets(tok)
 

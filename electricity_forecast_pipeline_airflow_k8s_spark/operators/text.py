@@ -532,13 +532,21 @@ def fuzzy_prefix_pairs(
     d = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], norm.alias("_p")
     )
-    a = d.alias("a")
+    # round-11 (guide §2.5 input skew): the probe side inherits the SCAN's
+    # partitioning, and a small corpus arrives as ONE split -- the whole
+    # pair DP then runs on a single task (measured: the join+levenshtein
+    # stage was single-threaded at sf0.1). Spread the probe side to the
+    # cluster's parallelism; round-robin repartition of the narrow
+    # (id, blocks, prefix) projection moves only bytes-per-doc, and at
+    # real scale (many input splits) this exchange is moot-cost insurance.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = d.repartition(par).alias("a")
     b = d.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -548,6 +556,17 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("edit_distance") <= max_distance)
     )
+    # round-11 (guide §1.2): a LAZY lineage barrier on the survivor set.
+    # Catalyst pushes the edit-distance filter into the join condition, so
+    # the whole O(prefix_len^2)-per-pair DP sits below the caller's final
+    # orderBy -- and the range partitioner's boundary-sampling job then
+    # re-executes the join + DP a second time (measured: the sort tripled
+    # the lane, 3.0 s -> 6.1 s at sf0.1). Survivors are the DEDUP-PAIR
+    # output, orders of magnitude smaller than the candidate space (4.5 k
+    # rows vs 318 k candidates at sf0.1), so materializing them once is
+    # cheap at any scale; eager=False keeps the compute inside the first
+    # action (nothing runs at plan-build time -- honest bench timing).
+    return out.localCheckpoint(eager=False)
 
 
 def bigram_lm_score(
@@ -574,9 +593,20 @@ def bigram_lm_score(
     bigrams = F.expr(
         "transform(sequence(1, length(_t) - 1), i -> substring(_t, i, 2))"
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
     bi = (
-        df.select(F.col(id_col), F.lower(text_col).alias("_t"))
-        .filter(F.length("_t") >= 2)
+        # round-11 (guide §2.5): fan the narrow (id, text) frame out before
+        # the corpus-sized explode -- a single-row-group input otherwise
+        # runs the whole bigram expansion + map-side partial agg on one
+        # core; no-op at real scale (many input splits).
+        fanout(
+            df.select(F.col(id_col), F.lower(text_col).alias("_t")).filter(
+                F.length("_t") >= 2
+            )
+        )
         .select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))

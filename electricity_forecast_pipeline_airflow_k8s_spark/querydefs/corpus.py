@@ -208,10 +208,26 @@ def corpus_prep_stages(
     stage's text work per consumer -- the multi-stage corpus pipeline's
     write-manifest-between-stages discipline, with only id-sized state
     carried forward."""
-    docs = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    # round-11 (guide §2.5 input skew): the fixture arrives as ONE parquet
+    # row group -> one scan task, serializing every stage's per-doc text
+    # work (gopher flags, fingerprints, minhash signatures) onto a single
+    # core; fan the narrow base frame out once, all stages inherit it. At
+    # real scale (many splits) fanout is a no-op.
+    docs = fanout(
+        table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    )
 
     def manifest(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", "source").localCheckpoint(eager=True)
+        # round-11: LAZY checkpoint (guide §2.6/§5) -- still a lineage cut
+        # with block reuse across consumers, but materialized inside the
+        # consuming job instead of one sequential build-time job per
+        # stage, so independent stage branches share a DAG and the
+        # scheduler overlaps them.
+        return df.select("doc_id", "source").localCheckpoint(eager=False)
 
     # stage 1: Gopher quality gate (the six content-shape rules;
     # _E2E_GATE_FLAGS explains the stop-word exclusion)
@@ -526,7 +542,17 @@ def _bands_of(docs) -> DataFrame:
 def q_corpus_prep_inc_batch(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
-    docs = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    # round-11 (guide §2.5): same single-row-group fanout as
+    # corpus_prep_stages -- state build AND merge both do per-doc text
+    # work (signatures, shingles, gopher flags) that otherwise runs on
+    # one scan task.
+    docs = fanout(
+        table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    )
     max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     # Empty documents table => max() is NULL; cut at 0 so both halves are
     # empty frames and the lane degrades to an empty count result instead
@@ -536,7 +562,11 @@ def q_corpus_prep_inc_batch(spark: SparkSession, sf_dir: str):
     batch = docs.filter(F.col("doc_id") >= b_cut)
 
     def ck(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+        # round-11: lazy for the same §2.6 reason as corpus_prep_stages'
+        # manifest() -- the CC fixpoints' convergence counts force the
+        # upstream segments anyway; everything else materializes inside
+        # the consuming job with inter-branch parallelism.
+        return df.localCheckpoint(eager=False)
 
     # ---- state: yesterday's pipeline run over the old corpus -------------
     st_gated = ck(_gate_ids(old))
