@@ -44,6 +44,19 @@ _ITERS = 3
 _SSSP_HOUR_CAP = 256
 
 
+def _reuse(df, scoped: bool):
+    """Mark a multiply-referenced frame for reuse. Scoped sessions (the
+    default) persist -- the builder releases the cache before returning.
+    Bench's lazy-bracket mode (SPARK_GRAFT_SCOPED_CACHE=0) used to leave
+    the frame bare, so every downstream leg re-derived the whole subtree
+    (graph_triangle_count's plan held 290 Exchanges). A LAZY
+    localCheckpoint keeps the bracket honest -- nothing runs at build
+    time -- while the first timed action materializes the blocks once and
+    every leg reads them; lineage truncation also collapses the plan
+    (round-11, guide §2.4/§5)."""
+    return df.persist() if scoped else df.localCheckpoint(eager=False)
+
+
 def _cap_hours(ev):
     """Bound the quadratic per-hour co-occurrence pair build: keep the
     _SSSP_HOUR_CAP (256) smallest user_ids per hour bucket (deterministic
@@ -139,8 +152,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str):
     # re-derives from this tiny table, not the fact scan). Bench mode
     # (SPARK_GRAFT_SCOPED_CACHE=0) keeps the plan fully lazy so the
     # timer brackets the complete recompute.
-    if scoped:
-        edges = edges.persist()
+    edges = _reuse(edges, scoped)
     outdeg = edges.groupBy("u").agg(F.sum("c").alias("tot"))
     w = edges.join(outdeg, "u").select(
         "u", "v", F.expr(f"(c * {_P_SCALE}) div tot").alias("p_fp")
@@ -285,8 +297,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
     # the distinct edge list feeds degree, orientation (both wedge sides),
     # the closing join, and the edge count — persist it so the expensive
     # co-occurrence self-join runs ONCE (lazy in bench mode, as above)
-    if scoped:
-        edges = edges.persist()
+    edges = _reuse(edges, scoped)
     deg = (
         edges.select(F.col("ua").alias("n"))
         .union(edges.select(F.col("ub").alias("n")))
@@ -429,8 +440,7 @@ def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
         .select(F.col("a.user_id").alias("ua"), F.col("c.user_id").alias("ub"))
         .distinct()
     )
-    if scoped:
-        edges = edges.persist()
+    edges = _reuse(edges, scoped)
     keep = (
         F.substring(
             F.md5(
@@ -443,9 +453,7 @@ def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
         )
         <= "1"
     )
-    sampled = edges.filter(keep)
-    if scoped:
-        sampled = sampled.persist()
+    sampled = _reuse(edges.filter(keep), scoped)
     # same degree-ordered orientation as the exact lane, on the sample
     deg = (
         sampled.select(F.col("ua").alias("n"))
@@ -586,8 +594,9 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str):
     )
     import os
 
-    if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":
-        edges = edges.persist()
+    edges = _reuse(
+        edges, os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    )
     und = edges.select(F.col("ua").alias("v"), F.col("ub").alias("n")).unionAll(
         edges.select(F.col("ub").alias("v"), F.col("ua").alias("n"))
     )
@@ -1049,12 +1058,15 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("sh"))
     )
     w = F.greatest(F.lit(1), (F.lit(100) / F.col("sh")).cast("long"))
-    edges = (
+    import os as _os
+
+    _scoped = _os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    edges = _reuse(
         e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), w.alias("w"))
         .unionAll(
             e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), w.alias("w"))
-        )
-        .persist()
+        ),
+        _scoped,
     )
     src = e0.agg(F.min("ua").alias("v")).select(
         "v", F.lit(0).cast("bigint").alias("dist")
@@ -1182,16 +1194,16 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str):
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("sh"))
     )
-    edges = (
-        e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), "sh")
-        .unionAll(e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), "sh"))
-        .persist()
-    )
     import os
 
     from electricity_forecast_pipeline_airflow_k8s_spark.operators.dedup import _cut_lineage
 
     scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    edges = _reuse(
+        e0.select(F.col("ua").alias("u"), F.col("ub").alias("v"), "sh")
+        .unionAll(e0.select(F.col("ub").alias("u"), F.col("ua").alias("v"), "sh")),
+        scoped,
+    )
     labels = edges.select(F.col("u").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
@@ -1329,8 +1341,7 @@ def q_graph_ppr_unrolled(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("event_type").alias("u"), "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    if scoped:
-        edges = edges.persist()
+    edges = _reuse(edges, scoped)
     outdeg = edges.groupBy("u").agg(F.sum("c").alias("tot"))
     w = edges.join(outdeg, "u").select(
         "u", "v", F.expr(f"(c * {_P_SCALE}) div tot").alias("p_fp")

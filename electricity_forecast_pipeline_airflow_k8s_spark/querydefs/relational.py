@@ -602,10 +602,19 @@ def q_range_join(spark: SparkSession, sf_dir: str):
         .filter(F.col("o_orderkey") <= 200)
         .select("o_orderkey", "o_orderdate")
     )
-    ev = table(spark, "events", sf_dir).select("event_id", "ts")
-    cond = (ev.ts >= o.o_orderdate) & (ev.ts < F.date_add(o.o_orderdate, 1))
+    # round-11 (guide §3.1): the [o_orderdate, o_orderdate + 1 day)
+    # interval is exactly one CALENDAR day, so "ts inside the interval"
+    # is equivalent to to_date(ts) == o_orderdate (NULL ts matches
+    # nothing on both formulations). The theta self-predicate forced a
+    # BroadcastNestedLoopJoin -- every event row compared against all
+    # 200 order rows on one core; the derived-column equi-join hashes
+    # instead, and at 100 TB it is the difference between O(|events| x
+    # |orders|) and O(|events|).
+    ev = table(spark, "events", sf_dir).select(
+        "event_id", F.to_date("ts").alias("ts_day")
+    )
     return (
-        o.join(ev, cond, "left")
+        o.join(ev, o.o_orderdate == ev.ts_day, "left")
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events"))
         .orderBy("o_orderkey")

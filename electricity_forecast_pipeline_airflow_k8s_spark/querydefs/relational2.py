@@ -225,7 +225,19 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_approx(spark: SparkSession, sf_dir: str):
     # flat scalar output only: array columns are not sortable/hashable by
     # the driver's pandas canonicalizer
-    ev = table(spark, "events", sf_dir)
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    # round-11 (guide §2.5): the single-row-group scan ran ALL the partial
+    # aggregation (exact-percentile value buffers, HLL, KLL sketches) on
+    # one core. Fan the narrow projection out so partials build in
+    # parallel; exact counts/percentiles are partition-invariant, HLL
+    # merges are register-wise max (order-free), and the approx sketches
+    # only feed the envelope booleans. No-op at real scale.
+    ev = fanout(
+        table(spark, "events", sf_dir).select("event_type", "user_id", "value")
+    )
     aqs = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)))
     eqs = F.percentile("value", F.array(*[F.lit(x) for x in (0.4, 0.5, 0.6, 0.97)]))
     agg = ev.groupBy("event_type").agg(

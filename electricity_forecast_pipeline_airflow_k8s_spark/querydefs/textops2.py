@@ -411,16 +411,28 @@ def containment_pairs(docs):
     frame -- the inverted-index posting join with the _CONT_DF_CAP
     stop-shingle guard (the lane body, parametrized so the 10x stress can
     drive it on a boilerplate-injected corpus)."""
-    sh = docs.select("doc_id", DD.shingles("text").alias("s")).filter(
-        F.size("s") > 0
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
     )
+
+    # round-11 (guide §2.5): fan the narrow (doc_id, text) frame out
+    # before the shingle build -- a single-row-group input ran the whole
+    # shingle explode on one core; no-op at real scale.
+    sh = fanout(docs.select("doc_id", "text")).select(
+        "doc_id", DD.shingles("text").alias("s")
+    ).filter(F.size("s") > 0)
     ex0 = sh.select("doc_id", F.explode("s").alias("sg"))
     # stop-shingle cap: document frequency over the distinct-per-doc
     # shingle stream (shingles() emits distinct shingles per doc)
     keep = ex0.groupBy("sg").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _CONT_DF_CAP
     )
-    ex = ex0.join(keep.select("sg"), "sg")
+    # round-11 (guide §2.4/§5): the capped posting list feeds sizes AND
+    # both sides of the pair join -- without a lineage cut each reference
+    # re-derives the shingle explode + DF-cap join (3 more corpus passes).
+    # LAZY localCheckpoint: materializes once inside the first action
+    # (honest bench bracket), every consumer reads the stored blocks.
+    ex = ex0.join(keep.select("sg"), "sg").localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # shared-shingle counts computed UNDIRECTED (a < b) -- half the join
     # output -- then both orientations emitted from the tiny pair frame

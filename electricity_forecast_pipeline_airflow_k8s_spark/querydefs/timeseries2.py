@@ -172,18 +172,39 @@ def q_ts_rolling_z_anomaly(spark: SparkSession, sf_dir: str):
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .select("event_type", "ts", "event_id", "value")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-48, -1)
-    )
+    # round-11 (guide §1.2 per-task work): Spark's SlidingWindowFunctionFrame
+    # re-aggregates the whole 48-row buffer for EVERY row (aggregates have
+    # no retract op), so the three [-48, -1] frames cost O(48) per row per
+    # aggregate on the two event_type partitions. Expanding frames
+    # (UNBOUNDED PRECEDING .. k) are incremental O(1)/row, and the sliding
+    # sum equals the exact DIFFERENCE of two expanding decimal sums over
+    # disjoint segments -- decimal arithmetic is exact, so the values are
+    # bit-identical to the framed sums; the count is min(rn - 1, 48)
+    # because every row has a non-null value post-filter. Same single
+    # window pass, ~48x less inner-loop work.
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w1 = wo.rowsBetween(Window.unboundedPreceding, -1)
+    w49 = wo.rowsBetween(Window.unboundedPreceding, -49)
     dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(28,2)")
     framed = ev.select(
         "event_type",
         "value",
-        F.count("value").over(w).alias("n_w"),
-        F.sum(dec).over(w).cast("double").alias("s"),
-        F.sum(dec * dec).over(w).cast("double").alias("ssq"),
+        F.least(F.row_number().over(wo) - 1, F.lit(48))
+        .cast("long")
+        .alias("n_w"),
+        (
+            F.coalesce(F.sum(dec).over(w1), zero)
+            - F.coalesce(F.sum(dec).over(w49), zero)
+        )
+        .cast("double")
+        .alias("s"),
+        (
+            F.coalesce(F.sum(dec * dec).over(w1), zero)
+            - F.coalesce(F.sum(dec * dec).over(w49), zero)
+        )
+        .cast("double")
+        .alias("ssq"),
     ).filter(F.col("n_w") >= 20)
     m = F.col("s") / F.col("n_w")
     var = F.greatest(
