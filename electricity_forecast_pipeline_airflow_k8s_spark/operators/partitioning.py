@@ -19,7 +19,25 @@ project before the exchange).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def reuse(df: DataFrame, scoped: bool | None = None) -> DataFrame:
+    """Mark a multiply-referenced frame for reuse (guide §2.4/§5).
+
+    Scoped sessions (the default) ``persist()`` -- the builder releases
+    the cache before returning where it can. Bench's lazy-bracket mode
+    (``SPARK_GRAFT_SCOPED_CACHE=0``) used to leave such frames bare, so
+    every downstream leg re-derived the whole subtree. A LAZY
+    ``localCheckpoint`` keeps the bracket honest -- nothing runs at
+    build time; the first timed action materializes the blocks once and
+    every other leg reads them -- and the lineage truncation also
+    collapses the physical plan (round-11 finding F4)."""
+    if scoped is None:
+        scoped = os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0"
+    return df.persist() if scoped else df.localCheckpoint(eager=False)
 
 
 def fanout(df: DataFrame, num_partitions: int | None = None) -> DataFrame:

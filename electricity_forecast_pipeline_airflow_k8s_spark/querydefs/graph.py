@@ -172,10 +172,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str):
         # an unbroken lineage doubles per iteration (2^k plan copies — the
         # classic iterative-algorithm lineage explosion). In production
         # mode cap it per iteration, exactly as connected_components does
-        # (operators/dedup.py); bench mode keeps the bounded 3-iteration
-        # lazy plan so the timer sees all the work.
-        if scoped:
-            ranks = ranks.localCheckpoint(eager=True)
+        # (operators/dedup.py); bench mode cuts LAZILY (round-11 F4) --
+        # the timer still sees all the work, but each iteration's result
+        # materializes once instead of re-deriving 2x per downstream
+        # reference.
+        ranks = ranks.localCheckpoint(eager=scoped)
         inflow = (
             w.join(ranks, w.u == ranks.node)
             .groupBy(F.col("v").alias("node"))
@@ -733,7 +734,16 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
     und = edges.select(F.col("ua").alias("v"), F.col("ub").alias("n")).unionAll(
         edges.select(F.col("ub").alias("v"), F.col("ua").alias("n"))
     )
-    frontier = und.select("v").distinct().orderBy("v").limit(20)
+    # round-11: checkpoint each hop's NEW frontier/visited immediately
+    # after computing it (not at the top of the next iteration) -- the
+    # old ordering left the hop-i expansion lazy while BOTH the hop-i
+    # count legs and the hop-i+1 checkpoint re-ran it (the before-plan
+    # held 78 Exchanges of re-derived hops). Values are identical; the
+    # per-hop cut is the same checkpoint-per-hop production shape as
+    # before, just placed so each expansion runs once.
+    frontier = (
+        und.select("v").distinct().orderBy("v").limit(20)
+    ).localCheckpoint(eager=True)
     visited = frontier
     out_rows = [
         frontier.agg(F.count(F.lit(1)).alias("n_new")).crossJoin(
@@ -741,15 +751,15 @@ def q_graph_bfs_reachability(spark: SparkSession, sf_dir: str):
         ).select(F.lit(0).alias("hop"), "n_new", "n_cum")
     ]
     for i in range(1, _BFS_HOPS + 1):
-        frontier = frontier.localCheckpoint(eager=True)
-        visited = visited.localCheckpoint(eager=True)
         frontier = (
             und.join(frontier.withColumnRenamed("v", "fv"), und.v == F.col("fv"))
             .select(F.col("n").alias("v"))
             .distinct()
             .join(visited, "v", "left_anti")
-        )
-        visited = visited.unionAll(frontier.select("v")).distinct()
+        ).localCheckpoint(eager=True)
+        visited = (
+            visited.unionAll(frontier.select("v")).distinct()
+        ).localCheckpoint(eager=True)
         out_rows.append(
             frontier.agg(F.count(F.lit(1)).alias("n_new")).crossJoin(
                 visited.agg(F.count(F.lit(1)).alias("n_cum"))
@@ -1360,8 +1370,8 @@ def q_graph_ppr_unrolled(spark: SparkSession, sf_dir: str):
         .alias("r_fp"),
     )
     for _ in range(_PPR_ITERS):
-        if scoped:
-            ranks = ranks.localCheckpoint(eager=True)
+        # round-11 F4: lazy cut in bench mode (see the PageRank loop)
+        ranks = ranks.localCheckpoint(eager=scoped)
         inflow = (
             w.join(ranks, w.u == ranks.node)
             .groupBy(F.col("v").alias("node"))

@@ -92,6 +92,10 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
         ntile_by_edges,
     )
 
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
     o = table(spark, "orders", sf_dir)
     base = o.select(
         "o_orderkey",
@@ -101,6 +105,13 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
             "dd"
         ),
     )
+    # round-11 F1+F4 (guide §2.5, §2.4): the single-row-group orders scan
+    # is re-read single-task by BOTH boundary-derivation jobs AND the
+    # final plan's layout branches. Fan it out and materialize once --
+    # this lane is timed in bench's ITERATIVE wall-clock bracket (the
+    # boundary jobs run at build), so the eager checkpoint is inside the
+    # measured region.
+    base = fanout(base).localCheckpoint(eager=True)
     # two narrow boundary-derivation sorts (key columns only) + broadcast
     # edge binning on the fact -- no Window, no full-frame rank pass
     binned = ntile_by_edges(base, ["o_custkey", "o_orderkey"], k=64, tile_col="xb1")
@@ -122,6 +133,10 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("hfile"),
     )
+    # (measured: a lazy checkpoint of coded was a NET LOSS -- the bin
+    # search + Morton interleave re-evaluations it saves are cheaper
+    # than materializing the frame; re-deriving from the base blocks is
+    # the right trade, see OPTIMIZATION_r11.md layout rows)
     layouts = coded.select(
         F.lit("zorder").alias("layout"),
         F.col("zfile").alias("file_id"),
@@ -261,9 +276,18 @@ def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
         ntile_by_edges,
     )
 
-    orders = table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
     )
+
+    # round-11 F1+F4: one fanned-out materialization of the 3-column
+    # projection feeds both layouts' boundary jobs, the span agg and the
+    # final zone aggregates (ITERATIVE wall-clock bracket, see zorder)
+    orders = fanout(
+        table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+    ).localCheckpoint(eager=True)
     layouts = {
         "custkey_sorted": ["o_custkey", "o_orderkey"],
         "time_sorted": ["o_orderdate", "o_orderkey"],
@@ -403,9 +427,20 @@ def q_layout_bloom_pruning(spark: SparkSession, sf_dir: str):
         ntile_by_edges,
     )
 
-    orders = table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
     )
+
+    # round-11 F1+F4 (see zonemap): one materialized fanned-out scan
+    orders = fanout(
+        table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+    ).localCheckpoint(eager=True)
+    # (tiled feeds zones, bit sets and the truth join 3x, but measured:
+    # a lazy checkpoint of it was a net loss -- the 6-comparison bin
+    # search re-evaluated from the base blocks is cheaper than
+    # materializing 3x fewer evaluations)
     tiled = ntile_by_edges(
         orders, ["o_orderdate", "o_orderkey"], k=_BF_FILES, tile_col="f"
     ).select("f", "o_custkey")

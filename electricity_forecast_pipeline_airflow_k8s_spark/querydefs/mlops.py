@@ -19,6 +19,7 @@ from electricity_forecast_pipeline_airflow_k8s_spark.operators.timeseries import
     sequence_windows,
     tail_window,
 )
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import reuse
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import (
     portable_round,
@@ -36,7 +37,7 @@ def _windows(spark: SparkSession, sf_dir: str):
         F.col("value"),
     )
     split = chronological_split(ev, tiebreak_cols=("event_id",))
-    return sequence_windows(
+    wins = sequence_windows(
         split,
         lookback=L,
         horizon=H,
@@ -45,6 +46,11 @@ def _windows(spark: SparkSession, sf_dir: str):
         # carried so tail_window picks can tiebreak on the start row's id
         emit_cols=("event_id",),
     )
+    # round-11 F4 (guide §2.4/§5): every ML lane references the windows
+    # frame at least twice (fit_per_group + the test/latest slice), and
+    # the two sliding collect_list frames are the expensive part of the
+    # whole lane -- without a reuse mark each reference re-runs them.
+    return reuse(wins)
 
 
 # Oracle-checked ML-edge invariants (SURVEY §5.2: split sizes floor(0.7n)/
@@ -90,14 +96,22 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         F.col("event_id"),
         F.col("value"),
     )
-    split = chronological_split(ev, tiebreak_cols=("event_id",))
-    wins = sequence_windows(
-        split,
-        lookback=L,
-        horizon=H,
-        tiebreak_cols=("event_id",),
-        extra_partition_cols=("split",),
-        emit_cols=("event_id",),
+    # round-11 F4 (guide §2.4/§5): split feeds the base counts, the
+    # window build AND train_bounds; wins feeds the window counts, the
+    # fit, the test slice AND the latest-window pick (4 references --
+    # the before-plan held 14 parquet scans and 10 pandas-UDF nodes for
+    # what is one scan + one fit); params feeds the metric-pair AND
+    # forecast legs, and re-deriving it re-RUNS the grouped training.
+    split = reuse(chronological_split(ev, tiebreak_cols=("event_id",)))
+    wins = reuse(
+        sequence_windows(
+            split,
+            lookback=L,
+            horizon=H,
+            tiebreak_cols=("event_id",),
+            extra_partition_cols=("split",),
+            emit_cols=("event_id",),
+        )
     )
 
     def _n(col, val):
@@ -114,7 +128,7 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
         _n("split", "test").alias("n_test_windows"),
     )
 
-    params = fit_per_group(wins, lookback=L, horizon=H)
+    params = reuse(fit_per_group(wins, lookback=L, horizon=H))
     test = wins.filter(F.col("split") == "test").select("respondent", "x", "y")
     pairs = (
         predict_per_group(test, params)
@@ -187,7 +201,8 @@ def q_ml_invariants(spark: SparkSession, sf_dir: str):
 @register("ml_train_eval_metrics")  # rows-only: train->test metrics per group
 def q_ml_train_eval(spark: SparkSession, sf_dir: str):
     wins = _windows(spark, sf_dir)
-    params = fit_per_group(wins, lookback=L, horizon=H)
+    # F4: params is tiny but re-deriving it re-runs the grouped training
+    params = reuse(fit_per_group(wins, lookback=L, horizon=H))
     test = wins.filter(F.col("split") == "test").select("respondent", "x", "y")
     preds = predict_per_group(test, params)
     pairs = preds.select(
@@ -344,7 +359,8 @@ def q_ml_hpo(spark: SparkSession, sf_dir: str):
 @register("ml_forecast_next")  # rows-only: latest-window forecast per group
 def q_ml_forecast_next(spark: SparkSession, sf_dir: str):
     wins = _windows(spark, sf_dir)
-    params = fit_per_group(wins, lookback=L, horizon=H)
+    # F4: params is tiny but re-deriving it re-runs the grouped training
+    params = reuse(fit_per_group(wins, lookback=L, horizon=H))
     latest = tail_window(
         wins.filter(F.col("split") == "train"),
         group_col="respondent",

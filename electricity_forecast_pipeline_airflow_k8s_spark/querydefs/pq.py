@@ -147,6 +147,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 def _pq_best_frame(emb, cents, cids, extra_cols=()):
     """Per (vec_id[, extra], subspace): the argmin (d2, cid) struct over
     the codebook, distances as 1e-9-grid LONG sums."""
+    # (round-11: measured a fanout of the scan here as a NET LOSS -- the
+    # embeddings fixture scans as 8 partitions already, and the extra
+    # corpus shuffle cost more than the 8->32 parallelism bought; the
+    # training pass keeps its fanout, see _pq_train_step)
     rows = emb.select(
         "vec_id",
         *extra_cols,
@@ -343,7 +347,13 @@ def _pq_train_step(emb, cents, cids):
     tiebreak), average the assigned subvector dims, quantize to the 1e-6
     grid, carry empty clusters forward. One corpus pass + a K*M*(d/M)-
     sized collect."""
-    rows = emb.select(
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    # round-11 F1: the training pass is the same explode/agg shape as
+    # the serving passes -- spread the single-row-group scan
+    rows = fanout(emb.select("vec_id", "embedding")).select(
         "vec_id",
         F.size("embedding").alias("d"),
         F.posexplode("embedding").alias("i", "x"),
@@ -460,6 +470,8 @@ def _pq_exact_top(emb, queries_, k: int):
     (query_id, neighbor_id) for ranks <= k. Same explode/hash-agg shape
     as the codes pass: one codegen stage computes all NQ distance sums,
     the shuffle carries one combined row per vector."""
+    # (no fanout: measured a net loss on the serving passes, see
+    # _pq_best_frame)
     rows = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
     aggs = []
     for q in sorted(queries_):
@@ -694,6 +706,8 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str):
     # coarse probe: per-cluster mean centroids (clusters x d aggregate),
     # query-to-centroid cosine, top _IVFPQ_NPROBE clusters per query --
     # the same centroid/probe algebra as operators/similarity.ivf_topk
+    # (no fanout: measured a net loss on the serving passes, see
+    # _pq_best_frame)
     dimsdf = emb.select(
         "vec_id",
         "label",
@@ -881,6 +895,7 @@ def q_emb_pq_train_curve(spark: SparkSession, sf_dir: str):
 
     # one corpus pass: distances against all three codebooks as codegen
     # sums, argmin + change flags inline, 3-row aggregate out
+    # (no fanout: measured a net loss on serving passes, _pq_best_frame)
     rows = emb.select(
         "vec_id",
         F.size("embedding").alias("d"),

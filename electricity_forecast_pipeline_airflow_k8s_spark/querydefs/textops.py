@@ -418,6 +418,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     LSH path (dedup_minhash_lsh_pairs remains the probabilistic 100 TB
     path; this lane is the exact ground truth it is measured against).
 
+    scale-ledger EXCLUDED by declared design: the exact all-pairs truth
+    set is itself ~quadratic on this fixture (the LSH lane is the
+    production path) -- tools/scale_bench.py EXCLUDED carries the
+    matching entry.
+
     Round 11 (optimization): the O(n^2) crossJoin (22.8 s at sf0.1, the
     single biggest bench lane) became the AllPairs/PPJoin prefix-filtering
     join over the SAME shingle sets (operators/setsim.py) -- exact by the
@@ -1773,10 +1778,15 @@ def q_dedup_semantic_clusters_scale(spark: SparkSession, sf_dir: str):
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.arrays import (
         as_double,
     )
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
 
     emb = table(spark, "embeddings", sf_dir)
-    base = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    # round-11 F1 (guide §2.5): single-row-group scan -> the 16
+    # interpreted sign-bit folds below would run on one core per branch
+    base = fanout(
+        emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
     )
     planted = base.select(
         (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
@@ -1827,6 +1837,11 @@ def q_dedup_semantic_clusters_scale(spark: SparkSession, sf_dir: str):
         )
         .withColumnRenamed("v", "embedding")
     )
+    # round-11 F4: embedding_neardup_pairs consumes its corpus TWICE
+    # (probe + broadcast build side), so the 16 interpreted sign-bit
+    # fold expressions above ran twice per vector. LAZY checkpoint:
+    # materialized once inside the CC fixpoint's first build job.
+    bucketed = bucketed.localCheckpoint(eager=False)
     pairs = SIM.embedding_neardup_pairs(
         bucketed, threshold=_SEMS_THRESHOLD, block_col="lb"
     )
@@ -2957,8 +2972,12 @@ def q_emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
     dims = gram.select(F.col("d").alias("dim")).distinct()
     v = dims.withColumn("v", F.lit(1000000).cast("long"))
     for _ in range(_PC_ITERS):
-        if scoped:
-            v = v.localCheckpoint(eager=True)
+        # round-11 F4: each iteration references v twice (w join + the
+        # max-normalizer crossJoin), so the uncut bench-mode lineage
+        # doubled per iteration -- the before-plan held 522 Exchanges of
+        # tiny re-derived joins. LAZY checkpoint in bench mode cuts the
+        # plan while keeping all compute inside the timed action.
+        v = v.localCheckpoint(eager=scoped)
         w = (
             gram.join(v, gram.e == v.dim)
             .groupBy(F.col("d").alias("dim"))
@@ -2969,6 +2988,9 @@ def q_emb_top_pc_power_iteration(spark: SparkSession, sf_dir: str):
             "dim",
             F.floor(F.col("w") * 1000000.0 / F.col("m")).cast("long").alias("v"),
         )
+    # F4: the final iterate feeds nrm, both Rayleigh legs, den and the
+    # output projection (5 references) -- cut once more after the loop
+    v = v.localCheckpoint(eager=scoped)
     nrm = v.agg(F.sqrt(F.sum(F.col("v") * 1.0 * F.col("v"))).alias("l2"))
     # Rayleigh quotient v'Gv / v'v: per-term floor-quantization (the
     # g*v1 product stays exact BIGINT, the second multiply runs in
