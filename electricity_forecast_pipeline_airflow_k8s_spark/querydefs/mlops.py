@@ -525,7 +525,12 @@ def q_ml_ridge_lag1_parity(spark: SparkSession, sf_dir: str):
         tiebreak_cols=("event_id",),
         extra_partition_cols=("split",),
     )
-    params = fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
+    # round-11 F4: wins feeds the fit and the test slice; params feeds
+    # the predictions and the output join
+    wins = reuse(wins)
+    params = reuse(
+        fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
+    )
     test = wins.filter(F.col("split") == "test").select("respondent", "x", "y")
     preds = predict_per_group(test, params)
     mse = (
@@ -637,6 +642,8 @@ def q_ml_forecast_next_lag1(spark: SparkSession, sf_dir: str):
         extra_partition_cols=("split",),
         emit_cols=("event_id",),
     )
+    # round-11 F4: wins feeds the fit and the latest-window pick
+    wins = reuse(wins)
     params = fit_per_group(wins, lookback=1, horizon=1, alpha=_RIDGE1_ALPHA)
     # tie-safe latest-window pick: windows carry their start row's
     # event_id, and tail_window orders (window_start, event_id) -- the
@@ -756,6 +763,8 @@ def q_ml_forecast_next_lag1_h3(spark: SparkSession, sf_dir: str):
         extra_partition_cols=("split",),
         emit_cols=("event_id",),
     )
+    # round-11 F4: wins feeds the fit and the latest-window pick
+    wins = reuse(wins)
     params = fit_per_group(wins, lookback=1, horizon=_H3, alpha=_RIDGE1_ALPHA)
     latest = tail_window(
         wins.filter(F.col("split") == "train"),

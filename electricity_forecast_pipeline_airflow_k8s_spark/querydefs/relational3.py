@@ -441,7 +441,13 @@ ORDER BY lift DESC, p.type_a, p.type_b
 def q_rel_basket_lift(spark: SparkSession, sf_dir: str):
     li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     part = table(spark, "part", sf_dir).select("p_partkey", "p_type")
-    basket = (
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        reuse,
+    )
+
+    # round-11 F4: basket feeds the order count, the per-type counts and
+    # BOTH sides of the pair self-join (4 references)
+    basket = reuse(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()

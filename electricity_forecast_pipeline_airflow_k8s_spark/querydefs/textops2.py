@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import dedup as DD
 from electricity_forecast_pipeline_airflow_k8s_spark.operators import text as TX
+from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+    fanout,
+)
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import register, table
 from electricity_forecast_pipeline_airflow_k8s_spark.querydefs.textops import _TOKS
 
@@ -523,6 +526,11 @@ def _span_gram_positions(toks):
         )
         .select("doc_id", (F.col("i0") + 1).cast("int").alias("i"), "g")
     )
+    # round-11 F4 (guide §2.4): pos feeds BOTH the document-frequency
+    # aggregate and the caller's join-back, so the corpus-wide 5-gram
+    # explode evaluated twice. LAZY cut: materialized once inside the
+    # first timed action.
+    pos = pos.localCheckpoint(eager=False)
     dfreq = (
         pos.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
@@ -572,7 +580,10 @@ ORDER BY doc_id, span_start
 @register("text_span_dedup", oracle=_SPAN_ORACLE)
 def q_text_span_dedup(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", TX.tokens("text").alias("t"))
+    # round-11 F1: spread the single-row-group scan before tokenization
+    toks = fanout(docs.select("doc_id", "text")).select(
+        "doc_id", TX.tokens("text").alias("t")
+    )
     pos, dfreq = _span_gram_positions(toks)
     dup = pos.join(dfreq, "g").filter(F.col("doc_id") < _SPAN_DOCS)
     w = Window.partitionBy("doc_id").orderBy("i")
@@ -848,7 +859,10 @@ GROUP BY 1 ORDER BY 1
 @register("text_span_dedup_impact", oracle=_SPAN_IMPACT_ORACLE)
 def q_text_span_dedup_impact(spark: SparkSession, sf_dir: str):
     docs = table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", "source", TX.tokens("text").alias("t"))
+    # round-11 F1: spread the single-row-group scan before tokenization
+    toks = fanout(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", TX.tokens("text").alias("t")
+    )
     pos, dfreq = _span_gram_positions(toks)
     cover = (
         pos.join(dfreq, "g")
