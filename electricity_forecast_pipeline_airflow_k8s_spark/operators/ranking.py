@@ -555,10 +555,7 @@ def ntile_by_edges(
     tuple) and raise on ANY duplicate when the inputs aren't known-
     unique by construction.
     """
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
     cols = list(order_cols)
-    proj_types = dict(df.select(*cols).dtypes)
     if assert_total_order:
         chk = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -570,6 +567,26 @@ def ntile_by_edges(
                 f"{chk['n'] - chk['d']} duplicated key tuple(s) -- add a "
                 f"tie-break key"
             )
+    edges, n = ntile_edges(df, cols, k=k, num_partitions=num_partitions)
+    return apply_ntile_edges(df, cols, edges, n, tile_col=tile_col)
+
+
+def ntile_edges(
+    df: DataFrame,
+    order_cols: Iterable[str],
+    *,
+    k: int,
+    num_partitions: int | None = None,
+) -> tuple[list[tuple], int]:
+    """The boundary-derivation half of :func:`ntile_by_edges`: the k-1
+    bucket-end tuples of ``NTILE(k) OVER (ORDER BY order_cols)`` plus the
+    total row count. Split out (round-12) so callers that bin the SAME
+    frame along several independent orders can run the boundary jobs
+    concurrently from driver threads (guide §2.6) and attach every bin
+    expression with :func:`apply_ntile_edges` afterwards."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cols = list(order_cols)
 
     def _bounds(n: int) -> list[int]:
         # exact NTILE sizing: first n mod k buckets take one extra row;
@@ -585,13 +602,29 @@ def ntile_by_edges(
         return out
 
     edges, n = tuples_at_ranks(df, cols, _bounds, num_partitions=num_partitions)
-    if n == 0:
-        return df.withColumn(tile_col, F.lit(None).cast("int"))
     if len(set(edges)) != len(edges):
         raise ValueError(
             f"order_cols {cols} is not a total order: duplicated boundary "
             f"tuple -- add a tie-break key"
         )
+    return edges, n
+
+
+def apply_ntile_edges(
+    df: DataFrame,
+    order_cols: Iterable[str],
+    edges: list[tuple],
+    n: int,
+    *,
+    tile_col: str,
+) -> DataFrame:
+    """The shuffle-free application half of :func:`ntile_by_edges`: bin
+    each row against pre-derived boundary tuples (codegen binary search,
+    no Window, no shuffle)."""
+    cols = list(order_cols)
+    proj_types = dict(df.select(*cols).dtypes)
+    if n == 0:
+        return df.withColumn(tile_col, F.lit(None).cast("int"))
 
     def _lex_le(edge: tuple) -> Column:
         # row_tuple <= edge, lexicographic, as plain boolean column ops

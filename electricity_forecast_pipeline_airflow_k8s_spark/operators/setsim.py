@@ -138,6 +138,11 @@ def _prefix_join(sets: DataFrame, num: int, den: int) -> DataFrame:
     # cache — Spark's own MinHashLSH does the same). MEMORY_AND_DISK:
     # token arrays can exceed executor memory at corpus scale. Bench mode
     # (SPARK_GRAFT_SCOPED_CACHE=0) keeps the plan lazy for honest timing.
+    # (Round-12 measured a lazy localCheckpoint here -- the F4 primitive --
+    # and it LOST: serializing the fat ordered-token arrays to block
+    # storage and reading them back three times cost MORE than the three
+    # codegen recomputes, 6.53 -> 8.63 s noop at sf0.1. Reverted; same
+    # verdict as r11's PQ serving passes.)
     import os
 
     if os.environ.get("SPARK_GRAFT_SCOPED_CACHE", "1") != "0":

@@ -318,6 +318,10 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
         F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
         F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
     )
+    # round-12: `oriented` is consumed three times (both wedge sides + the
+    # closing join); without a cut each consumer re-runs the degree agg
+    # and the two orientation joins from the edge blocks (F4, guide §2.4)
+    oriented = _reuse(oriented, scoped)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
         y,
@@ -360,6 +364,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str):
     if scoped:
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
+        oriented.unpersist()
     return out
 
 
@@ -473,6 +478,8 @@ def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
         F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
         F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_d"),
     )
+    # round-12: same three-consumer reuse as the exact lane (F4)
+    oriented = _reuse(oriented, scoped)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
         y,
@@ -506,6 +513,7 @@ def q_graph_triangle_estimate(spark: SparkSession, sf_dir: str):
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
         sampled.unpersist()
+        oriented.unpersist()
     return out
 
 

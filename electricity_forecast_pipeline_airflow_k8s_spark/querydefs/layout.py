@@ -88,10 +88,6 @@ ORDER BY 1
 
 @register("layout_zorder_locality", oracle=_ZORDER_ORACLE)
 def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
-    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
-        ntile_by_edges,
-    )
-
     from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
         fanout,
     )
@@ -113,11 +109,25 @@ def q_layout_zorder_locality(spark: SparkSession, sf_dir: str):
     # measured region.
     base = fanout(base).localCheckpoint(eager=True)
     # two narrow boundary-derivation sorts (key columns only) + broadcast
-    # edge binning on the fact -- no Window, no full-frame rank pass
-    binned = ntile_by_edges(base, ["o_custkey", "o_orderkey"], k=64, tile_col="xb1")
-    binned = ntile_by_edges(
-        binned, ["o_orderdate", "o_orderkey"], k=64, tile_col="yb1"
+    # edge binning on the fact -- no Window, no full-frame rank pass.
+    # Round-12 (guide §2.6): the two dimensions' boundary jobs are
+    # independent multi-job pipelines over the same checkpointed base, so
+    # they run from two driver threads and overlap instead of serializing
+    # ~half the lane's wall-clock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        apply_ntile_edges,
+        ntile_edges,
     )
+
+    xcols, ycols = ["o_custkey", "o_orderkey"], ["o_orderdate", "o_orderkey"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fx = pool.submit(ntile_edges, base, xcols, k=64)
+        fy = pool.submit(ntile_edges, base, ycols, k=64)
+        (ex, nx), (ey, ny) = fx.result(), fy.result()
+    binned = apply_ntile_edges(base, xcols, ex, nx, tile_col="xb1")
+    binned = apply_ntile_edges(binned, ycols, ey, ny, tile_col="yb1")
     coded = binned.select(
         "o_orderkey",
         "o_custkey",
@@ -272,10 +282,6 @@ FROM hits GROUP BY 1 ORDER BY 1
 
 @register("layout_zonemap_pruning", oracle=_zonemap_oracle())
 def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
-    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
-        ntile_by_edges,
-    )
-
     from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
         fanout,
     )
@@ -292,9 +298,25 @@ def q_layout_zonemap_pruning(spark: SparkSession, sf_dir: str):
         "custkey_sorted": ["o_custkey", "o_orderkey"],
         "time_sorted": ["o_orderdate", "o_orderkey"],
     }
+    # round-12 (guide §2.6): the two layouts' boundary-derivation jobs are
+    # independent pipelines over the same checkpointed base -- run them
+    # from driver threads so they overlap (same move as zorder)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        apply_ntile_edges,
+        ntile_edges,
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            name: pool.submit(ntile_edges, orders, cols, k=_ZM_FILES)
+            for name, cols in layouts.items()
+        }
     zones = None
     for name, order_cols in layouts.items():
-        tiled = ntile_by_edges(orders, order_cols, k=_ZM_FILES, tile_col="f")
+        edges, n = futs[name].result()
+        tiled = apply_ntile_edges(orders, order_cols, edges, n, tile_col="f")
         z = tiled.groupBy("f").agg(
             F.min("o_custkey").alias("zmin"), F.max("o_custkey").alias("zmax")
         ).select(F.lit(name).alias("layout"), "f", "zmin", "zmax")

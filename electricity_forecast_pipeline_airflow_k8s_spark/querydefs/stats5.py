@@ -292,7 +292,14 @@ ORDER BY rep
 
 @register("sample_poisson_bootstrap", oracle=_boot_oracle())
 def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str):
-    ev = (
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        fanout,
+    )
+
+    # F1 fanout (guide §2.5, round-12): the single-row-group events scan
+    # arrives as ONE partition, so the 5-replicate md5 draw -- the lane's
+    # whole cost -- ran on one core; no-op at real scale
+    ev = fanout(
         table(spark, "events", sf_dir)
         .filter(F.col("value").isNotNull())
         .select("event_id", "value")

@@ -889,6 +889,15 @@ def q_sess_absorbing_markov(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("event_type").alias("u"), "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # round-12 F4 (guide §2.4): `trans` feeds outdeg, the weight matrix
+    # and the direct-conversion probe -- three consumers that each re-ran
+    # the events-sized window pass in the lazy bench bracket. One
+    # materialization; every leg reads the |event types|^2-bounded blocks.
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        reuse,
+    )
+
+    trans = reuse(trans)
     outdeg = trans.groupBy("u").agg(F.sum("c").alias("tot"))
     pm = trans.join(outdeg, "u").select(
         "u", "v", F.expr(f"(c * {_P6}) div tot").alias("p_fp")

@@ -253,3 +253,37 @@ def test_ntile_by_edges_no_window_and_rejects_partial_order(spark):
     dup = spark.range(0, 100).select(F.lit(1).alias("key"))
     with pytest.raises(ValueError, match="not a total order"):
         ntile_by_edges(dup, ["key"], k=4, tile_col="t")
+
+
+def test_ntile_edges_split_composes_identically(spark):
+    """Round-12 split: ntile_edges + apply_ntile_edges must reproduce
+    ntile_by_edges exactly (the layout lanes derive several dimensions'
+    edges concurrently and attach them to one frame)."""
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.ranking import (
+        apply_ntile_edges,
+        ntile_by_edges,
+        ntile_edges,
+    )
+
+    df = spark.range(0, 321).select(
+        (F.col("id") % 13).alias("a"), (F.col("id") % 7).alias("b"),
+        F.col("id").alias("tie"),
+    )
+    # two independent orders attached to the SAME frame, zorder-style
+    ea, na = ntile_edges(df, ["a", "tie"], k=9)
+    eb, nb = ntile_edges(df, ["b", "tie"], k=5)
+    got = apply_ntile_edges(
+        apply_ntile_edges(df, ["a", "tie"], ea, na, tile_col="ta"),
+        ["b", "tie"], eb, nb, tile_col="tb",
+    )
+    want_a = ntile_by_edges(df, ["a", "tie"], k=9, tile_col="ta")
+    want_b = ntile_by_edges(df, ["b", "tie"], k=5, tile_col="tb")
+    got_rows = sorted(_rows(got, "tie", "ta", "tb"))
+    wa = {r[0]: r[1] for r in _rows(want_a, "tie", "ta")}
+    wb = {r[0]: r[1] for r in _rows(want_b, "tie", "tb")}
+    assert got_rows == sorted((t, wa[t], wb[t]) for t in wa)
+    # empty input: bucket column is NULL, no crash
+    empty = df.filter(F.col("tie") < 0)
+    ee, ne = ntile_edges(empty, ["a", "tie"], k=4)
+    assert ne == 0
+    assert apply_ntile_edges(empty, ["a", "tie"], ee, ne, tile_col="t").count() == 0
