@@ -28,67 +28,38 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver verifies a bounded prefix of the registry (50 queries in
-# registration order per round). Round-11 window (--oldest-first fill,
-# tools/rotate_window.py): the 9 lanes whose plan changed this round
-# lead -- the six minhash-path lanes (the 50x scale ledger caught the
-# static planner broadcasting the corpus-sized shingle table in the
-# verify joins; now pinned shuffle_hash, operators/dedup.py) and the
-# three corpus-pipeline lanes that compose them -- then the 2 rows-only
-# ML lanes (NumPy-value-verified in the sweep channel,
-# BENCH_LEDGER/verify_sweep.json), then every proven lane strictly by
-# evidence age (the remaining r2-era evidence refreshes first).
+# registration order per round). Round-12 window (--oldest-first fill,
+# tools/rotate_window.py): the 18 lanes whose plan changed this round
+# lead -- the connected-components family (fused convergence check +
+# lazy init cuts, operators/dedup.py), the single-pass contamination
+# operator and its corpus-pipeline composers, the triangle lanes
+# (oriented-list reuse), the layout lanes (threaded boundary derivation
+# through the ntile_edges/apply_ntile_edges split, operators/ranking.py)
+# plus the two other ntile_by_edges lanes, the absorbing-markov
+# transition reuse and the fanned-out poisson bootstrap -- then every
+# proven lane strictly by evidence age (never-proven sorts as round 0).
 # Regenerate with tools/rotate_window.py --oldest-first.
 _VERIFICATION_WINDOW: tuple[str, ...] = (
-    "dedup_minhash_lsh_pairs",  # last green r8
-    "dedup_clusters",  # last green r8
-    "dedup_keep_best",  # last green r8
-    "inc_minhash_new_batch",  # last green r8
-    "dedup_lsh_recall_eval",  # last green r8
-    "dedup_lsh_bucket_histogram",  # last green r7
-    "corpus_prep_e2e",  # last green r9
-    "corpus_prep_inc_batch",  # last green r10
-    "stream_corpus_dedup_merge",  # last green r9
+    "dedup_clusters",  # last green r11
+    "dedup_keep_best",  # last green r11
+    "dedup_semantic_clusters",  # last green r9
+    "dedup_semantic_clusters_scale",  # last green r10
+    "inc_cc_new_edges",  # last green r8
+    "corpus_prep_e2e",  # last green r11
+    "corpus_prep_inc_batch",  # last green r11
+    "stream_corpus_dedup_merge",  # last green r11
+    "dedup_contamination_check",  # last green r3
+    "graph_triangle_count",  # last green r10
+    "graph_triangle_estimate",  # last green r10
+    "inc_triangle_estimate_merge",  # last green r10
+    "layout_zorder_locality",  # last green r6
+    "layout_zonemap_pruning",  # last green r7
+    "rel_equidepth_histogram",  # last green r6
+    "rel_decile_lift",  # last green r7
+    "sess_absorbing_markov",  # last green r5
+    "sample_poisson_bootstrap",  # last green r7
     "ml_forecast_next",
     "ml_train_eval_metrics",
-    "stream_windowed_stats",  # last green r2
-    "text_token_stats",  # last green r2
-    "text_quality_score",  # last green r2
-    "text_lang_id",  # last green r2
-    "text_fingerprint",  # last green r2
-    "text_quality_filter_stats",  # last green r2
-    "text_length_profile",  # last green r2
-    "text_top_tokens",  # last green r2
-    "text_tfidf_top_terms",  # last green r2
-    "dedup_tokenset_groups",  # last green r2
-    "dedup_simhash_codes",  # last green r2
-    "sim_topk_lsh",  # last green r2
-    "tpch_min_balance_supplier",  # last green r2
-    "tpch_significant_parts",  # last green r2
-    "tpch_top_supplier",  # last green r2
-    "tpch_part_supplier_counts",  # last green r2
-    "tpch_nation_volume",  # last green r2
-    "tpch_idle_rich_customers",  # last green r2
-    "ts_window_counts",  # last green r2
-    "ts_tail_window",  # last green r2
-    "ts_scaler_params",  # last green r2
-    "ts_scaled_values",  # last green r2
-    "ts_ks_drift",  # last green r2
-    "ts_hour_coverage",  # last green r2
-    "quality_profile",  # last green r3
-    "quality_profile_scale_contract",  # last green r3
-    "val_null_counts",  # last green r3
-    "val_gap_stats",  # last green r3
-    "val_outlier_rows",  # last green r3
-    "ml_linreg_trend",  # last green r3
-    "rel_pricing_summary",  # last green r3
-    "rel_star_revenue",  # last green r3
-    "rel_topk_per_group",  # last green r3
-    "rel_window_running",  # last green r3
-    "rel_asof_click_before_purchase",  # last green r3
-    "approx_distinct_and_quantiles",  # last green r3
-    "rel_unpivot_measures",  # last green r3
-    "rel_salted_skew_stats",  # last green r3
-    "sess_user_sessions",  # last green r3
     "rel_monthly_revenue_growth",  # last green r3
     "stream_dedup_counts",  # last green r3
     "sess_funnel_counts",  # last green r3
@@ -103,7 +74,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_bpe_token_estimate",  # last green r3
     "text_pii_stats",  # last green r3
     "sample_mix_sources",  # last green r3
-    "dedup_contamination_check",  # last green r3
     "text_entropy_stats",  # last green r3
     "emb_centroid_assign",  # last green r3
     "text_fuzzy_prefix_pairs",  # last green r3
@@ -162,7 +132,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_largest_remainder_alloc",  # last green r5
     "val_t_closeness",  # last green r5
     "layout_compaction_plan",  # last green r5
-    "sess_absorbing_markov",  # last green r5
     "text_oov_rate",  # last green r5
     "ts_croston",  # last green r5
     "sim_topk_hamming",  # last green r5
@@ -177,8 +146,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sample_group_kfold",  # last green r6
     "sess_interarrival_burstiness",  # last green r6
     "dedup_cross_source_leakage",  # last green r6
-    "layout_zorder_locality",  # last green r6
-    "rel_equidepth_histogram",  # last green r6
     "ml_hpo_best_trials",  # last green r6
     "quality_profile_approx",  # last green r6
     "ts_w1_drift",  # last green r6
@@ -215,11 +182,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "graph_label_propagation",  # last green r7
     "mm_scene_change",  # last green r7
     "text_ndcg_eval",  # last green r7
-    "layout_zonemap_pruning",  # last green r7
     "ml_ridge_lag1_parity",  # last green r7
     "dedup_cluster_size_histogram",  # last green r7
     "sess_window_funnel",  # last green r7
-    "rel_decile_lift",  # last green r7
     "text_bpe_merge_step",  # last green r7
     "emb_label_separability",  # last green r7
     "text_winnow_fingerprints",  # last green r7
@@ -228,7 +193,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "rel_skyline_pareto",  # last green r7
     "sess_markov_transitions",  # last green r7
     "text_zipf_slope",  # last green r7
-    "sample_poisson_bootstrap",  # last green r7
     "ts_holt_winters",  # last green r7
     "sess_path_topk",  # last green r7
     "sample_class_balance",  # last green r7
@@ -262,7 +226,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "text_span_dedup_impact",  # last green r8
     "graph_ppr_unrolled",  # last green r8
     "ts_coincidence_factor",  # last green r8
-    "inc_cc_new_edges",  # last green r8
     "inc_quantile_merge",  # last green r8
     "inc_topk_merge",  # last green r8
     "emb_pq_train_curve",  # last green r8
@@ -317,7 +280,6 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "sample_split_assign",  # last green r9
     "text_para_dedup",  # last green r9
     "mm_frame_sample",  # last green r9
-    "dedup_semantic_clusters",  # last green r9
     "dedup_simhash_neardup_pairs",  # last green r9
     "emb_dim_stats",  # last green r9
     "text_bigram_lm_score",  # last green r9
@@ -334,13 +296,9 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "ts_gap_fill_locf",  # last green r9
     "stream_quantile_merge",  # last green r9
     "stream_triangle_ivm_merge",  # last green r10
-    "inc_triangle_estimate_merge",  # last green r10
-    "graph_triangle_estimate",  # last green r10
-    "dedup_semantic_clusters_scale",  # last green r10
     "inc_ridge_moments_merge",  # last green r10
     "text_repetition_stats",  # last green r10
     "graph_kcore",  # last green r10
-    "graph_triangle_count",  # last green r10
     "graph_link_prediction",  # last green r10
     "graph_bfs_reachability",  # last green r10
     "graph_assortativity",  # last green r10
@@ -380,6 +338,49 @@ _VERIFICATION_WINDOW: tuple[str, ...] = (
     "val_domain_violations",  # last green r10
     "val_extreme_gate",  # last green r10
     "rel_math_functions",  # last green r10
+    "dedup_minhash_lsh_pairs",  # last green r11
+    "inc_minhash_new_batch",  # last green r11
+    "dedup_lsh_recall_eval",  # last green r11
+    "dedup_lsh_bucket_histogram",  # last green r11
+    "stream_windowed_stats",  # last green r11
+    "text_token_stats",  # last green r11
+    "text_quality_score",  # last green r11
+    "text_lang_id",  # last green r11
+    "text_fingerprint",  # last green r11
+    "text_quality_filter_stats",  # last green r11
+    "text_length_profile",  # last green r11
+    "text_top_tokens",  # last green r11
+    "text_tfidf_top_terms",  # last green r11
+    "dedup_tokenset_groups",  # last green r11
+    "dedup_simhash_codes",  # last green r11
+    "sim_topk_lsh",  # last green r11
+    "tpch_min_balance_supplier",  # last green r11
+    "tpch_significant_parts",  # last green r11
+    "tpch_top_supplier",  # last green r11
+    "tpch_part_supplier_counts",  # last green r11
+    "tpch_nation_volume",  # last green r11
+    "tpch_idle_rich_customers",  # last green r11
+    "ts_window_counts",  # last green r11
+    "ts_tail_window",  # last green r11
+    "ts_scaler_params",  # last green r11
+    "ts_scaled_values",  # last green r11
+    "ts_ks_drift",  # last green r11
+    "ts_hour_coverage",  # last green r11
+    "quality_profile",  # last green r11
+    "quality_profile_scale_contract",  # last green r11
+    "val_null_counts",  # last green r11
+    "val_gap_stats",  # last green r11
+    "val_outlier_rows",  # last green r11
+    "ml_linreg_trend",  # last green r11
+    "rel_pricing_summary",  # last green r11
+    "rel_star_revenue",  # last green r11
+    "rel_topk_per_group",  # last green r11
+    "rel_window_running",  # last green r11
+    "rel_asof_click_before_purchase",  # last green r11
+    "approx_distinct_and_quantiles",  # last green r11
+    "rel_unpivot_measures",  # last green r11
+    "rel_salted_skew_stats",  # last green r11
+    "sess_user_sessions",  # last green r11
 )
 
 

@@ -1019,13 +1019,21 @@ def q_inc_triangle_estimate_merge(spark: SparkSession, sf_dir: str):
     )
     ev = _cap_hours(ev)
     cut = F.lit(_QCUT).cast("timestamp")
-    state = _ite_sampled(_ite_edges(ev.filter(F.col("h") < cut)))
-    batch = _ite_sampled(_ite_edges(ev.filter(F.col("h") >= cut))).join(
-        state, ["ua", "ub"], "left_anti"
+    from electricity_forecast_pipeline_airflow_k8s_spark.operators.partitioning import (
+        reuse,
     )
-    if scoped:
-        state = state.persist()
-        batch = batch.persist()
+
+    # round-12 F4 (guide §2.4): state feeds the anti-join, the union, two
+    # role terms, the exact-state triangle count and the edge count (~7
+    # references), batch ~5 -- the lazy bench bracket used to re-run the
+    # capped co-occurrence self-join + sampling once per reference
+    state = reuse(_ite_sampled(_ite_edges(ev.filter(F.col("h") < cut))), scoped)
+    batch = reuse(
+        _ite_sampled(_ite_edges(ev.filter(F.col("h") >= cut))).join(
+            state, ["ua", "ub"], "left_anti"
+        ),
+        scoped,
+    )
     union = state.unionByName(batch)
 
     # first-new-role decomposition: each term's anchor side is the batch

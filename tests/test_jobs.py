@@ -1,6 +1,8 @@
 """Schedulable job entrypoints: prepare (with drift report) -> train over
 the snapshot lake, end to end -- and the CLI surface itself."""
 
+import pytest
+import os
 import json
 import subprocess
 import sys
@@ -8,6 +10,10 @@ import sys
 from electricity_forecast_pipeline_airflow_k8s_spark.jobs import prepare_job, train_job
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~15 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_prepare_then_train_jobs(spark, sf_dir, tmp_path):
     lake = f"file://{tmp_path}/lake"
     out = prepare_job(spark, f"{sf_dir}/events.parquet", lake, run_ts="20240101_000000")
@@ -38,6 +44,10 @@ def test_prepare_then_train_jobs(spark, sf_dir, tmp_path):
     assert res2["model_version"] == 2
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~50 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_cli_prepare(tmp_path, sf_dir):
     lake = f"file://{tmp_path}/clilake"
     proc = subprocess.run(

@@ -4,6 +4,10 @@ these pin the SEMANTICS -- especially the incremental==full contracts)."""
 
 from __future__ import annotations
 
+import pytest
+
+import os
+
 import datetime as dt
 
 from electricity_forecast_pipeline_airflow_k8s_spark.queries import queries
@@ -219,6 +223,10 @@ def test_zonemap_sorted_layout_prunes_to_one_file(tmp_path, spark):
     assert got["time_sorted"][0] > 5 * got["custkey_sorted"][0], got
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~5 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_pq_adc_recall_exact_when_corpus_is_codebook(tmp_path, spark):
     """When every corpus vector IS a centroid, PQ codes have zero
     quantization error, so the ADC ranking equals the exact ranking and
@@ -234,6 +242,10 @@ def test_pq_adc_recall_exact_when_corpus_is_codebook(tmp_path, spark):
     assert all(r["recall_at_10"] == 1.0 and r["n_matched"] == 10 for r in rows), rows
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~5 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_ivfpq_recall_exact_when_single_cluster_codebook(tmp_path, spark):
     """All 16 codebook vectors in ONE cluster: the probe trivially selects
     it, the candidate set is the whole corpus, and zero-quantization-error

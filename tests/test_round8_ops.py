@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import pytest
+import os
 import datetime as dt
 
 import duckdb
@@ -55,6 +57,10 @@ def test_pq_adc_tables_brute_force_d6():
             assert tables[0][s][ci] == want, (s, c)
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~7 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_pq_adc_recall_oracle_parity_d6(tmp_path, spark):
     """End-to-end engine-vs-oracle parity for sim_pq_adc_recall on d=6
     embeddings, where per-vector subspace codes genuinely differ across

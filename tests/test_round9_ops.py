@@ -8,6 +8,7 @@ synthetic corpus here manufactures exactly that, and the assertion runs
 the REGISTERED Spark lane against the REGISTERED DuckDB oracle on the
 same parquet -- the driver's comparison, on the adversarial input."""
 
+import os
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -47,6 +48,10 @@ def _collect(df):
     return [tuple(r) for r in df.collect()]
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~78 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_inc_batch_bridge_retracts_old_canonical(spark, bridge_corpus):
     q = registry()["corpus_prep_inc_batch"]
     got = q.build(spark, bridge_corpus)

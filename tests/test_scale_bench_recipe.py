@@ -12,6 +12,8 @@ the pins run in the normal suite.
 
 from __future__ import annotations
 
+import os
+
 import math
 
 import pytest
@@ -33,6 +35,10 @@ def _cnt(spark, d, t):
     return spark.read.parquet(f"{d}/{t}.parquet").count()
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~5 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_fact_tables_inflate_10x_dims_copied(spark, scale_dir):
     for t in ("events", "documents", "embeddings", "orders", "lineitem"):
         assert _cnt(spark, scale_dir, t) == 10 * _cnt(spark, SRC, t), t

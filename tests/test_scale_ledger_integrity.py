@@ -98,3 +98,27 @@ def test_error_entries_are_the_documented_exact_lane():
     d = _load("scale10x.json")
     errored = {n for n, r in d["lanes"].items() if "error" in r}
     assert errored <= {"graph_triangle_count"}, errored
+
+
+def test_core_ratio_ledger_shape_and_coverage():
+    """Round-12 (VERDICT r11 item 6): the core-scaling evidence at the
+    scale corpus must cover the five named heavy lanes and carry BOTH
+    core columns plus the computed ratio -- this is the replacement for
+    the sf0.1 low-core channel, which SCALING.md declares
+    overhead-bound."""
+    d = _load("core_ratio.json")
+    lanes = d["lanes"]
+    for name in (
+        "graph_triangle_estimate",
+        "text_setsim_prefix_join",
+        "dedup_minhash_lsh_pairs",
+        "corpus_prep_inc_batch",
+        "dedup_containment_pairs",
+    ):
+        row = lanes.get(name)
+        assert row, f"core-ratio ledger missing {name}"
+        cols = [k for k in row if k.startswith("c") and k.endswith("_sec")]
+        assert len(cols) >= 2, f"{name} measured at <2 core counts: {row}"
+        assert all(row[c] > 0 for c in cols), row
+        assert row.get("ratio_low_over_high") is not None, row
+    assert d["replicas"] >= 10

@@ -8,6 +8,7 @@ hand-computed model), so correctness is pinned without the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
 import datetime as dt
 import math
 
@@ -165,6 +166,10 @@ def test_pinball_loss_hand_model(spark, tmp_path):
         ), q
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~5 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_decile_lift_hand_model(spark, tmp_path):
     # 20 customers, balances 20..1; buyers = the 4 highest-balance
     # customers plus the 2 lowest. Base rate = 6/20.
@@ -319,6 +324,10 @@ def test_spectral_flatness_detects_12h_cycle(spark, tmp_path):
     assert r["spectral_flatness"] < 0.1
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~4 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_cramers_v_perfect_and_independent(spark, tmp_path):
     base = dt.datetime(2020, 1, 1)
     # perfect association: type 'a' only cohort 0 (users 0, 8, 16),
@@ -593,6 +602,10 @@ _hyp = settings(
 )
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~11 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 @given(
     counts=st.lists(
         st.integers(min_value=1, max_value=300), min_size=2, max_size=6
@@ -656,6 +669,10 @@ def test_join_cardinality_equals_actual_join(spark, sf_dir):
         assert rows[edge]["est_rows"] == n, edge
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~5 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 def test_key_skew_report_uniform_vs_skewed(spark, tmp_path):
     # planted skew: one user holds half the events; a uniform orders
     # custkey distribution must report near-max entropy and ratio 1

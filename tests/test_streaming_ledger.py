@@ -52,3 +52,34 @@ def test_fold_lanes_ran_multiple_micro_batches():
         "stream_triangle_ivm_merge",
     ):
         assert lanes[name]["micro_batches"] == 4, (name, lanes[name])
+
+
+def test_every_stream_lane_has_a_budget_and_ledger_is_budget_clean():
+    """Round-12 (VERDICT r11 item 8): the streaming ledger carries the
+    same budget gating convention as bench.py -- every measured lane has
+    a wall-clock budget, and the COMMITTED ledger must be budget-clean,
+    so a streaming regression shows up as a failing gate instead of a
+    silently larger number."""
+    sys_path = os.path.join(ROOT, "tools")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "streaming_bench", os.path.join(sys_path, "streaming_bench.py")
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    lanes = _lanes()
+    missing = set(lanes) - set(sb.STREAM_BUDGETS)
+    assert not missing, f"stream lanes without a budget: {missing}"
+    over = {
+        name: (row["wall_sec"], sb.effective_stream_budget(name))
+        for name, row in lanes.items()
+        if row["wall_sec"] > sb.effective_stream_budget(name)
+    }
+    assert not over, f"committed streaming ledger over budget: {over}"
+    # the ledger also records the over_budget map the tool computed at
+    # measure time (empty on a clean refresh)
+    with open(os.path.join(ROOT, "BENCH_LEDGER", "streaming.json")) as f:
+        payload = json.load(f)
+    assert "over_budget" in payload, "ledger predates budget gating -- refresh it"

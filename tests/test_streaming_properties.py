@@ -12,6 +12,8 @@ Each example runs a real streaming query (availableNow, memory sink), so
 example counts stay small; the permutation space is where the value is.
 """
 
+import pytest
+import os
 import datetime as dt
 import uuid
 
@@ -85,6 +87,10 @@ def _stream_to_df(spark, tmpdir, rows, shuffler, n_files, transform):
     return spark.table(name)
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~32 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 @given(events=events_strategy, seed=st.randoms(use_true_random=False))
 @_settings
 def test_watermark_dedup_invariant_to_arrival_order(
@@ -116,6 +122,10 @@ def test_watermark_dedup_invariant_to_arrival_order(
     assert got == expected
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~20 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 @given(events=events_strategy, seed=st.randoms(use_true_random=False))
 @_settings
 def test_windowed_stats_invariant_to_arrival_order(
@@ -149,6 +159,10 @@ def test_windowed_stats_invariant_to_arrival_order(
     assert got == want
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1",
+    reason="opt-in slow test, ~18 s of the suite (set SPARK_GRAFT_SLOW_TESTS=1)",
+)
 @given(events=events_strategy, seed=st.randoms(use_true_random=False))
 @_settings
 def test_stream_static_enrich_invariant_to_arrival_order(

@@ -47,6 +47,39 @@ DEFAULT_LANES = [
     "stream_windowed_stats",
 ]
 
+# Round-12 (VERDICT r11 item 8): per-lane wall-clock budgets, the bench.py
+# convention ported to the streaming ledger -- 1.5x the round-11 committed
+# wall_sec. Streaming walls are dominated by micro-batch scheduling and
+# checkpoint I/O whose run-to-run spread is larger than the batch lanes',
+# so the effective budget adds a 2 s noise margin floor:
+# max(budget, wall/1.5 + 2.0). Exceeding a budget does not fail the tool;
+# it lands in the ledger's over_budget map, and
+# tests/test_streaming_ledger.py gates on the COMMITTED ledger being
+# budget-clean, which is what makes a streaming regression visible
+# round-over-round.
+STREAM_NOISE_MARGIN_SEC = 2.0
+STREAM_BUDGETS: dict[str, float] = {
+    "stream_corpus_dedup_merge": 11.88,
+    "stream_dedup_counts": 17.95,
+    "stream_hopping_topk": 3.79,
+    "stream_join_windowed_attribution": 13.34,
+    "stream_kmv_merge": 6.72,
+    "stream_quality_counts": 3.53,
+    "stream_quantile_merge": 7.52,
+    "stream_session_stats": 4.84,
+    "stream_static_enrich": 4.37,
+    "stream_stream_join": 10.93,
+    "stream_topk_merge": 16.54,
+    "stream_triangle_ivm_merge": 10.93,
+    "stream_upsert_replay_state": 21.09,
+    "stream_windowed_stats": 4.24,
+}
+
+
+def effective_stream_budget(name: str) -> float:
+    budget = STREAM_BUDGETS[name]
+    return max(budget, budget / 1.5 + STREAM_NOISE_MARGIN_SEC)
+
 
 def main() -> int:
     os.environ["SPARK_GRAFT_SCOPED_CACHE"] = "0"
@@ -87,6 +120,13 @@ def main() -> int:
     unknown = [n for n in lanes if n not in qs]
     assert not unknown, f"unknown lanes: {unknown}"
 
+    # Session warmup (round-12): the first streaming query in a fresh JVM
+    # pays codegen/JIT/state-store init that every later lane skips -- the
+    # r12 refresh measured the first lane 3.5x its warm wall. One untimed
+    # run of the first lane puts every timed lane on equal footing (the
+    # same convention as bench.py's sf0.001 warmup pass).
+    qs[lanes[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     results: dict[str, dict] = {}
     for name in lanes:
         collector.progress.clear()
@@ -124,7 +164,13 @@ def main() -> int:
         with open(out) as f:
             prev = json.load(f).get("lanes", {})
         merged = {**prev, **results}
-    payload = {"sf_dir": SF_DIR, "lanes": merged}
+    over_budget = {
+        name: {"sec": row["wall_sec"], "budget": effective_stream_budget(name)}
+        for name, row in merged.items()
+        if name in STREAM_BUDGETS
+        and row["wall_sec"] > effective_stream_budget(name)
+    }
+    payload = {"sf_dir": SF_DIR, "lanes": merged, "over_budget": over_budget}
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
